@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle twin on the
+same parquet fixtures, then compares row count, column names, and
+values (rows sorted, columns sorted by name — order-insensitive, exact
+equality; floats must match bit-for-bit, which the engine guarantees
+via exact decimal aggregation + deterministic double derivations).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stream_ingestion_amazon_kinesis_spark import TABLES
+from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
+from stream_ingestion_amazon_kinesis_spark.session import get_spark
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def df_to_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    _load_all()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok*   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"      WARNING: 0 rows from {name}")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        scols, srows = df_to_rows(sdf)
+        ocols, orows = df_to_rows(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ\n  spark:  {scols}\n  oracle: {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: row count {len(srows)} vs {len(orows)}")
+            continue
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        ]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {len(bad)}/{len(srows)} rows differ; first:")
+            i, a, b = bad[0]
+            print(f"  cols:   {scols}")
+            print(f"  spark:  {a}")
+            print(f"  oracle: {b}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows match exactly ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.3 G17).
+
+Four tiers, each with a different cost/recall point at 100 TB:
+- exact dedup: hash groupBy on normalized text — one shuffle, map-side
+  partial aggregation.
+- n-gram Jaccard near-dup: token-set overlap via explode + equi-join on
+  (block, token). Blocking keys bound the pair space; the join is a
+  plain shuffle join Catalyst can plan (and AQE can skew-split).
+- MinHash + LSH: constant-size signatures per doc (32 hashes), banded
+  into LSH buckets, candidates from an equi-self-join on the bucket key,
+  then exact-Jaccard verification of candidates only. This is the scale
+  path: signature size is O(1) per doc, and the only shuffle larger than
+  the doc count is the candidate verify join.
+- SimHash: one 32-bit fingerprint per doc; near-dups collide in
+  fingerprint buckets — cheapest, lowest recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_key,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    description="G17 exact dedup: normalize -> hash groupBy; keeper = min doc_id",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("text_key"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, token) with per-doc distinct tokens."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    )
+
+
+@register(
+    "jaccard_neardup_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
+    """,
+    description="G17 n-gram Jaccard near-dup: blocked (same source) token-set overlap >= 0.8",
+)
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _doc_tokens(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8; j=0.8 -> 0.996
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc with `num_hashes` min-hash values over distinct
+    3-word shingles. Permutations are simulated by salting xxhash64 with
+    the permutation index — standard practice, no dictionary build, fully
+    distributed (one groupBy shuffle on doc_id).
+
+    Shingles (not bag-of-words) are the unit: word order matters, so
+    only genuinely duplicated/near-duplicated passages collide — on a
+    small shared vocabulary, token-set Jaccard saturates (most pairs
+    look alike) and the candidate space degenerates to O(n^2)."""
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, bucket): hash each band's row-slice into a bucket."""
+    rows_per_band = N_HASHES // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,  # probabilistic candidate generation is engine-specific;
+    # recall vs exact shingle-Jaccard is asserted in tests/test_dedup.py
+    description="G17 MinHash(32)+LSH(8x4) over 3-shingles, exact-Jaccard verified >= 0.8",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    buckets = lsh_buckets(sig)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact shingle-set Jaccard (join back to the
+    # shingle relation — only candidate pairs pay this cost).
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        candidates.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            sh.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=None,  # hash-function-specific; bucket behavior asserted in tests
+    description="G17 SimHash(32-bit) fingerprint per doc + collision buckets",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: per token hash, each bit contributes +1/-1; the
+    fingerprint takes the sign of each bit-sum. All JVM expressions:
+    explode -> 32 conditional sums -> bit reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(32)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        [
+            F.when(F.col(f"b_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    fp = sums.select("doc_id", fingerprint.alias("simhash"))
+    counts = fp.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    return fp.join(counts, "simhash").select(
+        "doc_id", "simhash", "n_docs", "keeper_doc_id"
+    )

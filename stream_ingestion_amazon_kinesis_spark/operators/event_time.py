@@ -1,0 +1,226 @@
+"""Event-time operators (SURVEY §2.3 G4, G12-G14) in batch-replay form.
+
+These are the batch twins of the streaming operators in
+``streaming/pipeline.py`` — identical plans run over a bounded source,
+which is what makes the streaming semantics oracle-checkable (SURVEY
+§7 M3). The reference has no event-time notion at all (pure
+processing-time loop, consumer.py:127-129); these fill G12-G14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, money
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "tumbling_window_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="G12 tumbling 1h event-time window aggregate (streaming twin: groupBy(window(ts,'1 hour')))",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_events",
+    oracle="""
+    WITH starts AS (
+        SELECT event_id, value,
+               time_bucket(INTERVAL '30 minutes', ts) AS s FROM events
+        UNION ALL
+        SELECT event_id, value,
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS s
+        FROM events
+    )
+    SELECT s AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY s
+    """,
+    description="G12 sliding window (1h width / 30m slide): each event lands in 2 windows",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "session_window_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    description="G12 session window (30m gap) per user; oracle = gaps-and-islands SQL",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    description="G14 keyed dedup keep-first (streaming twin: dropDuplicatesWithinWatermark)",
+)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: as-of join. Spark has no native ASOF; the scalable formulation is
+# union-the-sides + one window pass — a single shuffle on the key, no
+# Python, no O(n^2). (pd.merge_asof per group via applyInPandas is the
+# fallback when the payload is wide; this version stays JVM-side.)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts within the same key. Inner semantics (left rows
+    with no prior right row are dropped).
+
+    Both sides are unioned with a side tag, sorted once per key, and the
+    right-side payload is carried forward with last(ignorenulls) — at
+    equal ts the right row sorts first, matching `ts_left >= ts_right`.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in (key, ts)],
+    )
+    tagged_l = left.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c) for c in lcols if c not in (key, ts)],
+    )
+    u = tagged_r.unionByName(tagged_l)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_is_right") == 1, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return (
+        carried.filter((F.col("_is_right") == 0) & F.col("asof_ts").isNotNull())
+        .drop("_is_right", *[f"_r_{c}" for c in right_cols])
+    )
+
+
+@register(
+    "asof_join_purchase_last_click",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           c.ts AS asof_ts,
+           epoch_us(p.ts - c.ts) AS micros_since_click
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="G4 as-of join: each purchase matched to the user's latest prior click",
+)
+def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=[])
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("micros_since_click"),
+    )

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (SURVEY §2.3 G17, driver north_star).
+
+Images/audio/video are opaque `binary` columns plus typed metadata.
+The container has no codec libraries, so the actual decode is a
+clearly-marked deterministic fake behind the same interface a real
+decoder would use (`mapInPandas` over Arrow record batches); the
+Spark-side plumbing — schema, batch iteration, partition-preserving
+transform — is real and is what matters at 100 TB: decode work is
+embarrassingly parallel, never shuffles, and streams batch-by-batch
+through Python workers without materializing a partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata to each doc —
+    the shape a real image/audio ingest would produce. Payload bytes are
+    the utf-8 text (deterministic stand-in for pixel data)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            (F.crc32(F.encode(F.col("text"), "UTF-8")) % 1920).cast("int").alias("width"),
+            (F.crc32(F.encode(F.col("text"), "UTF-8")) % 1080).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_dim", T.IntegerType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, real_decoder: bool = False) -> DataFrame:
+    """Decode payloads and extract a feature vector summary, batch-wise.
+
+    A real deployment would replace `_fake_decode` with PIL/librosa/
+    ffmpeg inside the same mapInPandas loop — the Arrow batch shape,
+    schema contract, and partitioning are identical.
+    """
+    if real_decoder:
+        raise NotImplementedError(
+            "codec libraries are not available in this environment; "
+            "plug a real decoder into the mapInPandas loop below"
+        )
+
+    def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            # Deterministic fake "pixel decode": bytes -> mean byte value.
+            feat_mean = payloads.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "feat_mean": feat_mean,
+                    "feat_dim": pd.Series([64] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    description="G17 multimodal: opaque binary payload metadata + content hashes",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # mapInPandas decode plumbing — deterministic fake decoder,
+    # shape & values asserted in tests/test_multimodal.py
+    description="G17 multimodal decode/feature-extract via Arrow-batched mapInPandas",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = decode_features(media)
+    return feats.groupBy("feat_dim").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(F.round(F.col("feat_mean"), 3)), 3).alias("sum_feat_mean"),
+    )

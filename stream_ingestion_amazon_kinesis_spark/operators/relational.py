@@ -1,0 +1,534 @@
+"""Relational operator surface over the star schema (SURVEY §2.3 G1-G11).
+
+The reference implements none of these (it is a record-at-a-time ETL
+loop, consumer.py:111-195); this module is the query-engine surface the
+task mandates, expressed declaratively so Catalyst plans partial/final
+aggregation, broadcast vs shuffle joins, and pushdown without manual
+scheduling.
+
+Scale notes (100 TB design stance):
+- Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast — no shuffle of the fact table for those joins.
+- Fact-fact joins (lineitem x orders) shuffle on the join key; AQE
+  handles skew and coalesces post-shuffle partitions.
+- All money aggregates use exact DECIMAL math (functions.numeric) so
+  results are identical regardless of partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, dec, frac, money
+from ..plans.registry import register
+from ..sources.catalog import load_tables, load_table
+
+
+# ---------------------------------------------------------------------------
+# G5: hash aggregation, partial+final (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="G5 partial+final hash aggregate: TPC-H Q1 pricing summary",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = money("l_extendedprice") * (one - frac(F.col("l_discount")))
+    charge = disc_price * (one + frac(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_double(F.sum(money("l_quantity"))).alias("sum_qty"),
+            as_double(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+            as_double(F.sum(disc_price)).alias("sum_disc_price"),
+            as_double(F.sum(charge)).alias("sum_charge"),
+            (as_double(F.sum(money("l_quantity"))) / F.count("*")).alias("avg_qty"),
+            (as_double(F.sum(money("l_extendedprice"))) / F.count("*")).alias("avg_price"),
+            (as_double(F.sum(frac(F.col("l_discount")))) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 + G9: multi-way join + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="G2/G9 join + agg + TakeOrderedAndProject: TPC-H Q3 shipping priority",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    # customer is the small side at TPC-H ratios (1:10 vs orders,
+    # 1:40 vs lineitem) — broadcast it; orders joins lineitem on the
+    # shuffle key l_orderkey/o_orderkey, AQE-coalesced.
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            as_double(
+                F.sum(money("l_extendedprice") * (one - frac(F.col("l_discount"))))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2: five-way join through the dimension chain (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    description="G2 multi-join: TPC-H Q5 local supplier volume (broadcast dim chain)",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    # region -> nation -> supplier is a pure dimension chain: resolve it
+    # first (tiny), broadcast the result into the fact join so lineitem
+    # shuffles only once (on l_orderkey).
+    dim = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            as_double(
+                F.sum(money("l_extendedprice") * (one - frac(F.col("l_discount"))))
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: semi / anti / outer joins
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_orders_with_big_lineitems",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    description="G3 left-semi join (EXISTS): orders having a large-quantity line",
+)
+def semi_join_orders_with_big_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    big = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    description="G3 left-anti join (NOT EXISTS): customers with no orders",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "outer_join_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    description="G3 left-outer join: per-customer order stats incl. order-less customers",
+)
+def outer_join_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            as_double(F.coalesce(F.sum(money("o_totalprice")), F.lit(0))).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6: distinct / approx distinct
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_counts_lineitem",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    description="G6 exact distinct aggregation over the fact table",
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_lineitem",
+    oracle=None,  # HLL sketches are engine-specific; exactness checked in tests
+    description="G6 approx_count_distinct (HyperLogLog++) — the 100 TB-scale distinct path",
+)
+def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7: rollup / cube
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_nation_priority",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    description="G7 hierarchical rollup over nation -> priority",
+)
+def rollup_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(money("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "cube_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="G7 cube over returnflag x linestatus",
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(money("l_quantity"))).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G9: global sort / top-k
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    description="G9 top-k: Catalyst plans TakeOrderedAndProject (no global sort)",
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G10: set operations
+# ---------------------------------------------------------------------------
+@register(
+    "setops_customer_cohorts",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+         low    AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM urgent UNION SELECT k FROM low)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM urgent INTERSECT SELECT k FROM low)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM urgent EXCEPT SELECT k FROM low)
+    """,
+    description="G10 union/intersect/except over customer cohorts",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    low = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_as(urgent.union(low).distinct(), "union")
+        .unionByName(count_as(urgent.intersect(low), "intersect"))
+        .unionByName(count_as(urgent.exceptAll(low.distinct()).distinct(), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G11: scalar function library — strings, dates, conditionals
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions_part",
+    oracle="""
+    SELECT UPPER(SUBSTR(p_name, 1, POSITION(' ' IN p_name) - 1)) AS first_word,
+           LOWER(p_type) AS ptype,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_len,
+           MAX(CONCAT(p_brand, ':', p_type)) AS max_brand_type
+    FROM part
+    WHERE p_name LIKE '%widget%' OR REGEXP_MATCHES(p_name, '^(blue|large)')
+    GROUP BY 1, 2
+    """,
+    description="G11 string funcs: substr/upper/lower/length/concat/like/regexp",
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.upper(F.substring_index(F.col("p_name"), " ", 1))
+    return (
+        part.filter(
+            F.col("p_name").like("%widget%") | F.col("p_name").rlike("^(blue|large)")
+        )
+        .groupBy(
+            first_word.alias("first_word"), F.lower(F.col("p_type")).alias("ptype")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("p_name")).cast("bigint").alias("total_len"),
+            F.max(F.concat_ws(":", "p_brand", "p_type")).alias("max_brand_type"),
+        )
+    )
+
+
+@register(
+    "date_functions_orders",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="G11 date funcs: date_trunc/extract + monthly aggregate",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(money("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "case_when_acctbal_buckets",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    description="G11 conditional bucketing (CASE WHEN)",
+)
+def case_when_acctbal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        customer.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: range join (interval dimension). Implemented as a broadcast
+# non-equi join — the right physical plan when the interval side is
+# small; for two large sides, bucketize the range key first (see
+# docstring of `price_bands`).
+# ---------------------------------------------------------------------------
+_PRICE_BANDS = [
+    ("micro", 0, 10_000),
+    ("small", 10_000, 50_000),
+    ("medium", 50_000, 150_000),
+    ("large", 150_000, 300_000),
+    ("jumbo", 300_000, 10_000_000),
+]
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('micro', 0, 10000), ('small', 10000, 50000), ('medium', 50000, 150000),
+        ('large', 150000, 300000), ('jumbo', 300000, 10000000))
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    description="G4 range/interval join via broadcast non-equi join",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(money("o_totalprice"))).alias("total_price"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (SURVEY §2.3 G17).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus — the correctness baseline. The dot product is a JVM
+  higher-order-function fold (functions.vectors), whole-stage-codegen'd;
+  no Python in the hot path.
+- IVF-style top-k: coarse quantization (centroid per class, here learned
+  by a groupBy-avg), assign every vector to its nearest centroid, then
+  probe only matching cells. At 100 TB this turns an O(N*Q) scan into
+  O(N/cells * probes * Q) with the centroid table broadcast.
+
+Cosines are rounded to 6 decimals *before* ranking, with the neighbor id
+as tiebreak, so rankings are reproducible across engines and partition
+counts (raw float ranking could flip on last-ulp differences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id) AS rnk
+        FROM q JOIN c ON q.vec_id <> c.vec_id)
+    WHERE rnk <= {TOP_K}
+    """,
+    description="G17 brute-force cosine top-k: broadcast queries x corpus, JVM dot product",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+N_PROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    description=f"G17 IVF-style ANN: centroid coarse quantization, multi-probe ({N_PROBE} cells)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Train the coarse quantizer: one centroid per label class via
+    # element-wise mean (a k-means iteration seeded by labels — at scale
+    # this is the standard "train on a sample, broadcast centroids" loop).
+    dim = 64
+    centroids = (
+        emb.select("label", *[F.col("embedding")[i].alias(f"e{i}") for i in range(dim)])
+        .groupBy("label")
+        .agg(*[F.avg(f"e{i}").alias(f"e{i}") for i in range(dim)])
+        .select(
+            F.col("label").alias("cell_id"),
+            F.array(*[F.col(f"e{i}") for i in range(dim)]).alias("centroid"),
+        )
+    )
+    # Assign every corpus vector to its nearest centroid (broadcast join
+    # + one window min — no shuffle of the corpus beyond the ranking).
+    assign_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cell_id").alias("cell"),
+            cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "sim")
+    )
+    # Multi-probe: each query searches its N_PROBE closest cells — the
+    # standard IVF recall/latency knob. The probe list is tiny
+    # (queries x nprobe) and stays broadcast.
+    probe_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("q_cell"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("cell_id").alias("q_cell"),
+            cosine(F.col("q_emb"), F.col("centroid")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "q_cell")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("cell"),
+        )
+        .join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("q_cell")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings)
+    SELECT label, COUNT(*) AS n,
+           MIN(l2_norm) AS min_norm, MAX(l2_norm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    description="G17 vector norm profile per class (JVM fold vs DuckDB list_dot_product)",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label", F.round(norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("l2_norm").alias("min_norm"),
+        F.max("l2_norm").alias("max_norm"),
+    )

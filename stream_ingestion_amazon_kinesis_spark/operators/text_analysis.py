@@ -1,0 +1,197 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.3 G17).
+
+All metrics are JVM column expressions over a single pass of the
+documents table (no Python, no extra shuffle for the per-doc metrics;
+one shuffle for each grouped rollup). Ratios are computed as
+int/int double divisions — bit-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import distinct_tokens, tokens
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+STOPWORDS = ("the", "a")
+
+
+@register(
+    "token_stats_by_lang",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct
+        FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           SUM(CAST(n_distinct AS BIGINT)) AS total_distinct_tokens
+    FROM d GROUP BY lang
+    """,
+    description="G17 token counting: whitespace tokenizer + per-language rollup",
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.size(distinct_tokens("text")).cast("bigint").alias("n_distinct"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum("n_distinct").alias("total_distinct_tokens"),
+    )
+
+
+@register(
+    "word_frequency_top20",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    description="G17/G9 global word frequency top-k (explode -> partial agg -> TakeOrdered)",
+)
+def word_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "language_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t IN {STOPWORDS})) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+        FROM documents)
+    SELECT CASE WHEN stopword_ratio >= 0.05 THEN 'en-like' ELSE 'other' END
+               AS predicted_lang,
+           lang AS labeled_lang,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    description="G17 n-gram/stopword language-ID heuristic vs labels (confusion counts)",
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    return (
+        docs.select(
+            F.when(ratio >= 0.05, "en-like").otherwise("other").alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "document_quality_scores",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t IN {STOPWORDS})) AS n_stop,
+               length(text) AS n_chars
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                 + 0.2 * LEAST(10 * CAST(n_stop AS DOUBLE) / n_tokens, 1.0), 6)
+               AS quality_score
+    FROM m
+    """,
+    description="G17 quality scoring: length, lexical diversity, stopword-ratio blend",
+)
+def document_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    score = F.round(
+        0.4 * F.least(n_tokens / 100, F.lit(1.0))
+        + 0.4 * (n_distinct / n_tokens)
+        + 0.2 * F.least(10 * n_stop / n_tokens, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "document_fingerprints",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    description="G17 content-defined fingerprint: md5 over sorted distinct token set",
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(F.concat_ws(" ", F.array_sort(distinct_tokens("text"))), "UTF-8")
+    )
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@register(
+    "ngram_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks)
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 15
+    """,
+    description="G17 n-gram (bigram) frequency + document frequency profile",
+)
+def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(15)
+    )

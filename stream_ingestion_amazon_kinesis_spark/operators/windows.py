@@ -1,0 +1,146 @@
+"""Window functions — ranking, analytic, frames (SURVEY §2.3 G8).
+
+One shuffle per distinct (partitionBy, orderBy) pair; Catalyst reuses
+the sort across window expressions sharing a spec, so every query here
+keeps all its window expressions on a single spec where possible.
+Running sums use exact DECIMAL accumulation (order within a partition
+is total via tiebreak keys, so results are engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, money
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "window_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS order_seq
+    FROM orders
+    """,
+    description="G8 running frame sum + row_number on one window spec",
+)
+def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        as_double(
+            F.sum(money("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+    WHERE rnk <= 3
+    """,
+    description="G8/G9 top-k per group via ranked window",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_lag_event_deltas",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS value_delta,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_event_type
+    FROM events
+    """,
+    description="G8 lag/lead analytics over the event stream table",
+)
+def window_lag_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@register(
+    "window_moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg
+    FROM events
+    """,
+    description="G8 bounded frame (3-row moving average), exact decimal sum / count",
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (as_double(F.sum(money("value")).over(w)) / F.count("*").over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+           DENSE_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_dense_rank,
+           NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_quartile
+    FROM supplier
+    """,
+    description="G8 rank/dense_rank/ntile on a global window (small dim)",
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )

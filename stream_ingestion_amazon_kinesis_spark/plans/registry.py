@@ -1,0 +1,65 @@
+"""Central query registry — the contract surface the driver consumes.
+
+Every implemented operator from SURVEY.md §2 registers here with
+(a) a (spark, sf_dir) -> DataFrame callable built on the DataFrame API,
+and (b) where SQL-expressible, an equivalent ANSI-SQL oracle string that
+DuckDB runs on the same parquet fixtures. Column names are aligned on
+both sides because the harness sorts columns by name before hashing.
+
+Determinism rules enforced across the registry:
+- no processing-time/now() columns in compared output;
+- float aggregates go through exact DECIMAL math (functions.numeric)
+  and are cast to DOUBLE at the end, so partial-aggregation order can
+  never change a value;
+- rank/top-k queries always carry a total tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Importing the operator modules populates QUERIES via @register.
+    from ..operators import enrichment  # noqa: F401
+    from ..operators import relational  # noqa: F401
+    from ..operators import windows  # noqa: F401
+    from ..operators import event_time  # noqa: F401
+    from ..operators import dedup  # noqa: F401
+    from ..operators import similarity  # noqa: F401
+    from ..operators import text_analysis  # noqa: F401
+    from ..operators import multimodal  # noqa: F401
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,46 @@
+"""Batch table catalog over the parquet fixtures.
+
+The reference's only source is a polled Kinesis stream
+(consumer.py:53-94,108-195); this engine's batch surface reads columnar
+parquet with Catalyst predicate pushdown and column pruning — the scan
+operator the reference lacks (SURVEY §2.3 G1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain `spark.read.parquet` so filters and
+    projections placed on top by callers reach the scan (PushedFilters /
+    ReadSchema).
+
+    `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a long
+    (see session.py nanosAsLong) and we truncate to microseconds here —
+    the same truncation DuckDB applies — keeping the column a real
+    TimestampType for every operator downstream.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,44 @@
+"""Every registered query matches its DuckDB oracle at sf0.001.
+
+This is the same comparison the driver harness runs at sf0.01
+(row count + sorted column names + order-insensitive exact values).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from stream_ingestion_amazon_kinesis_spark import TABLES
+from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
+
+from scripts.check_oracle import df_to_rows
+
+_load_all()
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) > 0, f"{name}: rows-only query returned no rows"
+        return
+    odf = oracle.execute(spec.oracle).fetchdf()
+    scols, srows = df_to_rows(sdf)
+    ocols, orows = df_to_rows(odf)
+    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    mismatches = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} rows differ; first: {mismatches[0]}"

@@ -1,0 +1,31 @@
+"""ANN: IVF probe recall vs brute-force top-k."""
+
+from __future__ import annotations
+
+from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_topk_cosine,
+)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & ivf) / len(brute)
+    # single-probe IVF on synthetic clustered data should keep decent recall
+    assert recall >= 0.5, f"IVF recall too low: {recall:.3f}"
+
+
+def test_topk_is_k_per_query(spark, sf_dir):
+    import collections
+
+    rows = ann_topk_cosine(spark, sf_dir).collect()
+    per_query = collections.Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_query.values())
+    # cosine in [-1, 1]
+    assert all(-1.000001 <= r["cosine_sim"] <= 1.000001 for r in rows)
