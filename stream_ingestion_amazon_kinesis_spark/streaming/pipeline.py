@@ -1,0 +1,189 @@
+"""Structured Streaming pipelines — the reference's runtime identity.
+
+The reference is a hand-rolled poll loop: enumerate shards, get_records
+per shard forever, transform each record in Python, put_record to one
+of two destination streams, with in-memory cursors that vanish on
+restart (consumer.py:53-94, 108-195 — at-least-once with full
+TRIM_HORIZON replay). This module is the same pipeline as ONE logical
+plan, incrementalized by the micro-batch engine:
+
+- source: `readStream` over a directory of JSON records (the test/
+  local stand-in; a Kinesis/Kafka source is a `format()` swap — the
+  plan and sinks are untouched, per BASELINE.json's "Structured
+  Streaming + Kinesis source" approach).
+- transform: the exact T1-T6 enrichment from operators/enrichment.py —
+  same code object as the batch path, which is what makes streaming
+  results oracle-checkable by batch replay.
+- sink: `foreachBatch` demux that writes BOTH routed outputs and the
+  quarantine from one cached micro-batch (one source scan per trigger —
+  the reference re-serializes record-at-a-time, consumer.py:160-171).
+- state: checkpointed offsets give exactly-once file output, replacing
+  the reference's restart-equals-replay behavior (consumer.py:76).
+
+Shard -> partition mapping: each source file/shard becomes input
+partitions processed by parallel tasks; `trigger(processingTime=...)`
+replaces the `time.sleep(2)` pacing (consumer.py:194-195); per-key
+output ordering (partition key session_id, consumer.py:170) is
+preserved by repartitioning on session_id before the sink write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.enrichment import enrich_sessions
+from ..sources.json_source import CORRUPT_COL, SESSION_SCHEMA
+
+
+def read_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType = SESSION_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source of JSON session records.
+
+    File source here; swapping `.format("kinesis")` / `.format("kafka")`
+    with the matching options yields the same downstream plan. The
+    `maxFilesPerTrigger` option is the file-source analog of the
+    reference's `Limit=200` fetch cap (consumer.py:114-116).
+    """
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(input_dir)
+
+
+def enrichment_sink(output_dir: str):
+    """foreachBatch body: split one cached micro-batch into the two
+    routed sinks + quarantine (T6 demux, consumer.py:160-165, with
+    exactly-once file commits instead of per-record put_record)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            ok = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            quarantine = batch.filter(F.col(CORRUPT_COL).isNotNull()).select(
+                F.col(CORRUPT_COL).alias("raw_record")
+            )
+            enriched = enrich_sessions(ok)
+            # T7: partition-key locality on session_id before the write —
+            # the file-sink equivalent of put_record(PartitionKey=...).
+            for name, part in (
+                ("usa", enriched.filter(F.col("country") == "USA")),
+                ("international", enriched.filter(F.col("country") != "USA")),
+            ):
+                (
+                    part.repartition(F.col("session_id"))
+                    .write.mode("append")
+                    .json(os.path.join(output_dir, name))
+                )
+            quarantine.write.mode("append").json(os.path.join(output_dir, "errors"))
+        finally:
+            batch.unpersist()
+
+    return write_batch
+
+
+def run_enrichment_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 2,
+    await_all_available: bool = False,
+):
+    """The flagship pipeline end-to-end (consumer.py main loop as one
+    streaming query). Returns the started StreamingQuery.
+
+    `trigger_seconds` mirrors the reference's sleep(2) sweep pacing;
+    `checkpoint_dir` is what upgrades at-least-once/replay-everything
+    (consumer.py:76) to exactly-once."""
+    stream = read_session_stream(spark, input_dir)
+    query = (
+        stream.writeStream.foreachBatch(enrichment_sink(output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    if await_all_available:
+        query.processAllAvailable()
+    return query
+
+
+# ---------------------------------------------------------------------------
+# Event-time streaming over the events table shape (G12-G15): the
+# streaming twins of operators/event_time.py, validated by batch replay.
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).json(input_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """G12+G13: watermarked tumbling-window aggregate. In append mode a
+    window emits once the watermark passes its end; rows later than the
+    watermark are dropped — the late-data policy the reference cannot
+    express (it replays everything from TRIM_HORIZON instead)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_event_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """G14: keyed streaming dedup on event_id. State is bounded by the
+    watermark — duplicates arriving within the watermark horizon are
+    dropped exactly-once across restarts (vs the reference, which
+    re-emits every record on restart)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded streaming query to completion synchronously into
+    an in-memory table (test/debug harness)."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return query

@@ -1,0 +1,170 @@
+"""Streaming semantics, validated by batch replay (SURVEY §7 M3):
+the same files processed by the streaming plan and the batch plan must
+agree — which is what makes the streaming path oracle-checkable."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_ingestion_amazon_kinesis_spark.operators.enrichment import enrich_sessions
+from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+from stream_ingestion_amazon_kinesis_spark.sources.json_source import parse_json_records
+from stream_ingestion_amazon_kinesis_spark.streaming import (
+    dedup_event_stream,
+    read_event_stream,
+    run_enrichment_pipeline,
+    run_to_memory_sink,
+    windowed_event_counts,
+)
+from stream_ingestion_amazon_kinesis_spark.streaming.stateful import running_user_profiles
+
+SESSIONS = [
+    {
+        "session_id": f"s{i}",
+        "customer_number": i,
+        "city": "X",
+        "country": "USA" if i % 3 == 0 else "Peru",
+        "credit_limit": 100 * i,
+        "browse_history": [
+            {"product_code": "p", "quantity": str(j + 1), "in_shopping_cart": j % 2 == 0}
+            for j in range(i % 4)
+        ],
+    }
+    for i in range(30)
+]
+
+
+@pytest.fixture()
+def session_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    # two "shards" (files) — the source parallelism unit
+    for shard in range(2):
+        with open(d / f"shard{shard}.json", "w") as f:
+            for rec in SESSIONS[shard::2]:
+                f.write(json.dumps(rec) + "\n")
+    (d / "bad.json").write_text("{definitely not json\n")
+    return str(d)
+
+
+def test_enrichment_pipeline_end_to_end(spark, tmp_path, session_dir):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_enrichment_pipeline(spark, session_dir, out, ckpt, await_all_available=True)
+    q.stop()
+
+    usa = spark.read.json(os.path.join(out, "usa"))
+    intl = spark.read.json(os.path.join(out, "international"))
+    errors = spark.read.json(os.path.join(out, "errors"))
+
+    # batch replay of the identical logic over the identical files
+    raw = spark.read.text(session_dir).withColumnRenamed("value", "value")
+    ok, quarantine = parse_json_records(raw)
+    expected = enrich_sessions(ok, with_processing_ts=False)
+    exp_usa = expected.filter(F.col("country") == "USA")
+    exp_intl = expected.filter(F.col("country") != "USA")
+
+    assert usa.count() == exp_usa.count()
+    assert intl.count() == exp_intl.count()
+    assert errors.count() == quarantine.count() == 1
+
+    # spot-check enrichment values match the batch plan per session
+    got = {
+        r["session_id"]: (r["overall_product_quantity"], r["overall_in_shopping_cart"])
+        for r in usa.collect() + intl.collect()
+    }
+    exp = {
+        r["session_id"]: (r["overall_product_quantity"], r["overall_in_shopping_cart"])
+        for r in expected.collect()
+    }
+    assert got == exp
+
+
+def test_enrichment_pipeline_exactly_once_on_restart(spark, tmp_path, session_dir):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_enrichment_pipeline(spark, session_dir, out, ckpt, await_all_available=True)
+    q.stop()
+    n1 = spark.read.json(os.path.join(out, "usa")).count()
+    # restart with the same checkpoint: no re-processing (vs the
+    # reference's TRIM_HORIZON full replay, consumer.py:76)
+    q2 = run_enrichment_pipeline(spark, session_dir, out, ckpt, await_all_available=True)
+    q2.stop()
+    n2 = spark.read.json(os.path.join(out, "usa")).count()
+    assert n1 == n2
+
+
+def _events_json_dir(spark, sf_dir, tmp_path, with_dupes=False):
+    events = load_table(spark, sf_dir, "events").limit(500)
+    if with_dupes:
+        events = events.union(events.limit(50))
+    d = str(tmp_path / "events_json")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).coalesce(
+        2
+    ).write.text(d)
+    return d
+
+
+def test_windowed_counts_match_batch_replay(spark, sf_dir, tmp_path):
+    d = _events_json_dir(spark, sf_dir, tmp_path)
+    stream_out = windowed_event_counts(read_event_stream(spark, d))
+    run_to_memory_sink(stream_out, "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.schema(read_event_stream(spark, d).schema)
+        .json(d)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    exp = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()
+    }
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match batch replay, and most windows close.
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    assert len(got) >= len(exp) * 0.8
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    d = _events_json_dir(spark, sf_dir, tmp_path, with_dupes=True)
+    deduped = dedup_event_stream(read_event_stream(spark, d))
+    run_to_memory_sink(deduped, "dedup_out")
+    rows = spark.sql("SELECT event_id, COUNT(*) AS n FROM dedup_out GROUP BY event_id").collect()
+    assert rows
+    assert all(r["n"] == 1 for r in rows)
+
+
+def test_stateful_running_profiles(spark, sf_dir, tmp_path):
+    d = _events_json_dir(spark, sf_dir, tmp_path)
+    profiles = running_user_profiles(read_event_stream(spark, d))
+    run_to_memory_sink(profiles, "profiles")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            # one change-row per key per micro-batch; the final row per
+            # key carries the cumulative profile
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n_events DESC) AS rn FROM profiles)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    batch = (
+        spark.read.schema(read_event_stream(spark, d).schema)
+        .json(d)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    exp = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
+    assert got == exp
