@@ -98,9 +98,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     one = F.lit(1).cast("decimal(3,2)")
-    # customer is the small side at TPC-H ratios (1:10 vs orders,
-    # 1:40 vs lineitem) — broadcast it; orders joins lineitem on the
-    # shuffle key l_orderkey/o_orderkey, AQE-coalesced.
+    # No broadcast hints: customer/orders scale with SF, so the right
+    # physical join flips between broadcast and shuffle depending on
+    # scale — that is exactly AQE's runtime-stats decision to make.
+    # (Hints are reserved for tables of bounded size: nation, region,
+    # inline dimension literals.)
     return (
         t["lineitem"]
         .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
@@ -109,7 +111,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -151,9 +153,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     one = F.lit(1).cast("decimal(3,2)")
-    # region -> nation -> supplier is a pure dimension chain: resolve it
-    # first (tiny), broadcast the result into the fact join so lineitem
-    # shuffles only once (on l_orderkey).
+    # region -> nation -> supplier is a dimension chain: resolve it
+    # first so the region filter prunes suppliers before they meet the
+    # fact table. nation/region are bounded-size (25/5 rows at every
+    # SF) -> safe to hint broadcast; supplier scales with SF, so whether
+    # the pruned chain broadcasts into the fact join is left to AQE.
     dim = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -166,7 +170,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dim),
+            dim,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
