@@ -1,0 +1,67 @@
+"""A real Structured Streaming query under the oracle gate.
+
+Most streaming semantics are validated by batch-replay twins
+(operators/event_time.py) — same plan, bounded source. This module goes
+one step further: it runs the *actual streaming engine* (micro-batch
+execution over a file source into a memory sink, complete output mode)
+inside a registry query, so the driver's DuckDB comparison covers the
+incremental execution path itself, not just the logical plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, money
+from ..plans.registry import register
+from ..sources.catalog import load_table
+from ..streaming.pipeline import read_event_stream
+
+
+@register(
+    "streaming_tumbling_counts_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="G12 executed by the real micro-batch engine (file source -> memory sink, complete mode)",
+)
+def streaming_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(staging)
+
+    stream = read_event_stream(spark, staging)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

@@ -47,6 +47,9 @@ def _load_all() -> None:
     # Importing the operator modules populates QUERIES via @register.
     from ..operators import enrichment  # noqa: F401
     from ..operators import relational  # noqa: F401
+    from ..operators import tpch_extra  # noqa: F401
+    from ..operators import udfs  # noqa: F401
+    from ..operators import streaming_live  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..operators import event_time  # noqa: F401
     from ..operators import dedup  # noqa: F401

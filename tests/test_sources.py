@@ -1,0 +1,42 @@
+"""G1: file-format scans beyond parquet — CSV/JSON with explicit
+schemas roundtrip losslessly through the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).csv(path)
+    back = spark.read.schema(orders.schema).option("header", True).csv(path)
+    assert back.schema == orders.schema
+    a = orders.agg(F.count("*"), F.sum("o_orderkey"), F.max("o_orderdate")).first()
+    b = back.agg(F.count("*"), F.sum("o_orderkey"), F.max("o_orderdate")).first()
+    assert a == b
+
+
+def test_json_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_json")
+    # default JSON timestampFormat truncates to milliseconds; spell out
+    # microseconds to keep the roundtrip lossless
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.option("timestampFormat", fmt).json(path)
+    back = spark.read.schema(events.schema).option("timestampFormat", fmt).json(path)
+    assert back.schema == events.schema
+    a = events.agg(F.count("*"), F.sum("event_id"), F.max("ts")).first()
+    b = back.agg(F.count("*"), F.sum("event_id"), F.max("ts")).first()
+    assert a == b
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+    # column pruning: the scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
