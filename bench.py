@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "rollup_nation_priority",
     "topk_orders_by_price",
     # flagship ETL + windows

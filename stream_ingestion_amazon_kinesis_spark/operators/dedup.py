@@ -203,6 +203,40 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    description="G17 embedding-cosine near-dup: label-blocked self-join, JVM dot product",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection in embedding space. Blocking on a coarse
+    key (here the label; in production an LSH/IVF cell id) keeps the
+    self-join linear in bucket size instead of O(n^2) over the corpus —
+    the same pattern as the MinHash band join."""
+    from ..functions.vectors import cosine as _cos
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    sim = F.round(_cos(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+@register(
     "simhash_fingerprints",
     oracle=None,  # hash-function-specific; bucket behavior asserted in tests
     description="G17 SimHash(32-bit) fingerprint per doc + collision buckets",

@@ -281,6 +281,28 @@ def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="G6/G11 exact interpolated percentiles per group",
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "approx_distinct_lineitem",
     oracle=None,  # HLL sketches are engine-specific; exactness checked in tests
     description="G6 approx_count_distinct (HyperLogLog++) — the 100 TB-scale distinct path",

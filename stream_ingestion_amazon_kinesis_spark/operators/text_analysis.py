@@ -164,6 +164,61 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_ish_token_count",
+    oracle="""
+    SELECT lang,
+           SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+                   ) AS BIGINT)) AS total_subtokens,
+           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+               AS total_ws_tokens
+    FROM documents GROUP BY lang
+    """,
+    description="G17 token counting: whitespace + BPE-ish regex subword segmentation",
+)
+def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizers side by side: plain whitespace and a BPE-flavored
+    regex (letter runs / digit runs / single symbols) — the cheap proxy
+    for subword token counts used when budgeting LLM training data."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(sub).cast("bigint")).alias("total_subtokens"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_ws_tokens"),
+    )
+
+
+@register(
+    "rolling_hash_fingerprints",
+    oracle="""
+    SELECT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    description="G17 rolling-hash (polynomial mod p) content fingerprint, engine-portable",
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the character stream, acc = (acc*31
+    + code) mod 1e9+7 — exact integer math, so the fingerprint is
+    reproducible across engines and partitionings (unlike xxhash64,
+    which is Spark-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    rhash = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007).cast("long"),
+    )
+    return docs.groupBy(rhash.alias("rhash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@register(
     "ngram_profile",
     oracle="""
     WITH toks AS (
