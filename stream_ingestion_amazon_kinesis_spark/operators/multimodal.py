@@ -98,7 +98,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.md5(payload).alias("payload_md5"),
         F.sha2(payload, 256).alias("payload_sha256"),
     )

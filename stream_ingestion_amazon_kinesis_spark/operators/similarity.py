@@ -56,7 +56,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
     )
 

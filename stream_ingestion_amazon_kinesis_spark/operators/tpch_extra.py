@@ -227,6 +227,77 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                      / COUNT(*)) AS threshold
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN pavg ON l_partkey = pk
+    WHERE l_quantity < threshold
+    """,
+    description="TPC-H Q17 shape: correlated per-group average as a join threshold",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (0.2 * (as_double(F.sum(money("l_quantity"))) / F.count("*"))).alias(
+                "threshold"
+            )
+        )
+    )
+    return (
+        li.join(pavg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (as_double(F.sum(money("l_extendedprice"))) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+        SELECT p_partkey, p_name, p_retailprice, s_name, s_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                  ORDER BY s_acctbal, s_suppkey) AS rn
+        FROM ps
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey)
+    SELECT p_partkey, p_name, p_retailprice, s_name, s_acctbal
+    FROM ranked WHERE rn = 1
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 20
+    """,
+    description="TPC-H Q2 shape: min-per-group correlated pick (cheapest supplier per part)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    w = W.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        ps.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice", "s_name", "s_acctbal")
+    )
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderstatus,

@@ -41,7 +41,8 @@ def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataF
         as_double(
             F.sum(money("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
         ).alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
+        # bigint to match SQL window-function output type cross-engine
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
 
 
@@ -61,7 +62,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -140,7 +141,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.select(
         "s_suppkey",
         "s_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
     )

@@ -39,6 +39,30 @@ from ..operators.enrichment import enrich_sessions
 from ..sources.json_source import CORRUPT_COL, SESSION_SCHEMA
 
 
+def produce_records(
+    spark: SparkSession,
+    records: list[dict],
+    stream_dir: str,
+    partition_key: str = "session_id",
+) -> None:
+    """Producer twin of the reference's put_record loop
+    (producer_from_cli_my_modifications.py:44-52): append records as a
+    new JSON file in the stream directory, repartitioned by the
+    partition key so per-key records land together — the file-source
+    analog of PartitionKey shard routing."""
+    import json as _json
+    import uuid as _uuid
+
+    rows = [( _json.dumps(r), r.get(partition_key, "")) for r in records]
+    df = spark.createDataFrame(rows, "value string, pk string")
+    (
+        df.repartition(F.col("pk"))
+        .select("value")
+        .write.mode("append")
+        .text(os.path.join(stream_dir, f"batch-{_uuid.uuid4().hex[:8]}"))
+    )
+
+
 def read_session_stream(
     spark: SparkSession,
     input_dir: str,

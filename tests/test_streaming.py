@@ -168,3 +168,22 @@ def test_stateful_running_profiles(spark, sf_dir, tmp_path):
     )
     exp = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
     assert got == exp
+
+
+def test_produce_records_feeds_pipeline(spark, tmp_path):
+    from stream_ingestion_amazon_kinesis_spark.streaming.pipeline import produce_records
+
+    ind = str(tmp_path / "in")
+    produce_records(spark, SESSIONS[:5], ind)
+    produce_records(spark, SESSIONS[5:10], ind)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_enrichment_pipeline(spark, f"{ind}/*", out, ckpt, await_all_available=True)
+    q.stop()
+    import glob
+
+    total = sum(
+        spark.read.json(p).count()
+        for p in (os.path.join(out, "usa"), os.path.join(out, "international"))
+        if glob.glob(p + "/*")
+    )
+    assert total == 10
