@@ -51,12 +51,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM/codegen on the smallest fixture so per-query timings
-    # measure execution, not first-call JIT.
+    # measure execution, not first-call JIT — one representative per
+    # plan family (agg/join, LSH join tree, vector fold).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        QUERIES["q1_pricing_summary"].fn(spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        for warm_q in ("q1_pricing_summary", "minhash_lsh_neardup", "ann_topk_cosine"):
+            QUERIES[warm_q].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
