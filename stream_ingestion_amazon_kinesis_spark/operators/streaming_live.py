@@ -65,3 +65,46 @@ def streaming_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFram
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_sliding_counts_live",
+    oracle="""
+    WITH starts AS (
+        SELECT value, time_bucket(INTERVAL '30 minutes', ts) AS s FROM events
+        UNION ALL
+        SELECT value, time_bucket(INTERVAL '30 minutes', ts)
+               - INTERVAL '30 minutes' AS s
+        FROM events)
+    SELECT s AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY s
+    """,
+    description="G12 sliding window (1h/30m) executed by the real micro-batch engine",
+)
+def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(staging)
+
+    stream = read_event_stream(spark, staging)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

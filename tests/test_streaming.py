@@ -187,3 +187,27 @@ def test_produce_records_feeds_pipeline(spark, tmp_path):
         if glob.glob(p + "/*")
     )
     assert total == 10
+
+
+def test_stream_dedup_with_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """G14 at scale: the RocksDB state store keeps streaming state off
+    the JVM heap — the configuration for billions of keys. Same dedup
+    semantics, different state backend."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = _events_json_dir(spark, sf_dir, tmp_path, with_dupes=True)
+        deduped = dedup_event_stream(read_event_stream(spark, d))
+        run_to_memory_sink(deduped, "dedup_rocks")
+        rows = spark.sql(
+            "SELECT event_id, COUNT(*) AS n FROM dedup_rocks GROUP BY event_id"
+        ).collect()
+        assert rows and all(r["n"] == 1 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
