@@ -1,0 +1,72 @@
+"""Streaming observability (reference S10: per-record logging sink,
+consumer.py:10-18, 119-121, 172-175).
+
+The reference logs every record read and written with its shard and
+sequence position. Per-record logging does not survive contact with
+real volume; the Spark-native equivalent is the StreamingQueryListener:
+per-micro-batch progress events carrying rows/sec, batch durations,
+and state-store metrics — constant overhead regardless of throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class ProgressLog:
+    """In-memory progress collector (swap the `record` method for a
+    metrics emitter in production)."""
+
+    batches: list[dict] = field(default_factory=list)
+
+    def record(self, progress: dict) -> None:
+        self.batches.append(
+            {
+                "batch_id": progress.get("batchId"),
+                "num_input_rows": progress.get("numInputRows"),
+                "rows_per_second": progress.get("processedRowsPerSecond"),
+                "duration_ms": (progress.get("durationMs") or {}).get("triggerExecution"),
+            }
+        )
+
+    @property
+    def total_rows(self) -> int:
+        return sum(b["num_input_rows"] or 0 for b in self.batches)
+
+
+class QueryProgressListener(StreamingQueryListener):
+    def __init__(self, log: ProgressLog):
+        self.log = log
+
+    def onQueryStarted(self, event):  # noqa: N802 (Spark API casing)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        self.log.record(
+            {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "processedRowsPerSecond": p.processedRowsPerSecond,
+                "durationMs": dict(p.durationMs) if p.durationMs else {},
+            }
+        )
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+
+def attach_progress_log(spark: SparkSession) -> tuple[ProgressLog, QueryProgressListener]:
+    """Attach a listener; returns (log, listener) — call
+    `spark.streams.removeListener(listener)` when done."""
+    log = ProgressLog()
+    listener = QueryProgressListener(log)
+    spark.streams.addListener(listener)
+    return log, listener
