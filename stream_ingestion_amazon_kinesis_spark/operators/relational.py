@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import as_double, dec, frac, money
 from ..plans.registry import register
-from ..sources.catalog import load_tables, load_table
+from ..sources.catalog import load_tables, load_table, register_views
 
 
 # ---------------------------------------------------------------------------
@@ -522,6 +522,61 @@ def case_when_acctbal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small; for two large sides, bucketize the range key first (see
 # docstring of `price_bands`).
 # ---------------------------------------------------------------------------
+@register(
+    "sql_surface_revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    description="SQL API surface: temp views + spark.sql produce the same Catalyst plan",
+)
+def sql_surface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@register(
+    "salted_agg_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    description="skew-salted two-stage aggregation equals the plain GROUP BY (exact decimal)",
+)
+def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["user_id"],
+        aggs={
+            "n": (F.count, F.sum, "*"),
+            "total_value": (lambda c: F.sum(money(c)), F.sum, "value"),
+        },
+    )
+    return out.select("user_id", "n", as_double(F.col("total_value")).alias("total_value"))
+
+
 _PRICE_BANDS = [
     ("micro", 0, 10_000),
     ("small", 10_000, 50_000),
