@@ -399,6 +399,83 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: date-windowed orders with correlated EXISTS",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    discounted = (
+        t["lineitem"].filter(F.col("l_discount") >= 0.08).select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    description="TPC-H Q15 shape: max-of-aggregate (top supplier by period revenue)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            as_double(
+                F.sum(money("l_extendedprice") * (one - frac(F.col("l_discount"))))
+            ).alias("total_revenue")
+        )
+    )
+    # max-of-aggregate as a rank-1 window (ties kept, like the SQL '=')
+    ranked = rev.withColumn(
+        "rnk", F.dense_rank().over(W.orderBy(F.col("total_revenue").desc()))
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderstatus,

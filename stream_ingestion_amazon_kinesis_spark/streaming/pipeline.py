@@ -189,6 +189,36 @@ def windowed_event_counts(
     )
 
 
+def purchase_click_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """G4 streaming: stream-stream inner join with a time-interval
+    condition — each purchase pairs with the same user's clicks from the
+    preceding `max_gap`. Both sides carry watermarks so the join state
+    is bounded: a click older than (watermark + gap) can never match and
+    is evicted. The reference cannot express any cross-record operation,
+    let alone a windowed one."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")
+
+
 def dedup_event_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """G14: keyed streaming dedup on event_id. State is bounded by the
     watermark — duplicates arriving within the watermark horizon are

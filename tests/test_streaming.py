@@ -211,3 +211,42 @@ def test_stream_dedup_with_rocksdb_state_store(spark, sf_dir, tmp_path):
         assert rows and all(r["n"] == 1 for r in rows)
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from stream_ingestion_amazon_kinesis_spark.streaming.pipeline import (
+        purchase_click_interval_join,
+    )
+
+    d = _events_json_dir(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, d)
+    joined = purchase_click_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    run_to_memory_sink(joined, "ss_join")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    batch = spark.read.schema(stream.schema).json(d)
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    exp = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    # inner stream-stream join with watermarks emits exactly the batch
+    # pairs when the source is bounded (all state eventually closes)
+    assert got == exp
+    assert len(exp) > 0
