@@ -500,6 +500,65 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_priority_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    description="G7 unpivot (melt): pivoted matrix back to long form",
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=priorities,
+            variableColumnName="priority",
+            valueColumnName="n",
+        )
+        # pivot emits NULL for absent combinations; long form keeps only
+        # observed ones (matching the plain GROUP BY)
+        .filter(F.col("n").isNotNull())
+    )
+
+
+@register(
+    "array_functions_user_values",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+    SELECT user_id,
+           COUNT(*) AS n,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           SUM(CASE WHEN cents > 10000 THEN 1 ELSE 0 END) AS n_large,
+           md5(array_to_string(list_sort(list(cents)), ',')) AS digest
+    FROM v GROUP BY user_id
+    """,
+    description="G11 array higher-order funcs: collect, sort_array, filter, element_at",
+)
+def array_functions_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    arr = F.sort_array(F.collect_list(F.col("cents")))
+    return (
+        events.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(arr.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").cast("bigint").alias("n"),
+            F.element_at("vals", 1).alias("min_cents"),
+            F.element_at("vals", -1).alias("max_cents"),
+            F.size(F.filter("vals", lambda x: x > 10000)).cast("bigint").alias("n_large"),
+            F.md5(F.encode(F.concat_ws(",", F.transform("vals", lambda x: x.cast("string"))), "UTF-8")).alias("digest"),
+        )
+    )
+
+
+@register(
     "map_functions_events",
     oracle="""
     WITH parsed AS (
