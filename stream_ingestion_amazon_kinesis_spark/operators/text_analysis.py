@@ -219,6 +219,63 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_stats",
+    oracle=f"""
+    WITH dedup AS (
+        SELECT source, lang, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS copy_rank
+        FROM documents),
+    kept AS (
+        SELECT source, n_tokens FROM dedup
+        WHERE copy_rank = 1
+          AND lang IN ('en', 'es', 'de')
+          AND n_tokens >= 40
+          AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3)
+    SELECT source,
+           COUNT(*) AS n_kept_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS token_budget
+    FROM kept GROUP BY source
+    """,
+    description="G17 end-to-end curation: dedup -> lang filter -> length/diversity gate -> token budget",
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: exact dedup
+    (keep first copy), language allowlist, minimum length, lexical
+    diversity gate, then the per-source token budget — the operators a
+    100 TB curation job chains, and Catalyst fuses into two shuffles
+    (dedup window + final rollup)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    w = W.partitionBy(F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))).orderBy(
+        "doc_id"
+    )
+    staged = docs.select(
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "diversity"
+        ),
+        F.row_number().over(w).alias("copy_rank"),
+    )
+    kept = staged.filter(
+        (F.col("copy_rank") == 1)
+        & F.col("lang").isin("en", "es", "de")
+        & (F.col("n_tokens") >= 40)
+        & (F.col("diversity") >= 0.3)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+    )
+
+
+@register(
     "ngram_profile",
     oracle="""
     WITH toks AS (
