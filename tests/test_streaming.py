@@ -250,3 +250,47 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     # pairs when the source is bounded (all state eventually closes)
     assert got == exp
     assert len(exp) > 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: purchases with no prior click in
+    the interval still emit (click side null) once the watermark passes —
+    semantics unreachable for the reference's record-at-a-time loop."""
+    from stream_ingestion_amazon_kinesis_spark.streaming.pipeline import (
+        purchase_click_interval_join,
+    )
+
+    d = _events_json_dir(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, d)
+    p = stream.filter(F.col("event_type") == "purchase")
+    c = stream.filter(F.col("event_type") == "click")
+    ps = p.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    cs = c.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    joined = ps.join(
+        cs,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    run_to_memory_sink(joined, "ss_left")
+    rows = spark.sql("SELECT purchase_id, click_id FROM ss_left").collect()
+    matched = {r["purchase_id"] for r in rows if r["click_id"] is not None}
+    unmatched = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    inner = purchase_click_interval_join(p, c)
+    run_to_memory_sink(inner, "ss_inner_ref")
+    inner_ids = {
+        r["purchase_id"] for r in spark.sql("SELECT purchase_id FROM ss_inner_ref").collect()
+    }
+    assert matched == inner_ids
+    # matched and unmatched partition the purchase set (late rows aside);
+    # unmatched rows exist in this fixture and never overlap matched
+    assert unmatched and not (unmatched & matched)
