@@ -273,6 +273,93 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS (keep
+    one representative per component).
+
+    Each node starts labeled with itself; every round each node adopts
+    the minimum label among itself and its neighbors; stop at fixpoint.
+    Rounds are O(graph diameter) — near-dup graphs are shallow (dup
+    clusters are cliques or short chains), so this converges in a
+    handful of shuffles even at corpus scale. The driver-side loop only
+    checks a scalar convergence count per round; all data stays
+    distributed.
+    """
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(20):  # diameter cap; near-dup graphs converge in 2-4
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("label") != F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label")))).alias("changed"),
+            )
+        )
+        updated = updated.persist()
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@register(
+    "neardup_components",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+            FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM tok a JOIN tok b
+              ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8),
+    nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+    walk AS (
+        SELECT node, node AS reach FROM nodes
+        UNION
+        SELECT w.node, CASE WHEN e.doc_a = w.reach THEN e.doc_b ELSE e.doc_a END AS reach
+        FROM walk w JOIN edges e ON w.reach IN (e.doc_a, e.doc_b))
+    SELECT node AS doc_id, MIN(reach) AS component_id
+    FROM walk GROUP BY node
+    """,
+    description="G17 dedup clustering: connected components of the near-dup graph (iterative label propagation vs recursive-CTE oracle)",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = jaccard_neardup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     oracle="""

@@ -219,6 +219,51 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, term) <= 3
+    """,
+    description="G17 TF-IDF: corpus document frequencies -> top-3 distinguishing terms per doc",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF entirely as relational ops: one explode, two aggregations
+    (term frequency per doc, document frequency per term — both
+    map-side-combined), a broadcast of the tiny df/N relations back onto
+    tf, and a ranked window. The df table is vocabulary-sized, so at
+    100 TB the only big shuffles are the two aggregations."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
     "curation_pipeline_stats",
     oracle=f"""
     WITH dedup AS (
