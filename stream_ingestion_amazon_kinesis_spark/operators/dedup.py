@@ -296,6 +296,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_cached = None
     for _ in range(20):  # diameter cap; near-dup graphs converge in 2-4
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -313,7 +314,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             )
         )
         updated = updated.persist()
-        n_changed = updated.filter(F.col("changed")).count()
+        n_changed = updated.filter(F.col("changed")).count()  # materializes `updated`
+        if prev_cached is not None:
+            prev_cached.unpersist()  # previous round's cache no longer referenced
+        prev_cached = updated
         labels = updated.drop("changed")
         if n_changed == 0:
             break

@@ -399,6 +399,95 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_stock_share",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS supp_value
+        FROM lineitem GROUP BY l_suppkey),
+    total AS (SELECT SUM(supp_value) AS total_value, COUNT(*) AS n_supp FROM sp)
+    SELECT l_suppkey AS s_suppkey, supp_value,
+           ROUND(100.0 * supp_value / total_value, 6) AS pct_of_total
+    FROM sp CROSS JOIN total
+    WHERE supp_value > 1.02 * total_value / n_supp
+    """,
+    description="TPC-H Q11 shape: share-of-global-total threshold (scalar subquery)",
+)
+def q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        as_double(F.sum(money("l_extendedprice"))).alias("supp_value")
+    )
+    # NOTE: DuckDB's total is SUM over the already-rounded per-supplier
+    # doubles, so mirror that exactly: sum the DOUBLE supp_value, not the
+    # decimals (10 suppliers -> order-stable; for large supplier counts
+    # use a decimal total on both sides instead).
+    total = sp.agg(
+        F.sum("supp_value").alias("total_value"), F.count("*").alias("n_supp")
+    )
+    return (
+        sp.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("supp_value") > 1.02 * F.col("total_value") / F.col("n_supp")
+        )
+        .select(
+            "s_suppkey",
+            "supp_value",
+            F.round(100.0 * F.col("supp_value") / F.col("total_value"), 6).alias(
+                "pct_of_total"
+            ),
+        )
+    )
+
+
+@register(
+    "q22_global_balance_cohort",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   AS avg_pos
+        FROM customer WHERE c_acctbal > 0.0),
+    cohort AS (
+        SELECT SUBSTR(c_name, LENGTH(c_name) - 0, 1) AS last_digit, c_acctbal
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > avg_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01'))
+    SELECT last_digit, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM cohort GROUP BY last_digit
+    """,
+    description="TPC-H Q22 shape: global-average threshold + anti join + substring cohort",
+)
+def q22_global_balance_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg((as_double(F.sum(money("c_acctbal"))) / F.count("*")).alias("avg_pos"))
+    )
+    recent_orders = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich_inactive = (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_pos"))
+        .join(recent_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich_inactive.groupBy(
+            F.substring(F.col("c_name"), -1, 1).alias("last_digit")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            as_double(F.sum(money("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "q4_order_priority_check",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
