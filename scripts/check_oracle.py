@@ -78,6 +78,24 @@ def main() -> int:
             continue
         scols, srows = df_to_rows(sdf)
         ocols, orows = df_to_rows(odf)
+        def _dt(s):
+            # datetime64 resolution (ns from Spark, us from DuckDB) is a
+            # pandas artifact, not a type the driver's hash distinguishes
+            d = str(s.dtype)
+            return "datetime64" if d.startswith("datetime64") else d
+
+        sdt = [_dt(sdf[c]) for c in scols] if scols == ocols else []
+        odt = [_dt(odf[c]) for c in ocols] if scols == ocols else []
+        if scols == ocols and sdt != odt:
+            # The driver's value hash is type-sensitive: DuckDB HUGEINT /
+            # float where Spark yields int64 hashes differently even when
+            # values are equal. Surface it here before the driver does.
+            failures.append(name)
+            print(f"FAIL  {name}: dtypes differ")
+            for c, a, b in zip(scols, sdt, odt):
+                if a != b:
+                    print(f"  {c}: spark={a} oracle={b}")
+            continue
         if scols != ocols:
             failures.append(name)
             print(f"FAIL  {name}: columns differ\n  spark:  {scols}\n  oracle: {ocols}")

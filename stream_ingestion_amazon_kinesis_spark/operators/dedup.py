@@ -46,22 +46,45 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The (source, token) self-join below emits k^2 rows for a token present
+# in k docs of one source — a stopword detonates the shuffle at corpus
+# scale. Tokens above this within-source document frequency are dropped
+# from BOTH the numerator (shared) and denominator (sizes) relations, and
+# the oracle applies the identical predicate, so the two engines compute
+# the same (documented) approximation: Jaccard over the sub-stopword
+# token space. Worst-case join output is bounded by cap^2 per token.
+TOKEN_DF_CAP = 1000
+
+
 def _doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, token) with per-doc distinct tokens."""
-    return docs.select(
+    """(doc_id, source, token) with per-doc distinct tokens, hot tokens
+    (within-source df > TOKEN_DF_CAP) removed."""
+    tok = docs.select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(tokens("text"))).alias("token"),
     )
+    hot = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > TOKEN_DF_CAP)
+        .select("source", "token")
+    )
+    return tok.join(F.broadcast(hot), ["source", "token"], "left_anti")
 
 
 @register(
     "jaccard_neardup_pairs",
     oracle="""
-    WITH tok AS (
+    WITH tok0 AS (
         SELECT doc_id, source,
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
+    hot AS (SELECT source, token FROM tok0
+            GROUP BY source, token HAVING COUNT(*) > 1000),
+    tok AS (SELECT t.* FROM tok0 t
+            LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
+            WHERE h.token IS NULL),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -75,7 +98,7 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
     """,
-    description="G17 n-gram Jaccard near-dup: blocked (same source) token-set overlap >= 0.8",
+    description="G17 n-gram Jaccard near-dup: blocked (same source) token-set overlap >= 0.8, hot tokens (df>1000) excluded on both engines",
 )
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -109,14 +132,20 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "shingle_jaccard_pairs",
     oracle="""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT doc_id, source,
                unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - 2, 1)),
+                   generate_series(1, len(t) - 2),
                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
         FROM (SELECT doc_id, source,
                      string_split_regex(trim(text), '\\s+') AS t
-              FROM documents)),
+              FROM documents)
+        WHERE len(t) >= 3),
+    hot AS (SELECT source, shingle FROM sh0
+            GROUP BY source, shingle HAVING COUNT(*) > 1000),
+    sh AS (SELECT s.* FROM sh0 s
+           LEFT JOIN hot h ON s.source = h.source AND s.shingle = h.shingle
+           WHERE h.shingle IS NULL),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -133,17 +162,16 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G17 exact 3-shingle Jaccard (source-blocked) — the SQL-checkable twin of MinHash-LSH",
 )
 def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard over source-blocked pairs. Note the
-    DuckDB 3-gram construction pads short docs differently than
-    functions.text.shingles (which concatenates the whole doc); both
-    sides here use the same >=3-token convention: docs shorter than 3
-    tokens contribute their (padded) single shingle."""
+    """Exact shingle-set Jaccard over source-blocked pairs. Docs with
+    fewer than 3 tokens are excluded on BOTH engines (Spark's concat_ws
+    skips NULL elements while DuckDB's || propagates NULL, so short docs
+    would otherwise shingle differently per engine), and shingles with
+    within-source df > TOKEN_DF_CAP are dropped on both sides — same
+    bounded-join rationale as `_doc_tokens`."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    # mirror the oracle: for len<3 docs generate_series(1,1) yields t[1]||' '||t[2]||' '||t[3]
-    # with NULL parts -> DuckDB || propagates NULL; guard by requiring >=3 tokens on both sides.
     sh3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
             " ",
             F.element_at(toks, i),
@@ -151,9 +179,17 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
-    sh = docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(sh3)).alias("shingle")
+    sh0 = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", "source", F.explode(F.array_distinct(sh3)).alias("shingle"))
     )
+    hot = (
+        sh0.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > TOKEN_DF_CAP)
+        .select("source", "shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     shared = (
         sh.alias("a")
@@ -183,6 +219,13 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 32
 N_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8; j=0.8 -> 0.996
+# A band bucket with k members would emit k^2/2 candidate rows from the
+# self-join — a viral dup cluster (or a degenerate shingle set) detonates
+# the shuffle at corpus scale. Buckets above this cap switch to a star
+# pattern: every member pairs with the bucket's min doc_id only (k-1
+# rows), preserving per-bucket connectivity for component clustering
+# while bounding the join output at cap^2/2 + k per bucket.
+LSH_BUCKET_CAP = 256
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame:
@@ -234,18 +277,26 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     buckets = lsh_buckets(sig)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Annotate each (band, bucket) with its population so oversized
+    # buckets can take the bounded star path (see LSH_BUCKET_CAP).
+    stats = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_min")
     )
+    annotated = buckets.join(stats, ["band", "bucket"])
+    small = annotated.filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+    big = annotated.filter(F.col("bucket_n") > LSH_BUCKET_CAP)
+    a = small.alias("a")
+    b = small.alias("b")
+    pair_candidates = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_candidates = big.filter(F.col("doc_id") != F.col("bucket_min")).select(
+        F.col("bucket_min").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    candidates = pair_candidates.union(star_candidates).distinct()
     # Verify candidates with exact shingle-set Jaccard (join back to the
     # shingle relation — only candidate pairs pay this cost).
     sh = docs.select(
@@ -297,6 +348,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .withColumn("label", F.col("node"))
     )
     prev_cached = None
+    n_changed = 0
     for _ in range(20):  # diameter cap; near-dup graphs converge in 2-4
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -321,6 +373,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            "connected_components did not converge within 20 rounds "
+            f"({n_changed} labels still changing); the graph diameter "
+            "exceeds the cap — raise the cap or pre-cluster the input"
+        )
+    # Truncate lineage so the last round's cache can be released without
+    # forcing downstream consumers to recompute all iterations.
+    labels = labels.localCheckpoint(eager=True)
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return labels
 
 
@@ -329,10 +392,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     oracle="""
     WITH RECURSIVE
     edges AS (
-        WITH tok AS (
+        WITH tok0 AS (
             SELECT doc_id, source,
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
             FROM documents),
+        hot AS (SELECT source, token FROM tok0
+                GROUP BY source, token HAVING COUNT(*) > 1000),
+        tok AS (SELECT t.* FROM tok0 t
+                LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
+                WHERE h.token IS NULL),
         sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
         shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

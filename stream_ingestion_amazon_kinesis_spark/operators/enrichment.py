@@ -112,9 +112,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship_session_enrichment",
     oracle="""
     SELECT user_id AS session_id,
-           SUM(CAST(FLOOR(value) AS BIGINT)) AS overall_product_quantity,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                             THEN CAST(FLOOR(value) AS BIGINT) END), 0)
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+               AS overall_product_quantity,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(FLOOR(value) AS BIGINT) END), 0) AS BIGINT)
                AS overall_in_shopping_cart,
            COUNT(*) AS total_different_products,
            CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
@@ -155,7 +156,7 @@ def flagship_session_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CASE WHEN cart_qty > 0 THEN 'cart' ELSE 'no_cart' END AS route,
            COUNT(*) AS n_sessions,
-           SUM(total_qty) AS sum_quantity
+           CAST(SUM(total_qty) AS BIGINT) AS sum_quantity
     FROM enriched
     GROUP BY 1
     """,
@@ -173,7 +174,8 @@ def session_routing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

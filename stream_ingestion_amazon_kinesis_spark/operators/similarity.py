@@ -64,19 +64,12 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 4
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # approximate by construction; recall vs brute force is
-    # asserted in tests/test_similarity.py
-    description=f"G17 IVF-style ANN: centroid coarse quantization, multi-probe ({N_PROBE} cells)",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Train the coarse quantizer: one centroid per label class via
-    # element-wise mean (a k-means iteration seeded by labels — at scale
-    # this is the standard "train on a sample, broadcast centroids" loop).
-    dim = 64
-    centroids = (
+def ivf_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Train the coarse quantizer: one centroid per label class via
+    element-wise mean (a k-means iteration seeded by labels — at scale
+    this is the standard "train on a sample, broadcast centroids" loop).
+    Returns (cell_id, centroid array<double>)."""
+    return (
         emb.select("label", *[F.col("embedding")[i].alias(f"e{i}") for i in range(dim)])
         .groupBy("label")
         .agg(*[F.avg(f"e{i}").alias(f"e{i}") for i in range(dim)])
@@ -85,10 +78,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"e{i}") for i in range(dim)]).alias("centroid"),
         )
     )
-    # Assign every corpus vector to its nearest centroid (broadcast join
-    # + one window min — no shuffle of the corpus beyond the ranking).
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataFrame:
+    """Assign every vector to its `n_assign` nearest centroid cells
+    (broadcast join + one window rank — no shuffle of the corpus beyond
+    the ranking). Returns (vec_id, embedding, cell) with one row per
+    assignment; n_assign > 1 is the standard multi-assignment trick for
+    catching neighbors that straddle a cell boundary."""
     assign_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    assigned = (
+    return (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(centroids))
         .select(
@@ -98,9 +97,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .drop("rn", "sim")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    description=f"G17 IVF-style ANN: centroid coarse quantization, multi-probe ({N_PROBE} cells)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    assigned = ivf_assign(emb, centroids)
     # Multi-probe: each query searches its N_PROBE closest cells — the
     # standard IVF recall/latency knob. The probe list is tiny
     # (queries x nprobe) and stays broadcast.
@@ -134,6 +145,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+NEARDUP_COS_THRESHOLD = 0.35
+# Multi-assignment count — the recall knob. The exact twin's 0.35 cosine
+# threshold is far looser than a realistic near-dup bar (~0.9, where 2
+# assignments suffice); matching it needs 4 of the quantizer's cells per
+# vector. Join cost grows with n_assign^2 per co-assigned cell but stays
+# linear in corpus size — the win over the O(N^2) unblocked self-join.
+N_ASSIGN_NEARDUP = 4
+
+
+@register(
+    "embedding_neardup_ivf",
+    oracle=None,  # approximate blocking; recall vs the label-blocked
+    # exact variant (dedup.embedding_neardup_pairs) is asserted in
+    # tests/test_similarity.py
+    description="G17 embedding near-dup, IVF-cell blocked: quantizer cells as the "
+    "production blocking key (multi-assign 2 cells), exact cosine verify",
+)
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for `embedding_neardup_pairs` (operators/dedup.py):
+    instead of blocking on the data's own `label` column — which is both
+    too coarse (cells of N/n_labels vectors) and unavailable on unlabeled
+    corpora — block on the IVF coarse-quantizer cell id from the same
+    quantizer `ann_ivf_topk` uses. Each vector is assigned to its 2
+    nearest cells so boundary-straddling near-dups still share a block;
+    pairs are then verified with the exact cosine, so precision is exact
+    and only recall depends on the blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= NEARDUP_COS_THRESHOLD)
+        .distinct()  # a pair sharing both assigned cells appears twice
     )
 
 

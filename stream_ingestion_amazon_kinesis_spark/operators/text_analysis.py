@@ -27,9 +27,9 @@ STOPWORDS = ("the", "a")
                len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct
         FROM documents)
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
-           SUM(CAST(n_distinct AS BIGINT)) AS total_distinct_tokens
+           CAST(SUM(n_distinct) AS BIGINT) AS total_distinct_tokens
     FROM d GROUP BY lang
     """,
     description="G17 token counting: whitespace tokenizer + per-language rollup",
@@ -167,9 +167,9 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_ish_token_count",
     oracle="""
     SELECT lang,
-           SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')
-                   ) AS BIGINT)) AS total_subtokens,
-           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+                   )) AS BIGINT) AS total_subtokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
                AS total_ws_tokens
     FROM documents GROUP BY lang
     """,
@@ -281,7 +281,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3)
     SELECT source,
            COUNT(*) AS n_kept_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS token_budget
+           CAST(SUM(n_tokens) AS BIGINT) AS token_budget
     FROM kept GROUP BY source
     """,
     description="G17 end-to-end curation: dedup -> lang filter -> length/diversity gate -> token budget",

@@ -53,10 +53,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipmode",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -568,11 +568,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
-           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
-           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
-           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -622,7 +622,7 @@ def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            MIN(cents) AS min_cents,
            MAX(cents) AS max_cents,
-           SUM(CASE WHEN cents > 10000 THEN 1 ELSE 0 END) AS n_large,
+           CAST(SUM(CASE WHEN cents > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
            md5(array_to_string(list_sort(list(cents)), ',')) AS digest
     FROM v GROUP BY user_id
     """,

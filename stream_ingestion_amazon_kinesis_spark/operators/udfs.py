@@ -35,7 +35,7 @@ def _token_count_vec():
     "pandas_udf_token_count",
     oracle="""
     SELECT lang,
-           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
                AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang

@@ -56,6 +56,7 @@ def _load_all() -> None:
     from ..operators import similarity  # noqa: F401
     from ..operators import text_analysis  # noqa: F401
     from ..operators import multimodal  # noqa: F401
+    from ..sources import file_formats  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -30,6 +30,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB applies — keeping the column a real
     TimestampType for every operator downstream.
     """
+    if name == "events":
+        # The fixture carries TIMESTAMP(NANOS); without this runtime conf a
+        # vanilla SparkSession (e.g. the verification driver's) throws
+        # PARQUET_TYPE_ILLEGAL before the bigint->timestamp conversion below
+        # can apply. Runtime-settable, so set it here rather than relying on
+        # the engine's own session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,134 @@
+"""Batch CSV / JSON scans with explicit schemas (SURVEY §2.3 G1).
+
+The reference ingests JSON records off a stream; its batch-side twin is
+`spark.read.csv/json` with an explicit schema (never inferSchema — a
+schema-inference pass over 100 TB is a full extra scan). The fixtures
+ship as parquet only, so each format's scan is exercised by exporting a
+fixture table once to a per-sf cache dir and reading it back through
+the real CSV/JSON reader.
+
+Explicit schemas also keep the scan a single pass and give Catalyst a
+fixed ReadSchema to prune against; CSV/JSON offer no row-group
+statistics, so predicate pushdown only prunes whole files — which is
+why the engine's large-table surface is parquet and these scans are the
+interchange path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import as_double, money
+from ..plans.registry import register
+from .catalog import load_table
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+def _export_path(sf_dir: str, name: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_file_formats", tag, f"{name}_{fmt}"
+    )
+
+
+def _ensure_export(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    """Write the fixture out in `fmt` once per (sf_dir, table); Spark's
+    `_SUCCESS` marker makes the cache idempotent across processes."""
+    path = _export_path(sf_dir, name, fmt)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        writer = load_table(spark, sf_dir, name).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(path)
+        else:
+            writer.json(path)
+    return path
+
+
+def csv_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """G1 CSV scan: explicit schema, header, PERMISSIVE mode (malformed
+    rows become nulls rather than failing the 1000-executor job)."""
+    path = _ensure_export(spark, sf_dir, name, "csv")
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def json_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """G1 batch JSON (JSON-lines) scan with explicit schema."""
+    path = _ensure_export(spark, sf_dir, name, "json")
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+@register(
+    "csv_scan_customer_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="G1 CSV scan (explicit schema, no inference) -> segment rollup; "
+    "oracle reads the same rows from parquet",
+)
+def csv_scan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = csv_table(spark, sf_dir, "customer", CUSTOMER_SCHEMA)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        as_double(F.sum(money("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+@register(
+    "json_scan_supplier_balance",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="G1 batch JSON scan (explicit schema) + broadcast dim join; "
+    "oracle reads the same rows from parquet",
+)
+def json_scan_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = json_table(spark, sf_dir, "supplier", SUPPLIER_SCHEMA)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            as_double(F.sum(money("s_acctbal"))).alias("total_acctbal"),
+        )
+    )

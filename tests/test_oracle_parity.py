@@ -42,3 +42,19 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     mismatches = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} rows differ; first: {mismatches[0]}"
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir, oracle):
+    """HLL++ at rsd=0.01 must land within ±5% of the exact distinct
+    count (the driver records approx_distinct_lineitem rows-only; this
+    is its hard accuracy signal)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.relational import (
+        approx_distinct_lineitem,
+    )
+
+    row = approx_distinct_lineitem(spark, sf_dir).collect()[0]
+    exact_parts, exact_orders = oracle.execute(
+        "SELECT COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert abs(row["approx_parts"] - exact_parts) / exact_parts <= 0.05
+    assert abs(row["approx_orders"] - exact_orders) / exact_orders <= 0.05

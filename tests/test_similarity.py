@@ -21,6 +21,29 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall:.3f}"
 
 
+def test_ivf_neardup_recall_vs_label_blocked(spark, sf_dir):
+    """The IVF-cell-blocked near-dup must recover nearly all pairs the
+    label-blocked exact variant finds (the quantizer is label-seeded, so
+    same-label pairs should share a cell; multi-assign covers boundary
+    stragglers). Precision needs no test: both verify with exact cosine."""
+    from stream_ingestion_amazon_kinesis_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        embedding_neardup_ivf,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_neardup_ivf(spark, sf_dir).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF near-dup recall too low: {recall:.3f}"
+
+
 def test_topk_is_k_per_query(spark, sf_dir):
     import collections
 

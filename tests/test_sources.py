@@ -40,3 +40,36 @@ def test_parquet_scan_prunes_and_pushes_down(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
     # column pruning: the scan must read only the two referenced columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_csv_scan_query_prunes_columns(spark, sf_dir):
+    """The registered CSV scan must read only referenced columns
+    (ReadSchema pruning — CSV has no row-group stats, so pruning is the
+    only free win the reader offers)."""
+    from stream_ingestion_amazon_kinesis_spark.sources.file_formats import (
+        csv_scan_customer_segments,
+    )
+
+    q = csv_scan_customer_segments(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan csv" in plan
+    assert "ReadSchema: struct<c_acctbal:double,c_mktsegment:string>" in plan
+
+
+def test_registered_format_scans_match_parquet(spark, sf_dir):
+    """CSV and JSON scans see exactly the rows the parquet fixture has."""
+    from stream_ingestion_amazon_kinesis_spark.sources.file_formats import (
+        CUSTOMER_SCHEMA,
+        SUPPLIER_SCHEMA,
+        csv_table,
+        json_table,
+    )
+
+    cust_pq = load_table(spark, sf_dir, "customer")
+    cust_csv = csv_table(spark, sf_dir, "customer", CUSTOMER_SCHEMA)
+    assert cust_csv.count() == cust_pq.count()
+    assert cust_csv.exceptAll(cust_pq).count() == 0
+    supp_pq = load_table(spark, sf_dir, "supplier")
+    supp_json = json_table(spark, sf_dir, "supplier", SUPPLIER_SCHEMA)
+    assert supp_json.count() == supp_pq.count()
+    assert supp_json.exceptAll(supp_pq).count() == 0
