@@ -3,11 +3,17 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "plan_stats": {name: {"exchanges": n, "jobs": n, "stages": n}, ...},
+   "scaling": {"sf": lower_sf, "queries": {name: sec, ...}}}
 
 Each query executes its full plan into the `noop` sink (no driver-side
 collect, no disk write) — measuring scan + compute + shuffle, which is
-what scales.
+what scales. `plan_stats` records each query's static Exchange count
+(shuffle boundaries in the physical plan) and the jobs/stages Spark
+actually ran, so round-over-round regressions show up as structure, not
+just seconds. `scaling` repeats the headline set one scale factor down,
+giving each round a slope instead of a single point.
 """
 
 from __future__ import annotations
@@ -44,6 +50,40 @@ HEADLINE = [
     "document_quality_scores",
 ]
 
+# The lower scale factor used for the scaling slope, keyed by primary sf.
+SCALING_SF = {"0.1": "0.01", "0.01": "0.001"}
+
+
+def _run_set(spark, sf_dir: str, collect_stats: bool):
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    timings: dict[str, float] = {}
+    stats: dict[str, dict[str, int]] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        df = fn(spark, sf_dir)
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        sc.setJobGroup("", "")
+        if collect_stats:
+            # Static shuffle boundaries in the physical plan (pre-AQE —
+            # AQE can only merge/skip these at runtime, never add).
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            job_ids = tracker.getJobIdsForGroup(name)
+            n_stages = 0
+            for jid in job_ids:
+                info = tracker.getJobInfo(jid)
+                if info is not None:
+                    n_stages += len(info.stageIds)
+            stats[name] = {
+                "exchanges": plan.count("Exchange"),
+                "jobs": len(job_ids),
+                "stages": n_stages,
+            }
+    return timings, stats
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,25 +100,29 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    timings, stats = _run_set(spark, sf_dir, collect_stats=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+        "plan_stats": stats,
+    }
+
+    low = SCALING_SF.get(sf)
+    low_dir = low and os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{low}")
+    if low_dir and os.path.isdir(low_dir):
+        low_timings, _ = _run_set(spark, low_dir, collect_stats=False)
+        out["scaling"] = {
+            "sf": float(low),
+            "value": round(sum(low_timings.values()), 3),
+            "queries": low_timings,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
