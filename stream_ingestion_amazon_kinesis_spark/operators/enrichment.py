@@ -83,6 +83,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic regardless of shuffle order. floor(value) is the
     quantity so the string->int cast path (T5) is exercised losslessly
     on both engines.
+
+    Scale bound: the per-session array mirrors the reference's payload
+    shape (consumer.py:131-157), whose size is bounded by the session
+    length a single Kinesis record carries — NOT by corpus size. Feeding
+    this operator unboundedly-keyed data would make a power key one fat
+    row; cap with `F.slice(..., 1, N)` after the sort if sessions are
+    ever unbounded upstream.
     """
     events = load_table(spark, sf_dir, "events")
     item = F.struct(
