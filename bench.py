@@ -4,13 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "plan_stats": {name: {"exchanges": n, "jobs": n, "stages": n}, ...},
+   "plan_stats": {name: {"shuffles": n, "broadcasts": n, "jobs": n, "stages": n}, ...},
    "scaling": {"sf": lower_sf, "queries": {name: sec, ...}}}
 
 Each query executes its full plan into the `noop` sink (no driver-side
 collect, no disk write) — measuring scan + compute + shuffle, which is
-what scales. `plan_stats` records each query's static Exchange count
-(shuffle boundaries in the physical plan) and the jobs/stages Spark
+what scales. `plan_stats` records each query's static shuffle/broadcast exchange counts
+(from the physical plan) and the jobs/stages Spark
 actually ran, so round-over-round regressions show up as structure, not
 just seconds. `scaling` repeats the headline set one scale factor down,
 giving each round a slope instead of a single point.
@@ -77,8 +77,12 @@ def _run_set(spark, sf_dir: str, collect_stats: bool):
                 info = tracker.getJobInfo(jid)
                 if info is not None:
                     n_stages += len(info.stageIds)
+            n_broadcast = plan.count("BroadcastExchange")
             stats[name] = {
-                "exchanges": plan.count("Exchange"),
+                # shuffle exchanges move data between executors (the
+                # scale cost); broadcasts replicate a bounded dim
+                "shuffles": plan.count("Exchange") - n_broadcast,
+                "broadcasts": n_broadcast,
                 "jobs": len(job_ids),
                 "stages": n_stages,
             }
