@@ -352,3 +352,143 @@ def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(15)
     )
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    WITH sampled AS (
+        SELECT lang, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h < (CASE WHEN lang = 'en' THEN '8' ELSE 'c' END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h < (CASE WHEN lang = 'en' THEN '8' ELSE 'c' END)
+                         THEN n_tokens END) AS BIGINT) AS kept_token_budget
+    FROM sampled
+    GROUP BY source, lang
+    """,
+    description="G17 deterministic stratified sampling: md5-of-key hash gate with a "
+    "per-stratum rate (50% en / 75% other) — reproducible across engines, cluster "
+    "sizes, and reruns, unlike rand()-based sampling",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix downsampling. The keep decision hashes the stable
+    document key (never the text — re-crawled near-identical docs must
+    not flip in and out of the mix), compares one hex digit against a
+    per-stratum threshold, and is embarrassingly parallel: no shuffle
+    until the reporting rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1)
+    rate = F.when(F.col("lang") == "en", F.lit("8")).otherwise(F.lit("c"))
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (h < rate).alias("keep"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens"))).alias("kept_token_budget"),
+    )
+
+
+@register(
+    "text_normalization_digest",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+        FROM documents)
+    SELECT doc_id, md5(norm_text) AS norm_hash,
+           CAST(length(norm_text) AS BIGINT) AS norm_len
+    FROM norm
+    """,
+    description="G17 text normalization: lowercase -> strip non-alphanumerics -> "
+    "collapse whitespace; per-doc digest proves byte-identical output across engines",
+)
+def text_normalization_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization pass that feeds exact dedup: normalization
+    must be bit-stable or the downstream hash-groupBy keys drift. All
+    JVM regexp expressions, one scan, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+@register(
+    "pii_redaction_stats",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+    red AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+               len(regexp_extract_all(t, '\\+1-555-[0-9]+')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '\\+1-555-[0-9]+', '<PHONE>', 'g') AS redacted
+        FROM synth)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars
+    FROM red
+    GROUP BY source
+    """,
+    description="G17 PII redaction: regex email/phone masking + per-source counts "
+    "(PII is synthesized onto the fixture text so the redactor provably fires)",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training scrub pass. Counts use regexp_count (JVM) so the
+    audit and the rewrite share one scan; the synthetic PII suffix keyed
+    by doc_id makes the redaction observable on fixture text that
+    otherwise contains none."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_pat = r"[a-z0-9._]+@[a-z0-9.]+"
+    phone_pat = r"\+1-555-[0-9]+"
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select(
+        "source",
+        F.regexp_count(synth, F.lit(email_pat)).cast("bigint").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone_pat)).cast("bigint").alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(synth, email_pat, "<EMAIL>"),
+                phone_pat,
+                "<PHONE>",
+            )
+        )
+        .cast("bigint")
+        .alias("redacted_len"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("redacted_len").alias("redacted_chars"),
+    )

@@ -674,3 +674,238 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("distinct_k"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * ({_ONE} - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA')
+    SELECT o_year,
+           COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume END) AS DOUBLE), 0.0)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM flat
+    GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape: national market share — conditional share of an "
+    "exact-decimal revenue sum per order year (6-way join)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    volume = money("l_extendedprice") * (one - frac(F.col("l_discount")))
+    flat = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.coalesce(
+        as_double(F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")))),
+        F.lit(0.0),
+    ) / as_double(F.sum("volume"))
+    return flat.groupBy("o_year").agg(
+        share.alias("mkt_share"), F.count("*").alias("n_lines")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT supp_nation, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS supp_nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               - CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(0.5 AS DECIMAL(2,1)) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO')
+    GROUP BY supp_nation, o_year
+    """,
+    description="TPC-H Q9 shape: profit per supplier nation and year; the partsupp "
+    "cost term is adapted to 0.5*retailprice (fixtures carry no partsupp table)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    one = F.lit(1).cast("decimal(3,2)")
+    half = F.lit(0.5).cast("decimal(2,1)")
+    promo = t["part"].filter(F.col("p_type") == "PROMO")
+    profit = money("l_extendedprice") * (one - frac(F.col("l_discount"))) - money(
+        "l_quantity"
+    ) * money("p_retailprice") * half
+    return (
+        t["lineitem"]
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("supp_nation", "o_year")
+        .agg(as_double(F.sum("profit")).alias("sum_profit"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape: distribution of per-customer order counts via a "
+    "filtered left join (customers with zero orders land in the c_count=0 bucket)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    kept = t["orders"].filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        t["customer"]
+        .join(kept, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    WITH promo_qty AS (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(400 AS DECIMAL(12,2)))
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM promo_qty)
+    """,
+    description="TPC-H Q20 shape: semi join on an aggregated HAVING subquery "
+    "(suppliers who shipped >400 units of PROMO parts in 1997)",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    promo = t["part"].filter(F.col("p_type") == "PROMO")
+    big = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(400).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q21_last_shipper",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+               COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem GROUP BY l_orderkey),
+    last_ship AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+        WHERE p.n_supp >= 2 AND l.l_shipdate = p.max_ship),
+    sole AS (
+        SELECT l_orderkey, MIN(l_suppkey) AS lone_suppkey
+        FROM last_ship GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) = 1)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier ON lone_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    description="TPC-H Q21 shape adapted to the fixture columns: suppliers who were "
+    "the SOLE last shipper of multi-supplier orders (exists/not-exists flavor via "
+    "aggregate + sole-survivor HAVING); no commit/receipt dates in the fixture",
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    li = t["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    last_ship = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        last_ship.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("lone_suppkey"),
+            F.countDistinct("l_suppkey").alias("n_last"),
+        )
+        .filter(F.col("n_last") == 1)
+    )
+    return (
+        sole.join(t["supplier"], F.col("lone_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
