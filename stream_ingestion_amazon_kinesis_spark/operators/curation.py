@@ -1,0 +1,292 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY
+§2.3 G17): benchmark-contamination detection, deterministic shard
+assignment, concat-and-chunk sequence packing, and domain-mix
+re-weighting.
+
+These are the operations that sit between a cleaned corpus and a
+training run. Every one is expressed as JVM column expressions +
+joins/windows (no Python in the hot path), every keep/assign decision
+hashes or arithmetics a STABLE key (never text, never rand()), so the
+output is reproducible across engines, cluster sizes, and reruns.
+The reference has no analog (it is a streaming ETL lab,
+consumer.py:108-195); these extend the same declarative surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Contamination unit: 5-token grams (docs shorter than 5 tokens carry no
+# grams and drop out of the report — mirrored by generate_series in the
+# oracle). The benchmark split is doc_id % 97 == 0: deterministic, ~1%.
+CONTAM_N = 5
+BENCH_MOD = 97
+
+N_SHARDS = 16
+# Knuth multiplicative hash constant — the shard hash must be arithmetic
+# (not engine-native xxhash/md5) so the DuckDB oracle computes the exact
+# same assignment.
+_KNUTH = 2654435761
+
+PACK_BIN_TOKENS = 512
+
+
+def _grams(text_col) -> F.Column:
+    """Distinct CONTAM_N-token grams as array<string>; empty for short
+    docs. Guarded sequence: Spark's sequence(1, stop) DESCENDS when
+    stop < 1, so short docs must short-circuit to an empty array."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(
+        n >= CONTAM_N, F.sequence(F.lit(1), n - (CONTAM_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, CONTAM_N)))
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(toks[g:g+{CONTAM_N - 1}], ' ') AS gram
+        FROM t, UNNEST(generate_series(1, len(toks) - {CONTAM_N - 1}))
+                    AS u(g)),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    scored AS (
+        SELECT g.source, g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS matched
+        FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+        WHERE g.doc_id % {BENCH_MOD} <> 0
+        GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN matched > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(matched) AS BIGINT) AS matched_grams
+    FROM scored
+    GROUP BY source
+    """,
+    description="G17 benchmark-contamination check: 5-gram overlap of training "
+    "docs against a held-out benchmark split (doc_id % 97 == 0), per-source "
+    "contaminated-doc and matched-gram counts",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: flag training docs sharing any 5-gram with
+    the benchmark set. The benchmark gram dictionary is tiny relative to
+    the corpus (~1% of docs) -> broadcast; the per-doc gram explode
+    feeds a groupBy(doc_id) whose map-side partial collapses each doc
+    back to one row before the exchange, so the shuffle is O(docs),
+    not O(grams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(_grams(F.col("text"))).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("gram").alias("bench_gram"))
+        .distinct()
+    )
+    scored = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), F.col("gram") == F.col("bench_gram"), "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("bench_gram").alias("matched"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("matched") > 0).cast("bigint")).alias("n_contaminated"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("matched").alias("matched_grams"),
+    )
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH d AS (
+        SELECT (doc_id * {_KNUTH}) % 4294967296 % {N_SHARDS} AS shard,
+               doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               n_chars
+        FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM d
+    GROUP BY shard
+    """,
+    description="G17 deterministic training-shard assignment: multiplicative "
+    "hash of doc_id into 16 output shards with per-shard doc/token/byte "
+    "balance stats",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side layout step for a training corpus: every doc maps
+    to exactly one output shard by arithmetic hash of its stable id —
+    reproducible regardless of cluster size or input split order, unlike
+    repartition(n) round-robin. The per-shard stats are the balance
+    audit (a skewed shard means a skewed hash or key). The real write
+    would be .write.partitionBy('shard'); the stats rollup is one
+    map-side-combined shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") * _KNUTH) % F.lit(4294967296) % N_SHARDS
+    d = docs.select(
+        shard.alias("shard"),
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) - n_tokens AS start_offset
+        FROM d)
+    SELECT source,
+           start_offset // {PACK_BIN_TOKENS} AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc_id
+    FROM packed
+    GROUP BY source, bin
+    """,
+    description="G17 concat-and-chunk sequence packing: per-source token "
+    "stream in doc_id order, each doc binned by the 512-token chunk its "
+    "start offset lands in",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining batch layout: concatenate each source's token stream
+    in stable doc_id order and cut it into fixed 512-token chunks; a doc
+    belongs to the chunk where it starts (docs may span chunks — that is
+    the concat-and-chunk convention, no padding waste). One window
+    shuffle partitioned by source. At corpus scale the partition key
+    would be (source, date-bucket) to bound a single source's stream per
+    task; the packing arithmetic is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        packed.withColumn(
+            "bin", (F.col("start_offset") / PACK_BIN_TOKENS).cast("bigint")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
+    "domain_mix_weights",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 2 ELSE 1 END AS target_num,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    per_src AS (
+        SELECT source, target_num,
+               CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source, target_num),
+    tot AS (
+        SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(target_num) AS BIGINT) AS target_den
+        FROM per_src)
+    SELECT source, src_tokens,
+           CAST(src_tokens AS DOUBLE) / total_tokens AS actual_share,
+           CAST(target_num AS DOUBLE) / target_den AS target_share,
+           CAST(target_num * total_tokens AS DOUBLE)
+               / CAST(target_den * src_tokens AS DOUBLE) AS weight
+    FROM per_src, tot
+    """,
+    description="G17 domain-mix re-weighting: per-source sampling weight = "
+    "target share / actual token share (targets: even-numbered sources get "
+    "2x the weight of odd)",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture control: the weight each source's docs carry in
+    the sampled mix so token shares hit the declared target. All-integer
+    numerators/denominators with ONE double division at the end keeps
+    the floats bit-identical across engines. The totals relation is a
+    single row -> broadcast cross join; the per-source agg is map-side
+    combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    target_num = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2)
+    ).otherwise(F.lit(1))
+    per_src = (
+        docs.select(
+            "source",
+            target_num.alias("target_num"),
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source", "target_num")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("target_num").alias("target_den"),
+    )
+    joined = per_src.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "source",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / F.col("total_tokens")).alias(
+            "actual_share"
+        ),
+        (F.col("target_num").cast("double") / F.col("target_den")).alias(
+            "target_share"
+        ),
+        (
+            (F.col("target_num") * F.col("total_tokens")).cast("double")
+            / (F.col("target_den") * F.col("src_tokens")).cast("double")
+        ).alias("weight"),
+    )

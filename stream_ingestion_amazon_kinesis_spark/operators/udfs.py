@@ -80,3 +80,64 @@ def grouped_map_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         _top3_by_chars, schema="lang string, doc_id bigint, n_chars bigint, rank bigint"
     )
+
+
+CHUNK_CHARS = 100
+
+
+def _context_chunks_udtf():
+    # Lazy like _token_count_vec: the DDL return type resolves against
+    # the active session. Python UDTF (SURVEY §2.3 G16 "UDTF surface"):
+    # one input row fans out to ceil(len/CHUNK_CHARS) chunk rows — the
+    # context-window chunking step of a RAG / training-data pipeline.
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_md5: string, chunk_chars: bigint")
+    class ContextChunks:
+        def eval(self, text: str):
+            text = text or ""
+            for i in range(0, max(len(text), 1), CHUNK_CHARS):
+                piece = text[i : i + CHUNK_CHARS]
+                yield (
+                    i // CHUNK_CHARS,
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                    len(piece),
+                )
+
+    return ContextChunks
+
+
+@register(
+    "udtf_context_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           g AS chunk_idx,
+           md5(substr(text, CAST(g * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}))
+               AS chunk_md5,
+           LEAST({CHUNK_CHARS},
+                 CAST(length(text) AS BIGINT) - g * {CHUNK_CHARS})
+               AS chunk_chars
+    FROM documents,
+         UNNEST(generate_series(0, (length(text) - 1) // {CHUNK_CHARS}))
+             AS u(g)
+    """,
+    description="G16 Python UDTF: lateral fan-out of each document into fixed "
+    "100-char context chunks, content-hashed so the oracle proves byte parity",
+)
+def udtf_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one genuinely generative (1->N) Python surface: a table
+    function in a LATERAL join. Chunk boundaries index by code point and
+    the md5 covers the chunk's UTF-8 bytes, so DuckDB's substr/md5
+    reproduce each value exactly. Fan-out happens inside the task that
+    holds the row — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("context_chunks", _context_chunks_udtf())
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_chunk_input")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_md5, c.chunk_chars
+        FROM udtf_chunk_input d, LATERAL context_chunks(d.text) c
+        """
+    )

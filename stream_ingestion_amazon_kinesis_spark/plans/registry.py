@@ -52,6 +52,7 @@ def _load_all() -> None:
     from ..operators import streaming_live  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..operators import event_time  # noqa: F401
+    from ..operators import curation  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import text_analysis  # noqa: F401
