@@ -108,3 +108,56 @@ def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+EVENTS_CSV_SCHEMA = "event_id bigint, ts_us bigint, event_type string, value double"
+
+
+@register(
+    "streaming_csv_counts_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="G1+G12 streaming CSV source: events replayed through "
+    "readStream.csv with an explicit schema (timestamps as unix micros), "
+    "aggregated by the real micro-batch engine",
+)
+def streaming_csv_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV twin of the JSON file-source stream: same micro-batch
+    engine, different wire format. Timestamps travel as unix
+    microseconds (bigint) — the only CSV encoding that is roundtrip- and
+    timezone-proof without format-string coupling between writer and
+    reader."""
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_events_csv_")
+    events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    ).write.mode("overwrite").option("header", True).csv(staging)
+
+    stream = (
+        spark.readStream.schema(EVENTS_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 8)  # force multiple micro-batches
+        .csv(staging)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(money("value"))).alias("sum_value"),
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

@@ -132,3 +132,43 @@ def json_scan_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum(money("s_acctbal"))).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "partitioned_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="G1 partitioned parquet WRITE + readback: orders written "
+    "partitionBy(o_orderpriority), re-read through the partitioned layout "
+    "(partition pruning plan-asserted in tests/test_partitioned_write.py)",
+)
+def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus write path: hive-style directory partitioning
+    on a low-cardinality routing column, so downstream readers prune
+    whole directories (PartitionFilters) instead of scanning 100 TB and
+    filtering. Values must survive the write->read roundtrip exactly —
+    the oracle aggregates the ORIGINAL table while this query aggregates
+    the readback, so any loss in the partitioned layout fails the gate."""
+    path = partitioned_orders_path(spark, sf_dir)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        as_double(F.sum(money("o_totalprice"))).alias("sum_price"),
+    )
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders partitioned by o_orderpriority once per sf (idempotent
+    via the _SUCCESS marker, same convention as _ensure_export)."""
+    path = _export_path(sf_dir, "orders", "parquet_partitioned")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    return path
