@@ -119,3 +119,61 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.sum(F.round(F.col("feat_mean"), 3)), 3).alias("sum_feat_mean"),
     )
+
+
+FRAME_CHARS = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           g AS frame_idx,
+           md5(substr(text, CAST(g * {FRAME_CHARS} + 1 AS INT), {FRAME_CHARS}))
+               AS frame_md5,
+           LEAST({FRAME_CHARS},
+                 CAST(length(text) AS BIGINT) - g * {FRAME_CHARS})
+               AS frame_chars
+    FROM documents,
+         UNNEST(generate_series(0, (length(text) - 1) // {FRAME_CHARS}))
+             AS u(g)
+    WHERE g % {FRAME_STRIDE} = 0
+    """,
+    description="G17 multimodal frame sampling: payload split into fixed-width "
+    "frames, every 4th kept, per-frame content digest (deterministic fake of "
+    "video frame extraction; the sampling arithmetic is the real deliverable)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the opaque payload: frame i spans
+    characters [i*W, (i+1)*W); only every FRAME_STRIDE-th frame is kept
+    (the uniform temporal subsample a video pipeline takes before
+    feature extraction). Pure JVM sequence+transform+explode — the
+    sampling PREDICATE is applied before the explode output leaves the
+    row, so dropped frames never materialize. A real codec would replace
+    the substr with a decoder inside mapInPandas (see decode_features);
+    the partitioning, fan-out, and digest contract stay identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    last_frame = F.floor((F.length("text") - 1) / FRAME_CHARS).cast("bigint")
+    idx = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), last_frame),
+        lambda g: g % FRAME_STRIDE == 0,
+    )
+    frames = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars_t"),
+        F.explode(idx).alias("frame_idx"),
+    )
+    frame = F.expr(
+        f"substring(text, CAST(frame_idx * {FRAME_CHARS} + 1 AS INT), {FRAME_CHARS})"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.encode(frame, "UTF-8")).alias("frame_md5"),
+        F.least(
+            F.lit(FRAME_CHARS).cast("bigint"),
+            F.col("n_chars_t") - F.col("frame_idx") * FRAME_CHARS,
+        ).alias("frame_chars"),
+    )
