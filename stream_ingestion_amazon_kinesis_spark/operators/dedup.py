@@ -508,3 +508,62 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(counts, "simhash").select(
         "doc_id", "simhash", "n_docs", "keeper_doc_id"
     )
+
+
+PASSAGE_N = 8  # tokens per exact-match span
+
+
+@register(
+    "exact_passage_spans",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {PASSAGE_N - 1}),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                     || ' ' || t[i+7]))) AS span
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= {PASSAGE_N})
+    SELECT md5(span) AS span_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM sh
+    GROUP BY span
+    HAVING COUNT(*) >= 2
+    """,
+    description="G17 exact substring (passage) dedup: 8-token spans shared by "
+    ">=2 docs, with the span's doc range — the contamination/memorization scan",
+)
+def exact_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate passage detection (the dedup unit of 'deduplicating
+    training data makes language models better', Lee et al. 2022 — theirs
+    is suffix-array 50-token spans; same semantics at n=8 here): every
+    8-token window, deduped within doc, grouped across the corpus. This
+    is ONE explode + ONE map-side-combined groupBy — no self-join, so a
+    boilerplate span in k docs costs one k-row group, not k^2 join rows;
+    the shape survives 100 TB. Spans are distinct-per-doc so COUNT(*)
+    counts documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = (
+        docs.filter(F.size(toks) >= PASSAGE_N)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", PASSAGE_N))).alias("span"),
+        )
+    )
+    return (
+        sh.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("span", "n_docs", "first_doc", "last_doc")
+        .withColumn("span_md5", F.md5(F.encode(F.col("span"), "UTF-8")))
+        .drop("span")
+    )

@@ -492,3 +492,97 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").alias("total_phones"),
         F.sum("redacted_len").alias("redacted_chars"),
     )
+
+
+TOP_TOKEN_MAX_SHARE = 0.2
+DUP_TRIGRAM_MAX_FRAC = 0.3
+
+
+@register(
+    "repetition_filter_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+    eligible AS (SELECT * FROM base WHERE len(t) >= 3),
+    tri AS (
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_tri,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_tri_d
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+              FROM eligible)),
+    cnt AS (
+        SELECT doc_id, tk, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(t) AS tk FROM eligible)
+        GROUP BY doc_id, tk),
+    per AS (
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tok
+        FROM cnt GROUP BY doc_id)
+    SELECT p.doc_id,
+           p.n_tokens,
+           CAST(max_tok AS DOUBLE) / p.n_tokens AS top_token_share,
+           CAST(n_tri - n_tri_d AS DOUBLE) / n_tri AS dup_trigram_frac,
+           (CAST(max_tok AS DOUBLE) / p.n_tokens <= {TOP_TOKEN_MAX_SHARE}
+            AND CAST(n_tri - n_tri_d AS DOUBLE) / n_tri <= {DUP_TRIGRAM_MAX_FRAC})
+               AS keep
+    FROM per p JOIN tri USING (doc_id)
+    """,
+    description="G17 repetition-based quality filter (Gopher-style): top-token "
+    "share + duplicate-trigram fraction per doc, with a keep/drop verdict",
+)
+def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition heuristics from the Gopher/MassiveText filtering rules
+    (Rae et al. 2021, §A1.1): a doc whose most frequent token dominates,
+    or whose trigrams are mostly repeats, is boilerplate/spam. Trigram
+    stats are per-row JVM array math (no explode); the top-token count
+    needs a (doc_id, token) partial agg — both shuffles are map-side
+    combined and keyed by doc_id, so at 100 TB this stays narrow passes
+    joined per-doc, never against the exploded corpus. (Folding the
+    trigram columns through the explode instead was measured ~50x
+    slower: Catalyst collapses the projection into Generate, so the
+    O(n)-element transform re-evaluates once per token row — O(n^2) per
+    doc.) Ratios are int/int doubles — bit-deterministic vs the oracle.
+    Docs with <3 tokens are excluded on both engines (shingle parity,
+    see shingle_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh3 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    eligible = docs.filter(F.size(toks) >= 3)
+    tri = eligible.select(
+        "doc_id",
+        F.size(sh3).cast("bigint").alias("n_tri"),
+        F.size(F.array_distinct(sh3)).cast("bigint").alias("n_tri_d"),
+    )
+    cnt = (
+        eligible.select("doc_id", F.explode(toks).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("n"))
+    )
+    per = (
+        cnt.groupBy("doc_id")
+        .agg(F.sum("n").alias("n_tokens"), F.max("n").alias("max_tok"))
+        .join(tri, "doc_id")
+    )
+    top_share = F.col("max_tok").cast("double") / F.col("n_tokens")
+    dup_frac = (F.col("n_tri") - F.col("n_tri_d")).cast("double") / F.col("n_tri")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        top_share.alias("top_token_share"),
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            (top_share <= TOP_TOKEN_MAX_SHARE) & (dup_frac <= DUP_TRIGRAM_MAX_FRAC)
+        ).alias("keep"),
+    )

@@ -294,3 +294,77 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir, tmp_path):
     # matched and unmatched partition the purchase set (late rows aside);
     # unmatched rows exist in this fixture and never overlap matched
     assert unmatched and not (unmatched & matched)
+
+def test_transform_with_state_profiles(spark, sf_dir, tmp_path):
+    """G14 on the Spark 4 transformWithState API: ValueState totals +
+    MapState per-type counts, validated against batch replay. Skipped
+    where google.protobuf (the TWS state-server wire protocol) is not
+    installed — the operator itself is cluster-ready."""
+    from stream_ingestion_amazon_kinesis_spark.streaming.transform_with_state import (
+        PROTOBUF_AVAILABLE,
+        ROCKSDB_PROVIDER,
+        user_activity_profiles_tws,
+    )
+    from pyspark.sql.window import Window
+
+    if not PROTOBUF_AVAILABLE:
+        pytest.skip("google.protobuf absent: transformWithState driver worker cannot start")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        d = _events_json_dir(spark, sf_dir, tmp_path)
+        profiles = user_activity_profiles_tws(read_event_stream(spark, d))
+        run_to_memory_sink(profiles, "tws_profiles", output_mode="update")
+        got = {
+            r["user_id"]: (
+                r["n_events"],
+                round(r["total_value"], 6),
+                r["n_event_types"],
+                r["top_event_type"],
+            )
+            for r in spark.sql(
+                """SELECT * FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC) AS rn FROM tws_profiles)
+                   WHERE rn = 1"""
+            ).collect()
+        }
+        per_type = (
+            spark.read.schema(read_event_stream(spark, d).schema)
+            .json(d)
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        )
+        top = (
+            per_type.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("n").desc(), F.col("event_type")
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .select("user_id", F.col("event_type").alias("top_event_type"))
+        )
+        totals = per_type.groupBy("user_id").agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").alias("total_value"),
+            F.count("*").alias("n_types"),
+        )
+        exp = {
+            r["user_id"]: (
+                r["n_events"],
+                round(r["total_value"], 6),
+                r["n_types"],
+                r["top_event_type"],
+            )
+            for r in totals.join(top, "user_id").collect()
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
