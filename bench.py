@@ -48,6 +48,8 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "ann_topk_cosine",
     "document_quality_scores",
+    "repetition_filter_stats",
+    "exact_passage_spans",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -613,3 +613,41 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum(money("o_totalprice"))).alias("total_price"),
         )
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           GROUPING(n_name) AS g_nation,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+    description="G7 explicit GROUPING SETS (nation-only, priority-only, grand "
+    "total) with GROUPING() disambiguation of the NULL produced by the set vs "
+    "a NULL in the data",
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set unions — the general form ROLLUP/CUBE
+    specialize (SURVEY §2.3 G7). One shuffle: Spark expands the sets
+    map-side, so each input row contributes to its matching partial
+    aggregates before the exchange, same as rollup."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupingSets(
+        [["n_name"], ["o_orderpriority"], []], "n_name", "o_orderpriority"
+    ).agg(
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        as_double(F.sum(money("o_totalprice"))).alias("total_price"),
+    )

@@ -161,3 +161,65 @@ def streaming_csv_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_static_enrich_live",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    description="G4/G14 stream-static join executed by the real micro-batch "
+    "engine: event stream enriched against the static customer dimension",
+)
+def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join — the canonical streaming enrichment
+    pattern (dimension lookup per micro-batch). The static side is a
+    bounded dimension, so it broadcasts into every micro-batch with no
+    state store involvement; at cluster scale the dimension re-reads
+    per batch pick up slowly-changing updates for free. The reference
+    enriches per record in Python (consumer.py:117-175); here the
+    lookup is a JVM broadcast hash join inside the streaming plan."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(staging)
+
+    stream = read_event_stream(spark, staging)
+    enriched = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey
+    )
+    # COUNT(DISTINCT) is unsupported in streaming aggregation; the
+    # per-(segment, user) streaming agg below makes the outer batch
+    # count exact. Money stays DECIMAL until the final projection so the
+    # cross-level sum is order-independent.
+    per_user = enriched.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), "user_id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(money("value")).alias("v"),
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        per_user.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.table(sink)
+        .groupBy("mktsegment")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_users"),
+            as_double(F.sum("v")).alias("sum_value"),
+        )
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import as_double, frac, money
+from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.catalog import load_table, load_tables
 
@@ -908,4 +909,28 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "posexplode_doc_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE doc_id % 50 = 0) d,
+         UNNEST(generate_series(1, len(t))) AS u(i)
+    """,
+    description="G11/G16 ordinal explode (posexplode = UNNEST WITH ORDINALITY): "
+    "1->N fan-out preserving element position",
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-preserving lateral fan-out — the building block for
+    order-sensitive downstream ops (sequence packing, sliding windows
+    over token streams). Generate runs inside the scan stage: no
+    shuffle, and the doc_id predicate is pushed to parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
     )

@@ -145,3 +145,30 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
         F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CUME_DIST() OVER w AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    description="G8 percent_rank + cume_dist per market segment (tie-broken "
+    "total order so both distributions are deterministic)",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: both are rank/count int
+    ratios, so the doubles are bit-identical across engines. Partitioned
+    by segment — at 100 TB each partition's sort is independent; no
+    global single-partition window anywhere."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
