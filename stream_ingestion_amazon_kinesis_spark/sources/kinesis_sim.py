@@ -1,0 +1,400 @@
+"""Kinesis-simulating custom Python DataSource (PySpark 4 DataSource API).
+
+The reference drives Kinesis imperatively: paginated ``list_shards``
+(consumer.py:53-94), a TRIM_HORIZON iterator per shard, a
+``get_records(Limit=200)`` poll loop that follows ``NextShardIterator``
+(consumer.py:108-195), and ``put_record(PartitionKey=session_id)`` on
+the produce side (producer_from_cli_my_modifications.py:40-47). This
+module re-expresses that protocol in Spark's own source/sink contracts
+instead of a driver-side loop:
+
+- shard          -> ``InputPartition``  (one read task per shard; the
+                    shard LISTING is driver-side metadata, exactly like
+                    list_shards pagination)
+- shard iterator -> streaming offset (per-shard record index, persisted
+                    in the checkpoint rather than in process memory)
+- Limit=200      -> ``maxFetchRecordsPerShard`` cap applied per shard
+                    per micro-batch in ``latestOffset``
+- TRIM_HORIZON / LATEST -> ``startingPosition`` option handled in
+                    ``initialOffset``
+- put_record(PartitionKey=k) -> batch writer that routes each row to
+                    ``crc32(k) % num_shards``, with Spark's two-phase
+                    task-write / driver-commit protocol replacing the
+                    per-record HTTP call
+
+On-disk stream layout (a "stream" is a directory):
+
+    <stream>/shard-00000/part-<taskid>.jsonl
+    <stream>/shard-00001/part-...
+
+Each line is one record envelope: ``{"partitionKey": str, "data": str}``.
+A record's sequence number is its 0-based position within the shard
+(part files ordered by name), mirroring Kinesis' monotone per-shard
+sequence numbers.
+
+Everything inside reader/writer methods is stdlib-only so the pickled
+class works on any executor without the package installed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "shard_id string, sequence_number bigint, partition_key string, data string"
+)
+
+
+def _shard_dirs(path: str) -> list[str]:
+    """Driver-side shard listing — the list_shards analog. Sorted so
+    shard ordering (and thus partition ids) is deterministic."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"kinesis_sim stream directory not found: {path}")
+    return sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("shard-") and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def _shard_files(shard_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".jsonl")
+    )
+
+
+def _iter_shard_records(shard_dir: str):
+    """Yield (seq, envelope_dict) across the shard's part files in
+    name order — the per-shard sequence-number space."""
+    seq = 0
+    for fpath in _shard_files(shard_dir):
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    yield seq, json.loads(line)
+                    seq += 1
+
+
+def _shard_length(shard_dir: str) -> int:
+    n = 0
+    for fpath in _shard_files(shard_dir):
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    n += 1
+    return n
+
+
+@dataclass
+class ShardPartition(InputPartition):
+    """One shard (slice) == one Spark read task."""
+
+    shard_dir: str
+    start: int  # inclusive record index
+    end: int  # exclusive; -1 = to end of shard
+
+
+def _read_shard(part: ShardPartition):
+    shard_id = os.path.basename(part.shard_dir)
+    for seq, env in _iter_shard_records(part.shard_dir):
+        if seq < part.start:
+            continue
+        if part.end >= 0 and seq >= part.end:
+            break
+        yield (shard_id, seq, env.get("partitionKey"), env.get("data"))
+
+
+class KinesisSimBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        return [ShardPartition(d, 0, -1) for d in _shard_dirs(self.path)]
+
+    def read(self, partition: ShardPartition):
+        return _read_shard(partition)
+
+
+class KinesisSimStreamReader(DataSourceStreamReader):
+    """Micro-batch reader whose offset is the per-shard record index —
+    the shard-iterator positions the reference keeps in process memory
+    (consumer.py:189-190), made durable by the checkpoint instead.
+    """
+
+    def __init__(self, path: str, starting_position: str, max_fetch: int):
+        self.path = path
+        self.starting_position = starting_position
+        self.max_fetch = max_fetch
+
+    def initialOffset(self) -> dict:
+        # TRIM_HORIZON -> start of every shard; LATEST -> current tail.
+        if self.starting_position == "LATEST":
+            return {os.path.basename(d): _shard_length(d) for d in _shard_dirs(self.path)}
+        return {os.path.basename(d): 0 for d in _shard_dirs(self.path)}
+
+    def latestOffset(self) -> dict:
+        # Advance each shard by at most max_fetch records — the
+        # get_records(Limit=200) cap, applied per shard per micro-batch.
+        # The cursor lives on self between calls; after a checkpoint
+        # restart it re-syncs from the engine-provided start offset in
+        # partitions() (one empty batch at worst).
+        cur = getattr(self, "_cursor", None)
+        if cur is None:
+            cur = self.initialOffset()
+        out = {}
+        for d in _shard_dirs(self.path):
+            sid = os.path.basename(d)
+            tail = _shard_length(d)
+            at = cur.get(sid, 0)
+            out[sid] = min(tail, at + self.max_fetch)
+        self._cursor = out
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        # Re-sync the rate-limit cursor with the engine's view — after a
+        # restart the checkpointed start can be ahead of our fresh cursor.
+        cur = getattr(self, "_cursor", None) or {}
+        self._cursor = {
+            sid: max(cur.get(sid, 0), start.get(sid, 0), end.get(sid, 0))
+            for sid in set(cur) | set(start) | set(end)
+        }
+        parts = []
+        for d in _shard_dirs(self.path):
+            sid = os.path.basename(d)
+            s, e = start.get(sid, 0), end.get(sid, 0)
+            if e > s:
+                parts.append(ShardPartition(d, s, e))
+        # A batch where no shard advanced still needs >=1 (empty) part.
+        return parts or [ShardPartition(_shard_dirs(self.path)[0], 0, 0)]
+
+    def read(self, partition: ShardPartition):
+        return _read_shard(partition)
+
+    def commit(self, end: dict) -> None:
+        # Offsets are recomputable from the checkpoint; nothing to do —
+        # like Kinesis itself, the "stream" retains records regardless.
+        pass
+
+
+@dataclass
+class ShardWriteCommit(WriterCommitMessage):
+    files: list  # (final_relpath, tmp_path) pairs
+
+
+class KinesisSimWriter(DataSourceWriter):
+    """put_record twin: route rows to shards by partition key, write
+    per-task part files to a staging area, publish on driver commit —
+    Spark's two-phase commit standing in for the service-side append.
+    """
+
+    def __init__(self, path: str, num_shards: int, key_col: str, data_col: str):
+        self.path = path
+        self.num_shards = num_shards
+        self.key_col = key_col
+        self.data_col = data_col
+
+    def write(self, iterator) -> ShardWriteCommit:
+        task_id = uuid.uuid4().hex[:12]
+        handles, files = {}, []
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        try:
+            for row in iterator:
+                key = str(row[self.key_col])
+                # crc32: deterministic cross-process (Python's hash() is
+                # salted), the MD5-of-partition-key role in Kinesis.
+                shard = zlib.crc32(key.encode("utf-8")) % self.num_shards
+                if shard not in handles:
+                    rel = os.path.join(
+                        f"shard-{shard:05d}", f"part-{task_id}.jsonl"
+                    )
+                    tmp = os.path.join(staging, f"{shard:05d}-{task_id}.jsonl")
+                    handles[shard] = open(tmp, "w", encoding="utf-8")
+                    files.append((rel, tmp))
+                env = {"partitionKey": key, "data": row[self.data_col]}
+                handles[shard].write(json.dumps(env) + "\n")
+        finally:
+            for fh in handles.values():
+                fh.close()
+        return ShardWriteCommit(files=files)
+
+    def commit(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for rel, tmp in msg.files:
+                final = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.replace(tmp, final)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _rel, tmp in msg.files:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
+class KinesisSimDataSource(DataSource):
+    """``spark.read/readStream/write.format("kinesis_sim")``.
+
+    Options:
+      path                     stream directory (required)
+      startingPosition         TRIM_HORIZON (default) | LATEST  [stream read]
+      maxFetchRecordsPerShard  per-shard per-batch cap, default 200
+                               (consumer.py:115's Limit=200)       [stream read]
+      numShards                shard count on write, default 4
+      partitionKeyColumn       routing column on write, default partition_key
+      dataColumn               payload column on write, default data
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_sim"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kinesis_sim requires option 'path'")
+        return path
+
+    def reader(self, schema: StructType) -> KinesisSimBatchReader:
+        return KinesisSimBatchReader(self._path())
+
+    def streamReader(self, schema: StructType) -> KinesisSimStreamReader:
+        return KinesisSimStreamReader(
+            self._path(),
+            self.options.get("startingPosition", "TRIM_HORIZON").upper(),
+            int(self.options.get("maxFetchRecordsPerShard", "200")),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> KinesisSimWriter:
+        path = self._path()
+        if overwrite and os.path.isdir(path):
+            for d in _shard_dirs(path):
+                for f in _shard_files(d):
+                    os.remove(f)
+        return KinesisSimWriter(
+            path,
+            int(self.options.get("numShards", "4")),
+            self.options.get("partitionKeyColumn", "partition_key"),
+            self.options.get("dataColumn", "data"),
+        )
+
+
+def register_format(spark) -> None:
+    """Idempotent registration of the kinesis_sim format."""
+    spark.dataSource.register(KinesisSimDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Registered roundtrip query: put_record routing -> shard scan -> decode
+# ---------------------------------------------------------------------------
+
+
+def _stream_cache_path(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "spark_graft_kinesis_sim", tag, "events")
+
+
+def events_stream_dir(spark, sf_dir: str, num_shards: int = 8) -> str:
+    """Materialize the events fixture as a kinesis_sim stream once per
+    sf: partition key = user_id (the reference keys on session_id,
+    producer:46), payload = the record as JSON. Marker file makes the
+    cache idempotent across processes."""
+    from pyspark.sql import functions as F
+
+    from .catalog import load_table
+
+    register_format(spark)
+    path = _stream_cache_path(sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        events = load_table(spark, sf_dir, "events")
+        env = events.select(
+            F.col("user_id").cast("string").alias("partition_key"),
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("data"),
+        )
+        (
+            env.write.format("kinesis_sim")
+            .option("path", path)
+            .option("numShards", str(num_shards))
+            .mode("overwrite")
+            .save()
+        )
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("")
+    return path
+
+
+def _register_queries() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..plans.registry import register
+
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    @register(
+        "kinesis_sim_roundtrip",
+        oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM events
+        GROUP BY event_type
+        """,
+        description="S1/S2/S5 as a custom Python DataSource: events routed "
+        "to shards by partition key (put_record twin), scanned back one "
+        "task per shard, JSON-decoded, aggregated; oracle reads the same "
+        "records from parquet",
+    )
+    def kinesis_sim_roundtrip(spark, sf_dir: str):
+        path = events_stream_dir(spark, sf_dir)
+        raw = spark.read.format("kinesis_sim").option("path", path).load()
+        rec = raw.select(
+            F.from_json("data", payload).alias("r")
+        ).select("r.*")
+        return rec.groupBy("event_type").agg(
+            F.count("*").alias("n_records"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+
+_register_queries()
