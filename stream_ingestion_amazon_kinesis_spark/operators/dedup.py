@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 
 @register(
@@ -246,6 +246,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame
     only genuinely duplicated/near-duplicated passages collide — on a
     small shared vocabulary, token-set Jaccard saturates (most pairs
     look alike) and the candidate space degenerates to O(n^2)."""
+    docs = spread(docs)  # shingle+hash work is compute-bound; see catalog.spread
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
     )
@@ -309,7 +310,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ARRAY onto each side and intersect in-place (JVM array_intersect)
     # — two equi-joins on doc_id, no explode, no per-shingle shuffle.
     # Only candidate pairs pay the intersection cost.
-    doc_sh = docs.select(
+    doc_sh = spread(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     pairs = candidates.join(
@@ -545,25 +546,31 @@ def exact_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE explode + ONE map-side-combined groupBy — no self-join, so a
     boilerplate span in k docs costs one k-row group, not k^2 join rows;
     the shape survives 100 TB. Spans are distinct-per-doc so COUNT(*)
-    counts documents."""
+    counts documents. Two shuffle-volume tricks: the raw docs are
+    round-robin repartitioned before the span explode (spreads the
+    compute even when the storage layout yields few splits), and spans
+    are md5'd BEFORE the groupBy so the exchange carries 16-byte digests
+    instead of ~50-byte strings — grouping by digest is equivalent
+    because md5 collisions are negligible at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     sh = (
-        docs.filter(F.size(toks) >= PASSAGE_N)
+        spread(docs.filter(F.size(toks) >= PASSAGE_N))
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles("text", PASSAGE_N))).alias("span"),
         )
+        .select(
+            "doc_id", F.md5(F.encode(F.col("span"), "UTF-8")).alias("span_md5")
+        )
     )
     return (
-        sh.groupBy("span")
+        sh.groupBy("span_md5")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
         .filter(F.col("n_docs") >= 2)
-        .select("span", "n_docs", "first_doc", "last_doc")
-        .withColumn("span_md5", F.md5(F.encode(F.col("span"), "UTF-8")))
-        .drop("span")
+        .select("span_md5", "n_docs", "first_doc", "last_doc")
     )

@@ -43,6 +43,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's default parallelism.
+
+    Use before compute-bound per-row work (shingling, hashing, regex)
+    whose input scan may yield few splits: parquet parallelism stops at
+    row-group granularity, so a compact fixture (or a small filtered
+    table) can pin an expensive narrow chain to a handful of tasks. The
+    exchange moves each input row exactly once and unlocks full-width
+    execution for everything downstream; skip it when the scan already
+    fans out or when the next op is itself a shuffle."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
