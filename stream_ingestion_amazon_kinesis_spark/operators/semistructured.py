@@ -1,0 +1,105 @@
+"""Semi-structured data via Spark 4's VARIANT type (SURVEY §2.3 G11/S3).
+
+The reference decodes every Kinesis record with a row-at-a-time
+``json.loads`` and then pokes at dynamic fields (consumer.py:118,
+135-158). The engine's first-class answer is `from_json` with an
+explicit schema (sources/json_source.py, enrichment.json_props_extract);
+VARIANT is the schema-ON-READ complement for payloads whose shape isn't
+known up front: `parse_json` keeps the value in a binary columnar
+encoding, `variant_get` extracts typed paths lazily, and
+`try_variant_get` turns per-record type surprises into NULLs instead of
+job failures — the same drop-with-log error contract the reference
+implements by hand (consumer.py:179-186).
+
+The fixture's `props` column is uniform, so the query manufactures the
+dynamic-typing problem VARIANT exists for: half the records carry
+``{"k": <int>}`` and half ``{"k": "<int>"}`` (string-typed), split by
+event parity. `variant_get` deliberately casts across stored types, so
+the stored type is witnessed with per-row `schema_of_variant` — the
+int-typed sum, the string-typed count, and the type-blind sum are all
+checked exactly against a DuckDB oracle computing the same split from
+the raw JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_id % 2 = 0
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k_int,
+           CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_str_typed,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k_any
+    FROM events
+    GROUP BY event_type
+    """,
+    description="G11 VARIANT path: parse_json on mixed-typed payloads, "
+    "variant_get typed extraction with try-semantics for type mismatches",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    # Rebuild the payload with a per-row dynamic type for k: ints on
+    # even event_ids, JSON strings on odd — the shape drift VARIANT
+    # absorbs without a schema change.
+    dynamic_json = F.concat(
+        F.lit('{"k": '),
+        F.when(F.col("event_id") % 2 == 0, k).otherwise(
+            F.concat(F.lit('"'), k, F.lit('"'))
+        ),
+        F.lit("}"),
+    )
+    v = events.select(
+        "event_id", "event_type", F.parse_json(dynamic_json).alias("v")
+    )
+    # variant_get CASTS across stored types (string "87" -> 87), so the
+    # stored type itself is read via per-row schema introspection —
+    # that's the VARIANT contract: values are dynamically typed, and
+    # schema_of_variant is the runtime type witness.
+    sch = F.schema_of_variant("v")
+    k_any = F.try_variant_get("v", "$.k", "string").cast("bigint")
+    int_typed = sch == "OBJECT<k: BIGINT>"
+    str_typed = sch == "OBJECT<k: STRING>"
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(int_typed, k_any)).alias("sum_k_int"),
+        F.count(F.when(str_typed, 1)).alias("n_str_typed"),
+        F.sum(k_any).alias("sum_k_any"),
+    )
+
+
+@register(
+    "variant_schema_profile",
+    oracle="""
+    SELECT 'OBJECT<k: BIGINT>' AS variant_schema,
+           CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM events
+    """,
+    description="G11 VARIANT introspection: schema_of_variant_agg summarizes "
+    "the merged runtime shape of a payload column",
+)
+def variant_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over a dynamic column — the batch answer to "what
+    is actually inside these payloads?" before committing to a read
+    schema. `schema_of_variant_agg` merges every record's runtime type
+    into one DDL string in a single map-side-combined aggregate; on the
+    uniform fixture payloads it is OBJECT<k: BIGINT> by construction
+    (the oracle pins the literal, so a fixture drift fails loudly)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(F.parse_json("props").alias("v"))
+    return v.agg(
+        F.schema_of_variant_agg("v").alias("variant_schema"),
+        F.count("*").alias("n_records"),
+    )

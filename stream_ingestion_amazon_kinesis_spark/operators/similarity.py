@@ -193,6 +193,105 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+N_PLANES = 32  # SRP signature bits; P(bit agrees) = 1 - theta/pi per bit
+SRP_BANDS = 8  # 8 bands x 4 bits: P(candidate) = 1 - (1 - p^4)^8
+
+
+def _srp_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random +/-1 hyperplanes (crc32-seeded, so
+    every executor and every run derives the identical matrix without
+    shipping state). Rademacher entries are a standard choice for signed
+    random projections — same concentration bounds as Gaussian."""
+    import zlib
+
+    return [
+        [
+            1.0 if zlib.crc32(f"{i}:{j}".encode()) & 1 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def srp_band_buckets(vec) -> F.Column:
+    """Banded SimHash-for-cosine: an array of SRP_BANDS (band, bucket)
+    structs, where each band's bucket packs 4 sign bits of <v, h_i>.
+    Two vectors at cosine angle theta share at least one band with
+    probability 1 - (1 - p^4)^SRP_BANDS, p = 1 - theta/pi — the same
+    banding amplification the MinHash path uses for Jaccard
+    (operators/dedup.py), applied to the cosine hash family. All-JVM:
+    one zip_with/aggregate fold per plane over a literal plane matrix;
+    no Python, nothing shipped with the task closure."""
+    planes = _srp_planes()
+    bits = []
+    for plane in planes:
+        row = F.array(*[F.lit(s) for s in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    per_band = N_PLANES // SRP_BANDS
+    bands = []
+    for b in range(SRP_BANDS):
+        packed = sum(
+            (bits[b * per_band + j] * F.lit(2**j).cast("long") for j in range(1, per_band)),
+            start=bits[b * per_band],
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band"), packed.alias("bucket"))
+        )
+    return F.array(*bands)
+
+
+@register(
+    "ann_srp_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    description=f"G17 SRP-LSH ANN: {N_PLANES}-bit signed random projections "
+    f"in {SRP_BANDS} bands, any-band candidate match, exact cosine rerank",
+)
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH alternative to IVF: no trained quantizer, so it
+    works on unlabeled/unclustered corpora. Corpus vectors are bucketed
+    once per band; a (query, neighbor) pair is a candidate if ANY band
+    bucket matches (the OR-amplification that buys recall), then exact
+    cosine reranks candidates, so precision is exact and only recall
+    depends on the hashing. The probe side is queries x bands rows —
+    broadcast; the corpus-sized work is one narrow explode plus one
+    bucket equi-join. Band width (4 bits here, tuned for this corpus'
+    mid-cosine neighbors) is the selectivity knob: production corpora
+    with tighter near-neighbor cosines use wider bands to keep bucket
+    populations at corpus/2^width."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.explode(srp_band_buckets(F.col("embedding"))).alias("bb"),
+    ).select("neighbor_id", "c_emb", "bb.band", "bb.bucket")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(srp_band_buckets(F.col("embedding"))).alias("qb"),
+    ).select("query_id", "q_emb", F.col("qb.band").alias("band"), F.col("qb.bucket").alias("bucket"))
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(
+            F.broadcast(probes),
+            ["band", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .distinct()  # a pair matching in several bands is one candidate
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

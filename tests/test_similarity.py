@@ -44,6 +44,26 @@ def test_ivf_neardup_recall_vs_label_blocked(spark, sf_dir):
     assert recall >= 0.9, f"IVF near-dup recall too low: {recall:.3f}"
 
 
+def test_srp_recall_vs_brute_force(spark, sf_dir):
+    """Banded SRP (8x4 bits) must recover most brute-force top-k pairs.
+    0.6 is the floor for this corpus' mid-cosine neighbors (measured
+    0.8 at sf0.001, 0.7 at sf0.01); production tuning trades band width
+    for recall."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        ann_srp_topk,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    srp = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_srp_topk(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & srp) / len(brute)
+    assert recall >= 0.6, f"SRP recall too low: {recall:.3f}"
+
+
 def test_topk_is_k_per_query(spark, sf_dir):
     import collections
 
