@@ -70,3 +70,42 @@ def attach_progress_log(spark: SparkSession) -> tuple[ProgressLog, QueryProgress
     listener = QueryProgressListener(log)
     spark.streams.addListener(listener)
     return log, listener
+
+
+def with_quality_metrics(df, name: str = "quality", key_col: str | None = None):
+    """Attach in-plan data-quality counters via `Dataset.observe` — the
+    aggregates ride the existing job (accumulator-backed, zero extra
+    pass or shuffle), unlike a separate `.count()` audit query which
+    would re-execute the plan.
+
+    Metrics: row count, and per-key null count when `key_col` is given
+    (the reference's per-record "read N / error M" log tallies,
+    consumer.py:119-121,179-186, as constant-overhead counters).
+
+    Batch: pass a `pyspark.sql.Observation()` as `name` is not needed —
+    use `observe_batch` below. Streaming: metrics surface per
+    micro-batch in `StreamingQueryProgress.observedMetrics[name]`.
+    """
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if key_col is not None:
+        metrics.append(
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("n_null_keys")
+        )
+    return df.observe(name, *metrics)
+
+
+def observe_batch(df, key_col: str | None = None):
+    """Batch twin of `with_quality_metrics`: returns (df, Observation);
+    read `observation.get` AFTER an action on the returned df."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if key_col is not None:
+        metrics.append(
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("n_null_keys")
+        )
+    return df.observe(obs, *metrics), obs

@@ -66,6 +66,50 @@ def test_progress_listener_sees_batches(spark, sf_dir, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_observe_batch_metrics_ride_the_job(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.streaming.observability import (
+        observe_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.withColumn(
+        "maybe_null", F.when(F.col("event_id") % 10 == 0, None).otherwise(F.col("user_id"))
+    )
+    observed, obs = observe_batch(df, key_col="maybe_null")
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_keys"] == events.filter(F.col("event_id") % 10 == 0).count()
+
+
+def test_observe_streaming_metrics_in_progress(spark, sf_dir, tmp_path):
+    from stream_ingestion_amazon_kinesis_spark.streaming.observability import (
+        with_quality_metrics,
+    )
+
+    d = str(tmp_path / "ev_obs")
+    events = load_table(spark, sf_dir, "events").limit(80)
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.text(d)
+
+    stream = with_quality_metrics(
+        read_event_stream(spark, d), name="quality", key_col="user_id"
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .start()
+    )
+    q.processAllAvailable()
+    seen = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if "quality" in (p.get("observedMetrics") or {})
+    ]
+    q.stop()
+    assert sum(m["n_rows"] for m in seen) == 80
+    assert all(m["n_null_keys"] == 0 for m in seen)
+
+
 def test_idempotent_sink_skips_retried_epoch(spark, sf_dir, tmp_path):
     out = str(tmp_path / "epochs")
     sink = idempotent_epoch_sink(out)
