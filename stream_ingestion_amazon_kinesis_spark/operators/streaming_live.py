@@ -223,3 +223,132 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum("v")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "streaming_session_window_live",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           date_trunc('milliseconds', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    description="G12/G14 session windows (30m gap) executed by the real "
+    "micro-batch engine with merging session state per user; the state "
+    "store keeps window bounds at millisecond precision, so the oracle "
+    "truncates its session_start to match",
+)
+def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows on the streaming engine proper: the
+    state store holds open sessions per user and MERGES them as
+    micro-batches arrive out of window order — semantics no batch
+    replay can exercise. Complete mode keeps every closed-and-merged
+    session visible for the oracle diff; production pipelines run the
+    same plan in append mode with the watermark closing sessions."""
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_events_sess_")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(staging)
+
+    stream = read_event_stream(spark, staging)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_kinesis_sim_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="S1/S2 live: the kinesis_sim custom Python DataSource "
+    "streamed through the real micro-batch engine (shard offsets in the "
+    "checkpoint), JSON-decoded and aggregated",
+)
+def streaming_kinesis_sim_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference ingest loop as Spark contracts end-to-end:
+    events routed to shard files by partition key (put_record twin),
+    streamed back through the custom DataSource's offset protocol
+    (get_records pagination), decoded and aggregated by the streaming
+    engine. COUNT(DISTINCT) is unsupported in streaming aggregation, so
+    the stream aggregates per (event_type, user_id) and a bounded batch
+    rollup finishes the distinct count."""
+    from pyspark.sql import types as T
+
+    from ..sources.kinesis_sim import events_stream_dir
+
+    path = events_stream_dir(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("kinesis_sim")
+        .option("path", path)
+        .option("maxFetchRecordsPerShard", "1000000")
+        .load()
+        .select(F.from_json("data", payload).alias("r"))
+        .select("r.*")
+    )
+    per_user = stream.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        per_user.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_records"),
+            F.count("*").alias("n_users"),
+        )
+    )
