@@ -459,16 +459,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (here the label; in production an LSH/IVF cell id) keeps the
     self-join linear in bucket size instead of O(n^2) over the corpus —
     the same pattern as the MinHash band join."""
-    from ..functions.vectors import cosine as _cos
+    from ..functions.vectors import cosine_pre, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
     )
-    sim = F.round(_cos(F.col("va"), F.col("vb")), 6)
+    sim = F.round(cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))

@@ -16,12 +16,15 @@ counts (raw float ranking could flip on last-ulp differences).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_pandas, cosine_pre, norm
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 N_QUERIES = 8
 TOP_K = 5
@@ -48,10 +51,18 @@ TOP_K = 5
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = F.round(
+        cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
@@ -128,14 +139,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", "q_cell")
+        .select("query_id", "q_emb", norm(F.col("q_emb")).alias("q_norm"), "q_cell")
     )
-    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    sim = F.round(
+        cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_emb"),
+            norm(F.col("embedding")).alias("c_norm"),
             F.col("cell"),
         )
         .join(
@@ -176,20 +190,29 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only recall depends on the blocking."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_centroids(emb)
-    assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP)
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "cell"
+    # Candidate generation on ids ONLY: the (cell) self-join and the
+    # de-duplication of multi-assigned pairs shuffle 2 longs per row,
+    # never the vectors. The exact verify then runs ONCE per unique
+    # pair with the Arrow/numpy kernel — on millions of candidates the
+    # per-row JVM expression tree was the bottleneck (73 s -> seconds).
+    assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP).select(
+        "vec_id", "cell"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "cell"
-    )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, ["cell"])
+    pairs = (
+        assigned.select(F.col("vec_id").alias("vec_a"), "cell")
+        .join(assigned.select(F.col("vec_id").alias("vec_b"), "cell"), ["cell"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_pandas(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= NEARDUP_COS_THRESHOLD)
-        .distinct()  # a pair sharing both assigned cells appears twice
     )
 
 
@@ -215,35 +238,42 @@ def _srp_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float
 
 
 def srp_band_buckets(vec) -> F.Column:
-    """Banded SimHash-for-cosine: an array of SRP_BANDS (band, bucket)
-    structs, where each band's bucket packs 4 sign bits of <v, h_i>.
-    Two vectors at cosine angle theta share at least one band with
-    probability 1 - (1 - p^4)^SRP_BANDS, p = 1 - theta/pi — the same
-    banding amplification the MinHash path uses for Jaccard
-    (operators/dedup.py), applied to the cosine hash family. All-JVM:
-    one zip_with/aggregate fold per plane over a literal plane matrix;
-    no Python, nothing shipped with the task closure."""
-    planes = _srp_planes()
-    bits = []
-    for plane in planes:
-        row = F.array(*[F.lit(s) for s in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, row, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    """Banded SimHash-for-cosine: an array of SRP_BANDS bucket ids,
+    where band b's bucket packs 4 sign bits of <v, h_i>. Two vectors at
+    cosine angle theta share at least one band with probability
+    1 - (1 - p^4)^SRP_BANDS, p = 1 - theta/pi — the same banding
+    amplification the MinHash path uses for Jaccard (operators/dedup.py),
+    applied to the cosine hash family.
+
+    Computed by ONE Arrow-batched numpy matmul (batch x dim @ dim x
+    planes). A pure-Column formulation (32 zip_with/aggregate folds over
+    literal plane arrays) was measured ~7 s at sf0.1: 2048 literal
+    nodes make Catalyst analysis itself the bottleneck, and the folds
+    evaluate interpreted. Explode the result with posexplode — the
+    position IS the band id."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    import numpy as np
+
+    planes = np.array(_srp_planes(), dtype=np.float64).T  # dim x planes
     per_band = N_PLANES // SRP_BANDS
-    bands = []
-    for b in range(SRP_BANDS):
-        packed = sum(
-            (bits[b * per_band + j] * F.lit(2**j).cast("long") for j in range(1, per_band)),
-            start=bits[b * per_band],
-        )
-        bands.append(
-            F.struct(F.lit(b).alias("band"), packed.alias("bucket"))
-        )
-    return F.array(*bands)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
+        bits = (m @ planes) >= 0  # batch x planes
+        out = []
+        for row in bits:
+            buckets = []
+            for b in range(SRP_BANDS):
+                packed = 0
+                for j in range(per_band):
+                    packed |= int(row[b * per_band + j]) << j
+                buckets.append(packed)
+            out.append(buckets)
+        return pd.Series(out)
+
+    return _buckets(vec)
 
 
 @register(
@@ -266,26 +296,32 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tighter near-neighbor cosines use wider bands to keep bucket
     populations at corpus/2^width."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
+    # 32 plane dots per vector is compute-bound interpreted work; spread
+    # it across the cluster (see sources.catalog.spread).
+    corpus = spread(emb).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.explode(srp_band_buckets(F.col("embedding"))).alias("bb"),
-    ).select("neighbor_id", "c_emb", "bb.band", "bb.bucket")
+        F.posexplode(srp_band_buckets(F.col("embedding"))).alias("band", "bucket"),
+    )
     probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(srp_band_buckets(F.col("embedding"))).alias("qb"),
-    ).select("query_id", "q_emb", F.col("qb.band").alias("band"), F.col("qb.bucket").alias("bucket"))
-    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+        F.posexplode(srp_band_buckets(F.col("embedding"))).alias("band", "bucket"),
+    )
+    # Candidates as id pairs only (any-band match, deduped), then ONE
+    # Arrow-vectorized cosine per unique pair — the bucket join and
+    # distinct never shuffle the vectors themselves.
+    cand = (
+        corpus.join(F.broadcast(probes), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ec = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = F.round(cosine_pandas(F.col("q_emb"), F.col("c_emb")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
-        corpus.join(
-            F.broadcast(probes),
-            ["band", "bucket"],
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
-        .distinct()  # a pair matching in several bands is one candidate
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ec, "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
