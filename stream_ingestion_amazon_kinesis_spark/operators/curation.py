@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 # Contamination unit: 5-token grams (docs shorter than 5 tokens carry no
 # grams and drop out of the report — mirrored by generate_series in the
@@ -93,7 +93,9 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to one row before the exchange, so the shuffle is O(docs),
     not O(grams)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # Both branches below re-evaluate the gram explode; spread the raw
+    # docs first so each evaluation runs cluster-wide (catalog.spread).
+    grams = spread(docs).select(
         "doc_id", "source", F.explode(_grams(F.col("text"))).alias("gram")
     )
     bench = (

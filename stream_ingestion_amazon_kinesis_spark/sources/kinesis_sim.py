@@ -323,7 +323,7 @@ def _stream_cache_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "spark_graft_kinesis_sim", tag, "events")
 
 
-def events_stream_dir(spark, sf_dir: str, num_shards: int = 8) -> str:
+def events_stream_dir(spark, sf_dir: str, num_shards: int = 32) -> str:
     """Materialize the events fixture as a kinesis_sim stream once per
     sf: partition key = user_id (the reference keys on session_id,
     producer:46), payload = the record as JSON. Marker file makes the
