@@ -249,9 +249,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame
     docs = spread(docs)  # shingle+hash work is compute-bound; see catalog.spread
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")
-    )
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # Hash the shingle STRING once; derive each permutation by re-hashing
+    # the 8-byte value with the permutation index. Equivalent salting
+    # (xxhash64 over (int, long) mixes fully) at 1/32nd of the string
+    # hashing + zero per-permutation string concats.
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)

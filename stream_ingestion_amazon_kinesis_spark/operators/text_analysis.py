@@ -346,7 +346,7 @@ def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        spread(docs).select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
