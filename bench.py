@@ -47,9 +47,15 @@ HEADLINE = [
     "exact_dedup_documents",
     "minhash_lsh_neardup",
     "ann_topk_cosine",
+    "ann_srp_topk",
+    "embedding_neardup_ivf",
     "document_quality_scores",
     "repetition_filter_stats",
     "exact_passage_spans",
+    "contamination_ngram_overlap",
+    "neardup_components",
+    # semi-structured
+    "variant_props_extract",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -190,29 +190,37 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only recall depends on the blocking."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_centroids(emb)
-    # Candidate generation on ids ONLY: the (cell) self-join and the
-    # de-duplication of multi-assigned pairs shuffle 2 longs per row,
-    # never the vectors. The exact verify then runs ONCE per unique
-    # pair with the Arrow/numpy kernel — on millions of candidates the
-    # per-row JVM expression tree was the bottleneck (73 s -> seconds).
     assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP).select(
-        "vec_id", "cell"
+        "cell", "vec_id", "embedding"
     )
-    pairs = (
-        assigned.select(F.col("vec_id").alias("vec_a"), "cell")
-        .join(assigned.select(F.col("vec_id").alias("vec_b"), "cell"), ["cell"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine_pandas(F.col("va"), F.col("vb")), 6)
+
+    # Bucket-local verify: one applyInPandas group per cell computes the
+    # cell's full normalized Gram matrix (|cell| x dim matmul) and emits
+    # only pairs above threshold. Nothing pairwise ever crosses the wire
+    # — each vector travels once per assignment, the shuffle is keyed by
+    # cell, and a pair's cosine is the same floats in every cell that
+    # emits it, so a final distinct() collapses multi-assigned pairs.
+    # This is the production shape at corpus scale: candidate volume is
+    # O(sum cell^2) FLOPS inside numpy, not O(pairs) rows through Arrow.
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= NEARDUP_COS_THRESHOLD
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine_sim": sims[ia, ib][keep]}
+        )
+
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= NEARDUP_COS_THRESHOLD)
+        assigned.groupBy("cell")
+        .applyInPandas(_cell_pairs, "vec_a long, vec_b long, cosine_sim double")
+        .distinct()
     )
 
 
