@@ -107,7 +107,15 @@ def main() -> None:
     # plan family (agg/join, LSH join tree, vector fold).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for warm_q in ("q1_pricing_summary", "minhash_lsh_neardup", "ann_topk_cosine"):
+        # one representative per plan family (agg/join, LSH join tree,
+        # vector fold, Arrow/pandas-UDF worker pool)
+        for warm_q in (
+            "q1_pricing_summary",
+            "minhash_lsh_neardup",
+            "ann_topk_cosine",
+            "ann_srp_topk",
+            "embedding_neardup_ivf",
+        ):
             QUERIES[warm_q].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

@@ -315,6 +315,23 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_percentile_order_price",
+    oracle=None,  # t-digest sketch is engine-specific; accuracy band vs the
+    # exact percentiles is asserted in tests/test_approx.py
+    description="G6 percentile_approx (t-digest, accuracy 10k) — the "
+    "single-pass quantile path for 100 TB, exact twin: percentiles_order_price",
+)
+def approx_percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.25, 10000).alias("p25"),
+        F.percentile_approx("o_totalprice", 0.50, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.75, 10000).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # G7: rollup / cube
 # ---------------------------------------------------------------------------

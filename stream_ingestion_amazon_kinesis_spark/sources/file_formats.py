@@ -172,3 +172,58 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
             "o_orderpriority"
         ).parquet(path)
     return path
+
+
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "xml_scan_part_brands",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           CAST(MAX(p_size) AS BIGINT) AS max_size
+    FROM part
+    GROUP BY p_brand
+    """,
+    description="G1 XML scan (Spark 4 native XML source, explicit schema, "
+    "rowTag records) -> brand rollup; oracle reads the same rows from parquet",
+)
+def xml_scan_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth wire format on the G1 scan surface (parquet, CSV, JSON,
+    XML): the part table exported once as <part> row elements and read
+    back through the native XML reader with an explicit schema — like
+    CSV/JSON, XML carries no row-group statistics, so this is the
+    interchange path, never the analytical store."""
+    path = _export_path(sf_dir, "part", "xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "part")
+            .select([f.name for f in PART_SCHEMA.fields])
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "parts")
+            .option("rowTag", "part")
+            .save(path)
+        )
+    part = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(PART_SCHEMA)
+        .load(path)
+    )
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        as_double(F.sum(money("p_retailprice"))).alias("total_price"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+    )
