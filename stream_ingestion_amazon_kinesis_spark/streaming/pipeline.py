@@ -241,3 +241,70 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     query.processAllAvailable()
     query.stop()
     return query
+
+
+def kinesis_sim_sink(dest_streams: dict[str, str], num_shards: int = 4):
+    """foreachBatch body writing each routed split to a kinesis_sim
+    DESTINATION STREAM — the reference's dest_streams demux
+    (consumer.py:160-171: country == 'USA' -> USA stream, else
+    International, PartitionKey=session_id) executed through the custom
+    DataSource's two-phase writer instead of per-record put_record.
+    `dest_streams` maps route name ('USA'/'International') to a stream
+    directory path."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sources.kinesis_sim import register_format
+
+        register_format(batch.sparkSession)
+        batch.persist()
+        try:
+            ok = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            enriched = enrich_sessions(ok)
+            # S4 JSON encode inline (json_source.to_json_records semantics):
+            # ISO-8601 timestamps native to to_json.
+            records = enriched.select(
+                F.col("session_id").alias("partition_key"),
+                F.to_json(F.struct(*enriched.columns)).alias("data"),
+                F.col("country"),
+            )
+            for route, pred in (
+                ("USA", F.col("country") == "USA"),
+                ("International", F.col("country") != "USA"),
+            ):
+                (
+                    records.filter(pred)
+                    .drop("country")
+                    .write.format("kinesis_sim")
+                    .option("path", dest_streams[route])
+                    .option("numShards", str(num_shards))
+                    .mode("append")
+                    .save()
+                )
+        finally:
+            batch.unpersist()
+
+    return write_batch
+
+
+def run_kinesis_sim_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    dest_streams: dict[str, str],
+    checkpoint_dir: str,
+    await_all_available: bool = False,
+):
+    """The reference's full topology — source stream -> per-record
+    enrichment -> keyed demux to two destination streams — with the
+    destination side going through the kinesis_sim custom sink."""
+    for path in dest_streams.values():
+        os.makedirs(path, exist_ok=True)
+    stream = read_session_stream(spark, input_dir)
+    query = (
+        stream.writeStream.foreachBatch(kinesis_sim_sink(dest_streams))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    if await_all_available:
+        query.processAllAvailable()
+    return query

@@ -130,6 +130,56 @@ def test_stream_latest_starts_at_tail(spark, stream_dir, tmp_path):
     assert total == 0
 
 
+def test_dest_stream_pipeline_routes_sessions(spark, tmp_path, sf_dir):
+    """Reference topology end-to-end: JSON session stream -> enrichment
+    -> USA/International demux, destination side through the kinesis_sim
+    custom sink (consumer.py:160-171)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stream_ingestion_amazon_kinesis_spark.streaming.pipeline import (
+        run_kinesis_sim_pipeline,
+    )
+
+    sessions = [
+        {
+            "session_id": f"s{i}",
+            "country": "USA" if i % 3 == 0 else "DE",
+            "browse_history": [
+                {"product_code": "p1", "quantity": str(i % 5 + 1), "in_shopping_cart": i % 2 == 0}
+            ],
+        }
+        for i in range(30)
+    ]
+    src = tmp_path / "sessions_in"
+    src.mkdir()
+    with open(src / "batch.json", "w") as fh:
+        for rec in sessions:
+            fh.write(json.dumps(rec) + "\n")
+
+    dest = {
+        "USA": str(tmp_path / "stream_usa"),
+        "International": str(tmp_path / "stream_intl"),
+    }
+    q = run_kinesis_sim_pipeline(
+        spark, str(src), dest, str(tmp_path / "ckpt"), await_all_available=True
+    )
+    q.stop()
+
+    usa = spark.read.format("kinesis_sim").option("path", dest["USA"]).load()
+    intl = spark.read.format("kinesis_sim").option("path", dest["International"]).load()
+    assert usa.count() == sum(1 for s in sessions if s["country"] == "USA")
+    assert intl.count() == sum(1 for s in sessions if s["country"] != "USA")
+    # partition key is the session id (put_record contract) and the
+    # enrichment columns survived the JSON encode
+    row = json.loads(usa.limit(1).collect()[0].data)
+    assert {"overall_product_quantity", "overall_in_shopping_cart",
+            "total_different_products"} <= set(row)
+    keys = {r.partition_key for r in usa.select("partition_key").collect()}
+    assert keys == {s["session_id"] for s in sessions if s["country"] == "USA"}
+
+
 def test_registered_roundtrip_query_matches_parquet(spark, sf_dir):
     from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
     from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
