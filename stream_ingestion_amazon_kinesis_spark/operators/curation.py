@@ -292,3 +292,57 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("target_den") * F.col("src_tokens")).cast("double")
         ).alias("weight"),
     )
+
+
+@register(
+    "length_bucket_padding",
+    oracle="""
+    WITH d AS (
+        SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT n_tokens,
+               GREATEST(16, LEAST(1024,
+                   CAST(power(2, ceil(log2(n_tokens))) AS BIGINT))) AS bucket
+        FROM d WHERE n_tokens > 0)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - LEAST(n_tokens, bucket)) AS BIGINT) AS padding_tokens,
+           CAST(SUM(LEAST(n_tokens, bucket)) AS DOUBLE)
+               / (COUNT(*) * bucket) AS fill_ratio
+    FROM b GROUP BY bucket
+    """,
+    description="G17 length-bucketed batching audit: power-of-two sequence "
+    "buckets (clamped 16..1024), padding waste and fill ratio per bucket",
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape planning for training: pad-to-bucket wastes
+    bucket - len tokens per sequence, so the padding bill per
+    power-of-two bucket decides the packing strategy (cf.
+    sequence_packing_bins for the packed alternative). log2/ceil are
+    exact for the integer inputs on both engines; all compared columns
+    are int-derived."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("bigint")
+    nt = F.col("n_tokens")
+    bucket = F.greatest(
+        F.lit(16).cast("bigint"),
+        F.least(
+            F.lit(1024).cast("bigint"),
+            F.pow(F.lit(2.0), F.ceil(F.log2(nt))).cast("bigint"),
+        ),
+    )
+    b = docs.select(n.alias("n_tokens")).filter(nt > 0).select(
+        "n_tokens", bucket.alias("bucket")
+    )
+    capped = F.least(F.col("n_tokens"), F.col("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") - capped).alias("padding_tokens"),
+        (
+            F.sum(capped).cast("double")
+            / (F.count("*") * F.first("bucket"))
+        ).alias("fill_ratio"),
+    )

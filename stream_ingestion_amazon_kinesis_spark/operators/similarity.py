@@ -362,3 +362,69 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l2_norm").alias("min_norm"),
         F.max("l2_norm").alias("max_norm"),
     )
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127 AS scale
+        FROM embeddings),
+    e AS (
+        SELECT label,
+               ROUND(
+                   sqrt(list_sum(list_transform(
+                       list_zip(v, list_transform(v,
+                           x -> floor(x / scale + 0.5) * scale)),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))))
+                   / sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+                   AS rel_err
+        FROM q WHERE scale > 0)
+    SELECT label,
+           COUNT(*) AS n,
+           MIN(rel_err) AS min_rel_err,
+           MAX(rel_err) AS max_rel_err,
+           CAST(SUM(CAST(rel_err AS DECIMAL(18,6))) AS DOUBLE) AS sum_rel_err
+    FROM e GROUP BY label
+    """,
+    description="G17 int8 embedding quantization: per-vector symmetric "
+    "scale, floor(x/s + 0.5) rounding, relative L2 reconstruction error "
+    "profile per label",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-reduction audit for embedding columns: symmetric int8
+    quantization (scale = max|x| / 127 per vector) and the relative L2
+    reconstruction error it costs. Rounding is written as
+    floor(x/s + 0.5) on BOTH engines — `round()` half-way semantics
+    differ between Spark (half-up) and DuckDB, and a fold-ordered sum +
+    round(6) + exact DECIMAL aggregation keeps the error columns
+    bit-comparable. One narrow pass; the per-label rollup is the only
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    base = emb.select("label", v.alias("v"), scale).filter(F.col("scale") > 0)
+    deq = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+    )
+    sq_err = F.aggregate(
+        F.zip_with(F.col("v"), deq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq_norm = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    rel = F.round(F.sqrt(sq_err) / F.sqrt(sq_norm), 6)
+    e = base.select("label", rel.alias("rel_err"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("rel_err").alias("min_rel_err"),
+        F.max("rel_err").alias("max_rel_err"),
+        F.sum(F.col("rel_err").cast("decimal(18,6)")).cast("double").alias("sum_rel_err"),
+    )
