@@ -130,6 +130,64 @@ def test_stream_latest_starts_at_tail(spark, stream_dir, tmp_path):
     assert total == 0
 
 
+def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, stream_dir, tmp_path):
+    """Stop the stream mid-drain, restart with the same checkpoint: the
+    custom source must resume from the committed per-shard offsets —
+    every record delivered exactly once. This is the upgrade over the
+    reference, whose iterator cursors live in process memory and whose
+    restart re-reads everything from TRIM_HORIZON (consumer.py:76,
+    187-190)."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def start():
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("path", stream_dir)
+            .option("maxFetchRecordsPerShard", "60")
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.read.format("json").schema(
+                "shard_id string, sequence_number long, partition_key string, data string"
+            ).load(out).count() if os.path.isdir(out) else 0
+            if got >= 200:  # mid-drain (total is 900)
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.read.format("json").schema(
+                "shard_id string, sequence_number long, partition_key string, data string"
+            ).load(out).count()
+            if n == 900:
+                time.sleep(1.0)
+                break
+            time.sleep(0.2)
+    finally:
+        q2.stop()
+
+    back = spark.read.format("json").schema(
+        "shard_id string, sequence_number long, partition_key string, data string"
+    ).load(out)
+    # exactly once: 900 rows, and every (shard, seq) slot exactly once
+    assert back.count() == 900
+    assert back.select("shard_id", "sequence_number").distinct().count() == 900
+
+
 def test_dest_stream_pipeline_routes_sessions(spark, tmp_path, sf_dir):
     """Reference topology end-to-end: JSON session stream -> enrichment
     -> USA/International demux, destination side through the kinesis_sim
