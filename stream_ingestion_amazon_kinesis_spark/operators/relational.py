@@ -668,3 +668,111 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         as_double(F.sum(money("o_totalprice"))).alias("total_price"),
     )
+
+
+@register(
+    "median_mode_acctbal",
+    oracle="""
+    WITH m AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2),
+    md AS (
+        SELECT c_mktsegment, c_nationkey AS mode_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n DESC, c_nationkey) AS rn
+        FROM m)
+    SELECT c.c_mktsegment,
+           ROUND(MEDIAN(c.c_acctbal), 6) AS median_acctbal,
+           CAST(MAX(md.mode_nationkey) AS BIGINT) AS mode_nationkey,
+           COUNT(*) AS n
+    FROM customer c JOIN md ON c.c_mktsegment = md.c_mktsegment AND md.rn = 1
+    GROUP BY c.c_mktsegment
+    """,
+    description="G5/G11 central tendency: exact median (interpolated) per "
+    "segment + deterministic mode (max-count, key tiebreak) of nationkey",
+)
+def median_mode_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`median` is exact percentile 0.5 (deterministic). Spark's `mode`
+    breaks frequency ties arbitrarily, so the mode here is computed
+    explicitly — count + row_number with a total tiebreak — which is
+    both deterministic and the plan you'd write at scale anyway (two
+    map-side-combined aggregates, no giant per-group state)."""
+    customer = load_table(spark, sf_dir, "customer")
+    counts = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), "c_nationkey")
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nationkey"))
+    )
+    agg = customer.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 6).alias("median_acctbal"),
+        F.count("*").alias("n"),
+    )
+    return agg.join(F.broadcast(mode), "c_mktsegment").select(
+        "c_mktsegment",
+        "median_acctbal",
+        F.col("mode_nationkey").cast("bigint"),
+        "n",
+    )
+
+
+@register(
+    "safe_arithmetic_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_orderstatus,
+               CASE WHEN (o_custkey % 10) <> 0
+                    THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                   AS BIGINT) * 10000
+                              // (o_custkey % 10) AS BIGINT) END AS ratio
+        FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(COUNT(ratio) AS BIGINT) AS n_divisible,
+           CAST(SUM(ratio) AS BIGINT) AS sum_ratio_scaled,
+           CAST(COUNT(CASE WHEN TRY_CAST(
+                    CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderstatus END AS BIGINT) IS NULL
+                           THEN 1 END) AS BIGINT) AS n_uncastable
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+    description="G11/T8 error-safe arithmetic: try_divide (NULL on /0) and "
+    "try_cast (NULL on bad cast) — per-record error isolation as expressions",
+)
+def safe_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference wraps each record in try/except and drops failures
+    (consumer.py:177-186); the engine expresses the same contract as
+    `try_*` expressions — a divide-by-zero or bad cast yields NULL for
+    THAT column of THAT row, never a task failure, and aggregation
+    skips NULLs. DECIMAL keeps the division exact for the oracle diff."""
+    orders = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 10
+    # integer micro-scale division: cents*10^4 div denom is exact
+    # integer math on both engines — no float rounding anywhere, and
+    # try_divide still exercises the NULL-on-zero contract.
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    ratio = F.try_divide(cents * 10000, denom).cast("bigint")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(ratio).alias("n_divisible"),
+        F.sum(ratio).alias("sum_ratio_scaled"),
+        # half the rows carry a numeric string, half a status letter —
+        # try_cast yields NULL (not an error) for the letters
+        F.count(
+            F.when(
+                F.expr(
+                    "try_cast(CASE WHEN o_orderkey % 2 = 0 "
+                    "THEN CAST(o_orderkey AS STRING) "
+                    "ELSE o_orderstatus END AS BIGINT)"
+                ).isNull(),
+                1,
+            )
+        ).alias("n_uncastable"),
+    )
