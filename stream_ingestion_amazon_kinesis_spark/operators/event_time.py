@@ -224,3 +224,62 @@ def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame
         "asof_ts",
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("micros_since_click"),
     )
+
+
+@register(
+    "time_gap_fill_hours",
+    oracle="""
+    WITH span AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM span),
+    actual AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1)
+    SELECT h.hour_start,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           (a.hour_start IS NULL) AS filled
+    FROM hours h LEFT JOIN actual a USING (hour_start)
+    """,
+    description="G12 time-series resample / gap fill: dense hourly spine via "
+    "sequence+explode, left join of actual hourly aggregates, zero-filled gaps",
+)
+def time_gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularizing an event stream onto a dense time grid — the
+    resample step before windowed feature extraction. The hour spine is
+    `sequence(min, max, interval 1 hour)` exploded from ONE aggregate
+    row (a bounded driver-free generate — at any scale the spine is
+    |hours|, not |events|), then a left join against the hourly rollup;
+    AQE broadcasts whichever side is small. Missing hours surface as
+    zero rows with a `filled` flag instead of silently absent points."""
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(money("value"))).alias("sum_value"),
+    )
+    return (
+        hours.join(actual.withColumnRenamed("n", "a_n"), ["hour_start"], "left")
+        .select(
+            "hour_start",
+            F.coalesce("a_n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.col("a_n").isNull().alias("filled"),
+        )
+    )
