@@ -352,3 +352,56 @@ def streaming_kinesis_sim_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_users"),
         )
     )
+
+
+@register(
+    "streaming_interval_join_live",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS p_ts,
+           c.ts AS c_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+    """,
+    description="G4 stream-stream time-interval join executed by the real "
+    "micro-batch engine (watermark-bounded state both sides), append mode",
+)
+def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join under the oracle gate: purchases pair with
+    the same user's clicks from the preceding hour. Inner interval joins
+    emit exactly the matched pairs once both sides arrive, so on a
+    bounded replay the append-mode output equals the batch join — which
+    is precisely what the oracle checks. Watermarks bound the state
+    store: a click older than watermark+gap is evicted, never scanned."""
+    from ..streaming.pipeline import purchase_click_interval_join, read_event_stream
+
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_events_ssj_")
+    # default to_json truncates timestamps to millis; the join CONDITION
+    # compares ts, so stage at full microsecond precision
+    events.select(
+        F.to_json(
+            F.struct(*events.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).alias("value")
+    ).write.mode("overwrite").text(staging)
+
+    stream = read_event_stream(spark, staging)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = purchase_click_interval_join(purchases, clicks)
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
