@@ -22,6 +22,33 @@ from ..sources.catalog import load_table
 from ..streaming.pipeline import read_event_stream
 
 
+
+def _staged_events_json(spark: SparkSession, sf_dir: str, micros: bool = False) -> str:
+    """Stage the events fixture as JSON-lines once per (sf, precision) —
+    the live queries replay it through the streaming engine repeatedly
+    and the export itself is invariant. `_SUCCESS` marker makes the
+    cache idempotent across processes; `micros=True` keeps full
+    microsecond timestamps (default to_json truncates to millis, which
+    only matters when a query COMPARES timestamps, e.g. a join
+    condition)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    suffix = "us" if micros else "ms"
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_stage", tag, f"events_{suffix}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        opts = (
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"} if micros else {}
+        )
+        events.select(
+            F.to_json(F.struct(*events.columns), opts).alias("value")
+        ).write.mode("overwrite").text(path)
+    return path
+
+
 @register(
     "streaming_tumbling_counts_live",
     oracle="""
@@ -35,12 +62,7 @@ from ..streaming.pipeline import read_event_stream
     description="G12 executed by the real micro-batch engine (file source -> memory sink, complete mode)",
 )
 def streaming_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_events_")
-    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
-        "overwrite"
-    ).text(staging)
-
+    staging = _staged_events_json(spark, sf_dir)
     stream = read_event_stream(spark, staging)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -83,12 +105,7 @@ def streaming_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFram
     description="G12 sliding window (1h/30m) executed by the real micro-batch engine",
 )
 def streaming_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_events_")
-    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
-        "overwrite"
-    ).text(staging)
-
+    staging = _staged_events_json(spark, sf_dir)
     stream = read_event_stream(spark, staging)
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "30 minutes"))
@@ -184,13 +201,8 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch pick up slowly-changing updates for free. The reference
     enriches per record in Python (consumer.py:117-175); here the
     lookup is a JVM broadcast hash join inside the streaming plan."""
-    events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
-    staging = tempfile.mkdtemp(prefix="stream_events_")
-    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
-        "overwrite"
-    ).text(staging)
-
+    staging = _staged_events_json(spark, sf_dir)
     stream = read_event_stream(spark, staging)
     enriched = stream.join(
         F.broadcast(customer), stream.user_id == customer.c_custkey
@@ -259,12 +271,7 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
     replay can exercise. Complete mode keeps every closed-and-merged
     session visible for the oracle diff; production pipelines run the
     same plan in append mode with the watermark closing sessions."""
-    events = load_table(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_events_sess_")
-    events.select(F.to_json(F.struct(*events.columns)).alias("value")).write.mode(
-        "overwrite"
-    ).text(staging)
-
+    staging = _staged_events_json(spark, sf_dir)
     stream = read_event_stream(spark, staging)
     agg = (
         stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -380,16 +387,8 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     store: a click older than watermark+gap is evicted, never scanned."""
     from ..streaming.pipeline import purchase_click_interval_join, read_event_stream
 
-    events = load_table(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_events_ssj_")
-    # default to_json truncates timestamps to millis; the join CONDITION
-    # compares ts, so stage at full microsecond precision
-    events.select(
-        F.to_json(
-            F.struct(*events.columns),
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-        ).alias("value")
-    ).write.mode("overwrite").text(staging)
+    # the join CONDITION compares ts -> needs microsecond staging
+    staging = _staged_events_json(spark, sf_dir, micros=True)
 
     stream = read_event_stream(spark, staging)
     purchases = stream.filter(F.col("event_type") == "purchase")
