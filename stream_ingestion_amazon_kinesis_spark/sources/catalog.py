@@ -44,16 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's default parallelism.
+    """Round-robin repartition to the cluster's default parallelism —
+    but ONLY when the input plan actually yields fewer partitions.
 
     Use before compute-bound per-row work (shingling, hashing, regex)
     whose input scan may yield few splits: parquet parallelism stops at
     row-group granularity, so a compact fixture (or a small filtered
     table) can pin an expensive narrow chain to a handful of tasks. The
     exchange moves each input row exactly once and unlocks full-width
-    execution for everything downstream; skip it when the scan already
-    fans out or when the next op is itself a shuffle."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    execution for everything downstream. On a production layout whose
+    scan already fans out to >= cluster width (thousands of splits at
+    100 TB), this is a NO-OP — the guard is what keeps the helper from
+    inserting a gratuitous full shuffle at scale. The partition count
+    probe reads plan metadata (the file index), not data."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= parallelism:
+            return df
+    except Exception:
+        # streaming or otherwise unplannable-as-RDD inputs: fall through
+        pass
+    return df.repartition(parallelism)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
