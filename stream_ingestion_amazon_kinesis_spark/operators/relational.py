@@ -776,3 +776,62 @@ def safe_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_uncastable"),
     )
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment),
+    ranked AS (
+        SELECT c_mktsegment, n_orders, spend,
+               NTILE(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY COALESCE(spend, 0) DESC, c_custkey)
+                   AS decile
+        FROM cust)
+    SELECT c_mktsegment,
+           CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(spend), 0) AS DOUBLE) AS total_spend
+    FROM ranked
+    GROUP BY c_mktsegment, decile
+    """,
+    description="G5/G8 window-over-aggregated-join: per-segment customer "
+    "spend deciles (NTILE over a left-join rollup), then per-decile stats",
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-layer analytic shape (agg -> window -> agg) that
+    dominates BI workloads: per-customer spend from a left join (so
+    zero-order customers keep a decile), NTILE within segment with a
+    total tiebreak, then per-decile rollup. At scale the window's sort
+    is per-segment — no global single-partition window — and both aggs
+    are map-side combined."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("spend"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(12,2)")).desc(),
+        "c_custkey",
+    )
+    ranked = cust.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return ranked.groupBy("c_mktsegment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.coalesce(F.sum("spend"), F.lit(0).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )

@@ -73,3 +73,13 @@ def test_registered_format_scans_match_parquet(spark, sf_dir):
     supp_json = json_table(spark, sf_dir, "supplier", SUPPLIER_SCHEMA)
     assert supp_json.count() == supp_pq.count()
     assert supp_json.exceptAll(supp_pq).count() == 0
+
+
+def test_spread_is_noop_when_scan_already_parallel(spark):
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10000, 1, numPartitions=par * 2)
+    assert spread(wide) is wide  # no extra exchange on many-split layouts
+    narrow = spark.range(0, 10000, 1, numPartitions=1)
+    assert spread(narrow).rdd.getNumPartitions() == par
