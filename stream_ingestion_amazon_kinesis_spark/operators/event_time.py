@@ -283,3 +283,73 @@ def time_gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_n").isNull().alias("filled"),
         )
     )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+    firsts AS (
+        SELECT user_id, MIN(click_ts) AS first_click
+        FROM clicks GROUP BY user_id),
+    conv AS (
+        SELECT f.user_id, f.first_click,
+               MIN(p.ts) AS first_purchase
+        FROM firsts f
+        LEFT JOIN events p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= f.first_click
+         AND p.ts <= f.first_click + INTERVAL '1 hour'
+        GROUP BY f.user_id, f.first_click)
+    SELECT date_trunc('hour', first_click) AS cohort_hour,
+           COUNT(*) AS n_users,
+           CAST(COUNT(first_purchase) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                         THEN epoch_us(first_purchase) - epoch_us(first_click)
+                    END) AS BIGINT) AS total_latency_us
+    FROM conv
+    GROUP BY 1
+    """,
+    description="G8/G12 funnel conversion: first click per user -> first "
+    "purchase within 1h, cohorted by click hour with conversion latency",
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-funnel shape: anchor event per key (min over a
+    filtered scan — map-side combined), a bounded time-interval left
+    join to the converting event, then a cohort rollup. The interval
+    predicate bounds the join state exactly like the streaming
+    interval join's watermark; latency sums are integer microseconds so
+    the oracle comparison stays exact."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    latency = F.unix_micros("first_purchase") - F.unix_micros("first_click")
+    return conv.groupBy(
+        F.date_trunc("hour", "first_click").alias("cohort_hour")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.count("first_purchase").alias("n_converted"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), latency)).alias(
+            "total_latency_us"
+        ),
+    )
