@@ -835,3 +835,68 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+@register(
+    "stats_profile_orders",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) AS DECIMAL(38,0))) AS s2,
+               MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS min_cents,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS max_cents
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           n,
+           CAST(min_cents AS BIGINT) AS min_cents,
+           CAST(max_cents AS BIGINT) AS max_cents,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_cents,
+           sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_cents
+    FROM s
+    """,
+    description="G5 exact column statistics: mean/variance/stddev derived "
+    "from exact DECIMAL power sums — identical on any partition count",
+)
+def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile with DETERMINISTIC moments: the
+    naive stddev_samp over doubles changes with partition merge order,
+    so the moments here come from exact decimal power sums (S1, S2 in
+    DECIMAL(38,0) — overflow-free to 1e38) converted to double ONCE and
+    combined with a fixed IEEE expression. Any cluster size reproduces
+    the oracle bit-for-bit; DECIMAL(38) keeps S2 exact beyond 100 TB
+    row counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (n_d * s2_d - s1_d * s1_d) / (n_d * (n_d - F.lit(1.0)))
+    return s.select(
+        "o_orderpriority",
+        "n",
+        "min_cents",
+        "max_cents",
+        (s1_d / n_d).alias("mean_cents"),
+        var.alias("var_cents"),
+        F.sqrt(var).alias("stddev_cents"),
+    )
