@@ -177,3 +177,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars_t") - F.col("frame_idx") * FRAME_CHARS,
         ).alias("frame_chars"),
     )
+
+
+@register(
+    "multimodal_arrow_byte_profile",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               length(text) - length(replace(text, 'e', '')) AS n_e
+        FROM documents)
+    SELECT CAST(n_bytes % 8 AS BIGINT) AS len_mod8,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_e) AS BIGINT) AS total_e_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM p
+    GROUP BY 1
+    """,
+    description="G16 mapInArrow: zero-copy per-batch byte profiling of binary "
+    "payloads (length, first-byte high bit), grouped by length class",
+)
+def multimodal_arrow_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Arrow UDF entry point (after pandas_udf, applyInPandas,
+    mapInPandas): `mapInArrow` hands each partition as raw
+    `pyarrow.RecordBatch`es — no pandas conversion at all — which is the
+    right hook for byte-level work on binary columns (codec sniffing,
+    container demuxing) where pandas object boxing would dominate. The
+    batch function touches buffers with pyarrow.compute only; the
+    output schema contract is enforced by Spark like any UDF."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_e", T.LongType()),
+        ]
+    )
+
+    def profile(batches):
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            lengths = pc.binary_length(payload).cast(pa.int64())
+            # byte-pattern scan straight on the buffers (a codec would
+            # sniff magic numbers the same way)
+            n_e = pc.count_substring(payload.cast(pa.string()), "e").cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), lengths, n_e],
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("n_bytes", pa.int64()),
+                        ("n_e", pa.int64()),
+                    ]
+                ),
+            )
+
+    profiled = media.mapInArrow(profile, out_schema)
+    return profiled.groupBy(
+        (F.col("n_bytes") % 8).alias("len_mod8")
+    ).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_e").alias("total_e_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )
