@@ -934,3 +934,68 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
     )
+
+
+@register(
+    "map_hof_user_event_stats",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value) AS BIGINT)) AS s
+        FROM events GROUP BY user_id, event_type),
+    kept AS (
+        SELECT user_id, event_type, n,
+               (s * 100) // n AS avg_scaled
+        FROM per WHERE n >= 2)
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(SUM(avg_scaled) AS BIGINT) AS sum_avg_scaled
+    FROM kept GROUP BY event_type
+    """,
+    description="G11 map higher-order functions: map_from_entries -> "
+    "map_zip_with (integer avg) -> map_filter (min support) -> explode",
+)
+def map_hof_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-typed HOF chain over per-user event profiles: counts and
+    sums are first collected into two maps keyed by event type,
+    map_zip_with combines them into integer-scaled averages, map_filter
+    drops low-support types, and the map explodes back to rows for the
+    rollup. All values stay integers (floor, integer division) so the
+    oracle comparison is exact; the per-user maps are bounded by the
+    event-type cardinality, never by event volume."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor("value").cast("bigint")).alias("s"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sums"),
+    )
+    combined = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "counts",
+                "sums",
+                lambda k, n, s: F.struct(
+                    n.alias("n"), ((s * 100) / n).cast("bigint").alias("avg_scaled")
+                ),
+            ),
+            lambda k, v: v["n"] >= 2,
+        ).alias("profile"),
+    )
+    exploded = combined.select(
+        "user_id", F.explode("profile").alias("event_type", "stats")
+    )
+    return exploded.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("stats.n").alias("total_events"),
+        F.sum("stats.avg_scaled").alias("sum_avg_scaled"),
+    )
