@@ -172,3 +172,49 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pct_rank"),
         F.cume_dist().over(w).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "topk_orders_per_customer_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    description="G9 top-k per group WITHOUT a window sort: "
+    "collect_list -> sort_array -> slice -> inline; same result as the "
+    "window formulation, different physical strategy",
+)
+def topk_orders_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation formulation of per-group top-k: one hash
+    aggregate collecting (price, key) structs, sort+slice per group,
+    inline back to rows. Versus the window version
+    (`window_topk_orders_per_customer`): no per-partition sort of the
+    FULL relation — the only ordered work is per-group over the
+    collected array. For small k and modest group sizes this trades the
+    window's sort for agg memory; the oracle pins both to identical
+    rows. (With unbounded groups prefer the window; with a skewed hot
+    key, slice caps the array the same way the docstring on
+    sessionize_events prescribes.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    # sort desc by (price, -orderkey): encode as struct ordering with
+    # negated tiebreak, then fix sign on output — sort_array is ASC on
+    # struct fields, so sort on (-price, orderkey).
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("top3"))
+        .select("o_custkey", F.inline("top3"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (-F.col("neg_price")).alias("o_totalprice"),
+        )
+    )
+    return top
