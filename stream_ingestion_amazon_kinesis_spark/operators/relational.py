@@ -900,3 +900,37 @@ def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_cents"),
         F.sqrt(var).alias("stddev_cents"),
     )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+    -- width_bucket(x, 0, 600000, 24) spelled in exact integer cents:
+    -- floor(cents / 2_500_000) + 1, values >= max land in bucket 25
+    SELECT CAST(LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      // 2500000 + 1, 25) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    description="G5/G11 equi-width histogram via width_bucket(0..600k, 24 "
+    "bins) — the single-pass distribution profile",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling as one map-side-combined aggregate:
+    width_bucket bins are computed per row (exact decimal input, so the
+    bin edges cut identically on both engines), and the only shuffle
+    carries 26 bucket rows. The complement to stats_profile_orders'
+    moments — together they are the ANALYZE surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    bucket = F.width_bucket(money("o_totalprice"), F.lit(0), F.lit(600000), F.lit(24))
+    return orders.groupBy(bucket.cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )

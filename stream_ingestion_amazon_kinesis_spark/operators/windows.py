@@ -218,3 +218,40 @@ def topk_orders_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    description="G8 behavioral transition matrix: per-user lead() over "
+    "event-time order -> (type, next_type) pair counts — the Markov-chain "
+    "profile of session behavior",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts over each user's event sequence:
+    one window pass (partitioned by user — per-key sort, never global),
+    one pair rollup. The output is the empirical Markov matrix used for
+    both behavior analytics and synthetic-session generation; total
+    tiebreak (ts, event_id) keeps lead() deterministic under ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
