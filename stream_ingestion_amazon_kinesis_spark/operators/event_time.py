@@ -353,3 +353,50 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_latency_us"
         ),
     )
+
+
+@register(
+    "retention_cohorts_daily",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+        FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    description="G5/G12 retention cohorts: users bucketed by first-seen day, "
+    "distinct-active counts per day offset — the classic retention triangle",
+)
+def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle in two map-side-combined aggregates and one
+    equi-join on user_id: first-seen day per user (the cohort key),
+    distinct (user, day) activity, then offset = active - cohort. The
+    join is keyed by user — co-partitioned with both inputs' shuffles,
+    so AQE can plan it without an extra exchange; nothing here is
+    quadratic in days or users."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -934,3 +934,53 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(cents).alias("min_cents"),
         F.max(cents).alias("max_cents"),
     )
+
+
+@register(
+    "bitmask_event_type_sets",
+    oracle="""
+    WITH masks AS (
+        SELECT user_id,
+               bit_or(CASE event_type
+                          WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                          WHEN 'purchase' THEN 4 WHEN 'scroll' THEN 8
+                          ELSE 16 END) AS type_mask,
+               bit_and(CASE event_type
+                          WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                          WHEN 'purchase' THEN 4 WHEN 'scroll' THEN 8
+                          ELSE 16 END) AS only_mask
+        FROM events GROUP BY user_id)
+    SELECT CAST(type_mask AS BIGINT) AS type_mask,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN only_mask = type_mask THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_type
+    FROM masks GROUP BY type_mask
+    """,
+    description="G5 bitwise aggregates: per-user event-type bitmask via "
+    "bit_or/bit_and, then set-membership cohort counts — the feature-flag "
+    "rollup pattern",
+)
+def bitmask_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued profiles as integer bitmasks: bit_or folds each user's
+    event types into one word (commutative — partial aggregation safe at
+    any partition count), bit_and witnesses single-type users. Bitmask
+    cohorting replaces a collect_set + array comparison with pure int
+    aggregation — constant state per key at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "scroll", 8)
+        .otherwise(16)
+    )
+    masks = events.groupBy("user_id").agg(
+        F.bit_or(bit).alias("type_mask"),
+        F.bit_and(bit).alias("only_mask"),
+    )
+    return masks.groupBy(F.col("type_mask").cast("bigint").alias("type_mask")).agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("only_mask") == F.col("type_mask")).cast("bigint")).alias(
+            "n_single_type"
+        ),
+    )
