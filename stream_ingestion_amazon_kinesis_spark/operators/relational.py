@@ -984,3 +984,46 @@ def bitmask_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_single_type"
         ),
     )
+
+
+@register(
+    "collated_segment_match",
+    oracle="""
+    WITH dim AS (
+        SELECT * FROM (VALUES ('Building', 10), ('MACHINERY', 20),
+                              ('furniture', 30)) AS t(seg_name, boost)),
+    m AS (
+        SELECT lower(c_mktsegment) AS segment, d.boost
+        FROM customer c JOIN dim d
+          ON lower(c.c_mktsegment) = lower(d.seg_name))
+    SELECT segment, CAST(MAX(boost) AS BIGINT) AS boost, COUNT(*) AS n_customers
+    FROM m GROUP BY segment
+    """,
+    description="G2/G11 collation-aware join (Spark 4 UTF8_LCASE): "
+    "case-insensitive dimension match without lower() rewrites on the "
+    "fact side",
+)
+def collated_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive matching via column COLLATION instead of
+    wrapping every predicate in lower(): the collation travels with the
+    comparison, so the same join/filter code serves case-mixed inputs
+    and the optimizer still sees a plain equi-join key. The oracle
+    expresses the identical semantics with lower() (DuckDB has no
+    session collations); output keys are explicitly lowercased on both
+    engines so the compared bytes agree."""
+    customer = load_table(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(
+        [("Building", 10), ("MACHINERY", 20), ("furniture", 30)],
+        "seg_name string, boost int",
+    )
+    joined = customer.join(
+        F.broadcast(dim),
+        F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+        == F.collate(F.col("seg_name"), "UTF8_LCASE"),
+    )
+    return joined.groupBy(
+        F.lower("c_mktsegment").alias("segment")
+    ).agg(
+        F.max("boost").cast("bigint").alias("boost"),
+        F.count("*").alias("n_customers"),
+    )
