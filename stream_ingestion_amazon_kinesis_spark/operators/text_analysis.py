@@ -610,3 +610,58 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (top_share <= TOP_TOKEN_MAX_SHARE) & (dup_frac <= DUP_TRIGRAM_MAX_FRAC)
         ).alias("keep"),
     )
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0),
+    cnt AS (
+        SELECT doc_id, lang, c, COUNT(*) AS k
+        FROM ch GROUP BY doc_id, lang, c),
+    ent AS (
+        SELECT doc_id, lang,
+               ROUND(log2(SUM(k)) - SUM(k * log2(k)) / SUM(k), 6) AS h
+        FROM cnt GROUP BY doc_id, lang)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(h) AS min_entropy,
+           MAX(h) AS max_entropy,
+           CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS sum_entropy
+    FROM ent GROUP BY lang
+    """,
+    description="G17 quality: per-doc character-level Shannon entropy "
+    "(low-entropy docs are repeated boilerplate/binary junk), language "
+    "rollup with exact decimal sums",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy over the character distribution of each doc —
+    the cheap perplexity proxy: machine-generated repetition and
+    binary-ish junk score low, natural text sits near the language's
+    typical ~4 bits/char. H = log2(n) - sum(k*log2 k)/n from per-doc
+    character counts (one explode + two map-side-combined aggregates,
+    both keyed by doc — never a corpus-wide shuffle of characters).
+    Entropies are rounded to 6 before aggregation so libm last-ulp
+    differences between engines cannot surface; the rollup uses
+    min/max/exact-decimal-sum per the repo's determinism rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        spread(docs.filter(F.length("text") > 0))
+        .select("doc_id", "lang", F.explode(F.split("text", "")).alias("c"))
+    )
+    cnt = ch.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("k"))
+    ent = cnt.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log2(F.sum("k"))
+            - F.sum(F.col("k") * F.log2("k")) / F.sum("k"),
+            6,
+        ).alias("h")
+    )
+    return ent.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("h").alias("min_entropy"),
+        F.max("h").alias("max_entropy"),
+        F.sum(F.col("h").cast("decimal(18,6)")).cast("double").alias("sum_entropy"),
+    )
