@@ -1027,3 +1027,46 @@ def collated_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("boost").cast("bigint").alias("boost"),
         F.count("*").alias("n_customers"),
     )
+
+
+@register(
+    "key_skew_audit_lineitem",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, COUNT(*) AS k
+        FROM lineitem GROUP BY l_orderkey),
+    total AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+    SELECT CAST(k AS BIGINT) AS rows_per_key,
+           COUNT(*) AS n_keys,
+           CAST(k * COUNT(*) AS BIGINT) AS rows_covered,
+           CAST(MAX(l_orderkey) AS BIGINT) AS example_key,
+           CAST((SELECT n_rows FROM total) AS BIGINT) AS total_rows
+    FROM per_key
+    GROUP BY k
+    """,
+    description="G5 join-key skew audit: frequency-of-frequency profile of "
+    "lineitem.l_orderkey — the pre-join diagnostic for salting/AQE decisions",
+)
+def key_skew_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational question before any big join: how skewed is the
+    key? Two map-side-combined aggregates produce the count-of-counts
+    histogram (rows-per-key -> number of keys), whose tail is exactly
+    what decides between a plain shuffle join, AQE skew splitting, and
+    salting (functions/skew.py). The single-row total broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    total = li.agg(F.count("*").alias("total_rows"))
+    return (
+        per_key.groupBy(F.col("k").cast("bigint").alias("rows_per_key"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.max("l_orderkey").alias("example_key"),
+        )
+        .select(
+            "rows_per_key",
+            "n_keys",
+            (F.col("rows_per_key") * F.col("n_keys")).alias("rows_covered"),
+            "example_key",
+        )
+        .crossJoin(F.broadcast(total))
+    )

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "time_gap_fill_hours",  # hour spine from a single aggregate row
     "median_mode_acctbal",  # broadcast 5-row mode relation
     "tfidf_top_terms",  # crossJoin of the single-row corpus count N
+    "key_skew_audit_lineitem",  # crossJoin of the single-row total
     "sequence_packing_bins",  # bounded per-source offsets relation
     "training_shard_assignment",  # bounded shard stats relation
 }
