@@ -999,3 +999,108 @@ def map_hof_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("stats.n").alias("total_events"),
         F.sum("stats.avg_scaled").alias("sum_avg_scaled"),
     )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+        SELECT event_id, user_id, event_type, NULL::DOUBLE AS value, 1 AS gen
+        FROM events WHERE event_id % 2 = 0),
+    v2 AS (
+        SELECT event_id, user_id, event_type, value, 2 AS gen
+        FROM events WHERE event_id % 2 = 1)
+    SELECT CAST(gen AS BIGINT) AS gen,
+           event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(value) AS BIGINT) AS n_with_value,
+           CAST(SUM(CAST(COALESCE(FLOOR(value), 0) AS BIGINT)) AS BIGINT)
+               AS sum_floor_value
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    GROUP BY gen, event_type
+    """,
+    description="G10/G1 schema evolution: unionByName(allowMissingColumns) "
+    "over two record generations — old records surface NULL for the new "
+    "column, aggregates stay well-defined",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-schema-evolution contract: generation-1 records lack the
+    later-added `value` column; unionByName with allowMissingColumns
+    aligns by NAME (never by position) and fills the gap with NULLs, so
+    readers never mis-bind columns when old and new files coexist under
+    one table. Counts of present values per generation pin the NULL
+    semantics exactly."""
+    events = load_table(spark, sf_dir, "events")
+    v1 = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "event_type")
+        .withColumn("gen", F.lit(1))
+    )
+    v2 = (
+        events.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("gen", F.lit(2))
+    )
+    unified = v1.unionByName(v2, allowMissingColumns=True)
+    return unified.groupBy(F.col("gen").cast("bigint").alias("gen"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.sum(F.coalesce(F.floor("value"), F.lit(0)).cast("bigint")).alias(
+            "sum_floor_value"
+        ),
+    )
+
+
+@register(
+    "from_csv_inline_records",
+    oracle="""
+    WITH wire AS (
+        SELECT o_orderkey,
+               o_orderkey::VARCHAR || '|' || o_orderpriority || '|'
+                   || CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)::VARCHAR
+                   AS line
+        FROM orders),
+    parsed AS (
+        SELECT CAST(string_split(line, '|')[1] AS BIGINT) AS k,
+               string_split(line, '|')[2] AS priority,
+               CAST(string_split(line, '|')[3] AS BIGINT) AS cents
+        FROM wire)
+    SELECT priority,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM parsed GROUP BY priority
+    """,
+    description="G11 from_csv: parse delimited wire records embedded in a "
+    "column (the CSV-in-a-field pattern) with an explicit schema, roundtrip "
+    "pinned against the source rows",
+)
+def from_csv_inline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-payload parsing as an expression: records serialized to
+    a pipe-separated wire column and recovered with `from_csv` + an
+    explicit schema — the in-plan answer to CSV-lines-inside-a-message
+    (queue payloads, log fields). Money travels as integer cents so the
+    roundtrip is exact; the oracle rebuilds and reparses the identical
+    wire format in SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    wire = orders.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            "o_orderpriority",
+            cents.cast("string"),
+        ).alias("line")
+    )
+    parsed = wire.select(
+        F.from_csv(
+            "line",
+            F.lit("k bigint, priority string, cents bigint"),
+            {"sep": "|"},
+        ).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.max("k").alias("max_key"),
+    )
