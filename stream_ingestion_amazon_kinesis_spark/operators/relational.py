@@ -1070,3 +1070,56 @@ def key_skew_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(total))
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+              ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    """,
+    description="G3/G5 referential-integrity audit: anti-join orphan counts "
+    "for every FK edge in one result — the data-quality sweep run before "
+    "trusting any join",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan detection as LEFT ANTI joins, one row per FK edge. Each
+    edge is an independent anti-join (dimension sides broadcast where
+    bounded); the union is of four scalar rows. At 100 TB this is the
+    audit that decides whether inner joins silently drop rows."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier"
+    )
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(parent, child[ck] == parent[pk], "left_anti")
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge("lineitem.l_orderkey->orders", t["lineitem"], t["orders"], "l_orderkey", "o_orderkey")
+        .unionByName(edge("orders.o_custkey->customer", t["orders"], t["customer"], "o_custkey", "c_custkey"))
+        .unionByName(edge("customer.c_nationkey->nation", t["customer"], t["nation"], "c_nationkey", "n_nationkey"))
+        .unionByName(edge("supplier.s_nationkey->nation", t["supplier"], t["nation"], "s_nationkey", "n_nationkey"))
+    )

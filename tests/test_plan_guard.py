@@ -57,6 +57,7 @@ BNLJ_OK = {
     "median_mode_acctbal",  # broadcast 5-row mode relation
     "tfidf_top_terms",  # crossJoin of the single-row corpus count N
     "key_skew_audit_lineitem",  # crossJoin of the single-row total
+    "referential_integrity_audit",  # crossJoins of single-row counts per FK edge
     "sequence_packing_bins",  # bounded per-source offsets relation
     "training_shard_assignment",  # bounded shard stats relation
 }
