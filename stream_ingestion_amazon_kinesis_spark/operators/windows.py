@@ -255,3 +255,55 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+MICROS_HOUR = 3_600_000_000
+
+
+@register(
+    "window_range_time_frame",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value) AS BIGINT) AS v
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN {MICROS_HOUR} PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+               AS trailing_1h_sum,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                               RANGE BETWEEN {MICROS_HOUR} PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS trailing_1h_n
+    FROM e
+    """,
+    description="G8 RANGE window frame: per-user trailing-1-hour sum/count "
+    "over event time (value-range bounds, not row counts)",
+)
+def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RANGE-frame complement to the rowsBetween windows: the frame
+    is bounded by the ORDER value (microseconds of event time), so two
+    events 59 minutes apart share a frame regardless of how many rows
+    sit between them. Spark's range frames need a numeric order column —
+    unix_micros(ts) — which also makes the bound an exact integer on
+    both engines. Ties in `us` are fine: RANGE includes all peers, the
+    same on both. Integer floor(value) keeps sums exact."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor("value").cast("bigint").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-MICROS_HOUR, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("bigint").alias("trailing_1h_sum"),
+        F.count("*").over(w).cast("bigint").alias("trailing_1h_n"),
+    )
