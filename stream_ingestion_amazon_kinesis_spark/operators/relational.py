@@ -1123,3 +1123,94 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("customer.c_nationkey->nation", t["customer"], t["nation"], "c_nationkey", "n_nationkey"))
         .unionByName(edge("supplier.s_nationkey->nation", t["supplier"], t["nation"], "s_nationkey", "n_nationkey"))
     )
+
+
+@register(
+    "argmax_order_per_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(arg_max_key) AS BIGINT) AS sum_latest_orderkey,
+           CAST(SUM(arg_max_cents) AS BIGINT) AS sum_latest_cents
+    FROM (
+        SELECT c.c_mktsegment,
+               arg_max(o.o_orderkey, o.o_orderkey) AS arg_max_key,
+               arg_max(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT), o.o_orderkey) AS arg_max_cents
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment)
+    GROUP BY c_mktsegment
+    """,
+    description="G5 arg-max aggregates (max_by): per customer, the price of "
+    "their highest-numbered order in ONE aggregate — no window, no self-join",
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_by(value, ordering)` collapses the keep-the-row-of-the-max
+    pattern into a single hash aggregate: no window sort, no join-back.
+    The ordering key (o_orderkey) is unique per group, so the result is
+    deterministic without tiebreak gymnastics — the rule when using
+    arg-max aggregates at scale: order by something unique or accept
+    nondeterminism. Money rides as integer cents."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("arg_max_key"),
+            F.max_by(cents, F.col("o_orderkey")).alias("arg_max_cents"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("arg_max_key").alias("sum_latest_orderkey"),
+        F.sum("arg_max_cents").alias("sum_latest_cents"),
+    )
+
+
+@register(
+    "revenue_share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+               AS revenue_share
+    FROM rev
+    """,
+    description="G8 share-of-total (ratio_to_report): per-nation revenue "
+    "share via a window sum over the 25-row AGGREGATED relation",
+)
+def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total done in the right order: aggregate FIRST (the
+    only corpus-sized work), then the unpartitioned window runs over 25
+    nation rows — a global window is only a smell when it sorts raw
+    data. Shares divide exact integer cents cast to double, so both
+    engines produce identical IEEE results."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    from pyspark.sql import Window as W
+
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = W.partitionBy()
+    return rev.select(
+        "n_name",
+        "cents",
+        (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    )
