@@ -1214,3 +1214,62 @@ def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@register(
+    "balance_flags_by_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           bool_and(c_acctbal >= 0) AS all_nonnegative,
+           bool_or(c_acctbal < -900) AS any_deep_negative,
+           CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT)
+               AS n_negative
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="G5 boolean aggregates: bool_and/bool_or (every/some) and "
+    "count_if per nation — predicate rollups without self-joins",
+)
+def balance_flags_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregation: every/some/count-if collapse per-group
+    boolean questions into one pass (commutative — partial-agg safe).
+    The alternative people write — joining a group back against its own
+    filtered subset — is an extra shuffle for the same answer."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.every(F.col("c_acctbal") >= 0).alias("all_nonnegative"),
+        F.some(F.col("c_acctbal") < -900).alias("any_deep_negative"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+    )
+
+
+@register(
+    "weekday_revenue_profile",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    description="G11 date arithmetic: ISO-weekday revenue profile (Spark "
+    "dayofweek is Sunday=1, oracle isodow is Monday=1 — mapped explicitly)",
+)
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup with the classic cross-engine trap made explicit:
+    Spark's dayofweek numbers Sunday=1..Saturday=7 while ISO (and the
+    oracle's isodow) numbers Monday=1..Sunday=7; the ((d+5)%7)+1 remap
+    pins both engines to the ISO convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    iso = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    return orders.groupBy(iso.cast("bigint").alias("iso_weekday")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+    )
