@@ -665,3 +665,45 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("max_entropy"),
         F.sum(F.col("h").cast("decimal(18,6)")).cast("double").alias("sum_entropy"),
     )
+
+
+@register(
+    "sentence_length_stats",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                               x -> trim(x) <> '')) AS n_sentences,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sentences) AS BIGINT) AS total_sentences,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_sentences) AS BIGINT) AS max_sentences
+    FROM s GROUP BY lang
+    """,
+    description="G17 sentence segmentation (regex [.!?]+ on both engines): "
+    "sentences and tokens per doc, per-language rollup",
+)
+def sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level shape statistics — the unit for packing windows
+    and readability heuristics. Segmentation is the same regex on both
+    engines (never a locale-dependent BreakIterator, which would
+    diverge); empty fragments from trailing punctuation are dropped on
+    both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split("text", r"[.!?]+"), lambda x: F.trim(x) != ""
+    )
+    s = docs.filter(F.length(F.trim("text")) > 0).select(
+        "lang",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_sentences").alias("total_sentences"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_sentences").alias("max_sentences"),
+    )

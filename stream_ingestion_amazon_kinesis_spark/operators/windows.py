@@ -307,3 +307,68 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w).cast("bigint").alias("trailing_1h_sum"),
         F.count("*").over(w).cast("bigint").alias("trailing_1h_n"),
     )
+
+
+@register(
+    "status_runs_per_customer",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey)
+                         IS DISTINCT FROM o_orderstatus
+                    THEN 1 ELSE 0 END AS new_run
+        FROM orders),
+    islands AS (
+        SELECT o_custkey, o_orderstatus,
+               SUM(new_run) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, run_id, COUNT(*) AS run_len
+        FROM islands GROUP BY 1, 2, 3)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS total_orders
+    FROM runs GROUP BY o_orderstatus
+    """,
+    description="G8 gaps-and-islands run labeling: lag-flag + running sum "
+    "-> consecutive same-status runs per customer, run-length profile",
+)
+def status_runs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general island-labeling technique (lag to flag boundaries,
+    cumulative sum to number islands) applied to status runs — the same
+    shape the session-window oracle uses for time gaps, usable for any
+    'consecutive equal values' question where session_window doesn't
+    fit. Two window passes over the SAME partition+ordering spec, so
+    Catalyst plans one sort; the rollups are map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    islands = flagged.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.sum("new_run")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    runs = islands.groupBy("o_custkey", "o_orderstatus", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("total_orders"),
+    )
