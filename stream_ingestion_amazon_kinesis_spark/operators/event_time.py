@@ -400,3 +400,65 @@ def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "point_in_time_dim_join",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, 1 AS version, c_acctbal AS boost,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '2024-01-15 00:00:00' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, c_acctbal * 2,
+               TIMESTAMP '2024-01-15 00:00:00',
+               TIMESTAMP '9999-12-31 00:00:00'
+        FROM customer)
+    SELECT d.version,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.version
+    """,
+    description="G4/G14 point-in-time (SCD2) lookup join: each event joins "
+    "the dimension version valid AT ITS OWN event time — equi-key plus "
+    "validity-range predicate",
+)
+def point_in_time_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE temporal-dimension pattern: enrich facts with the attribute
+    values that were true when the event happened, not today's. The
+    join is an equi-join on the key (Catalyst plans a hash join; the
+    validity range is a residual filter on matched pairs), so adding
+    history to a dimension never changes the join strategy — each
+    version row only widens the build side. The two-version dimension
+    here is synthesized from customer with a 2024-01-15 cutover; see
+    streaming/cdc_apply.py for how such versions are maintained."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    v2 = customer.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    j = events.join(
+        dim,
+        (F.col("user_id") == F.col("c_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    return j.groupBy("version").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -428,3 +428,41 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rel_err").alias("max_rel_err"),
         F.sum(F.col("rel_err").cast("decimal(18,6)")).cast("double").alias("sum_rel_err"),
     )
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT g.i - 1 AS dim,
+               ROUND(t.e[g.i], 6) AS v
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+             UNNEST(generate_series(1, 64)) AS g(i))
+    SELECT CAST(dim AS BIGINT) AS dim,
+           COUNT(*) AS n,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+    FROM flat GROUP BY dim
+    """,
+    description="G17 feature standardization prep: per-dimension min/max/"
+    "exact-sum over the embedding matrix (posexplode -> 64-group rollup)",
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics of the embedding matrix — the input to z-score
+    normalization / whitening before clustering or quantization. One
+    posexplode (the position IS the dimension id) and a 64-group
+    aggregate whose map-side partials collapse each partition to 64 rows
+    before the exchange. Values round to 6 before the exact decimal sum
+    per the repo's float-determinism rules."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)))
+        .alias("dim", "v")
+    )
+    return flat.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+    )
