@@ -372,3 +372,53 @@ def status_runs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_run"),
         F.sum("run_len").alias("total_orders"),
     )
+
+
+@register(
+    "weekly_revenue_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS week_start,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS cents
+        FROM orders GROUP BY 1)
+    SELECT week_start,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(LAG(cents) OVER (ORDER BY week_start) AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN LAG(cents) OVER (ORDER BY week_start) > 0
+                     THEN ((cents - LAG(cents) OVER (ORDER BY week_start))
+                           * 1000000)
+                          // LAG(cents) OVER (ORDER BY week_start)
+                END AS BIGINT) AS growth_ppm
+    FROM weekly
+    """,
+    description="G8 period-over-period growth: lag over the AGGREGATED "
+    "weekly series, integer parts-per-million growth",
+)
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting staple: aggregate to the period grain first (the
+    only corpus-sized work), then lag over the tiny weekly series — the
+    unpartitioned window is over |weeks| rows, never raw data. Growth is
+    integer ppm via floor division, exact on both engines (same
+    int-division boundary argument as safe_arithmetic_orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week_start")
+    ).agg(F.sum(cents).alias("cents"))
+    w = W.orderBy("week_start")
+    with_prev = weekly.select(
+        "week_start",
+        "cents",
+        F.lag("cents").over(w).cast("bigint").alias("prev_cents"),
+    )
+    # `div` (integer division) truncates toward zero on BOTH engines;
+    # floor(double/..) would floor toward -inf and disagree on negative
+    # growth weeks.
+    growth = F.when(
+        F.col("prev_cents") > 0,
+        F.expr("(cents - prev_cents) * 1000000 div prev_cents"),
+    ).cast("bigint")
+    return with_prev.select(
+        "week_start", "cents", "prev_cents", growth.alias("growth_ppm")
+    )
