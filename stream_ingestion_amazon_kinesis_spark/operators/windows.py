@@ -422,3 +422,46 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_prev.select(
         "week_start", "cents", "prev_cents", growth.alias("growth_ppm")
     )
+
+
+@register(
+    "window_distinct_types_trailing",
+    oracle=f"""
+    SELECT e.event_id,
+           e.user_id,
+           CAST((SELECT COUNT(DISTINCT e2.event_type)
+                 FROM events e2
+                 WHERE e2.user_id = e.user_id
+                   AND e2.ts <= e.ts
+                   AND e2.ts >= e.ts - INTERVAL '1 hour') AS BIGINT)
+               AS distinct_types_1h
+    FROM events e
+    """,
+    description="G8 set aggregation over a RANGE window: per event, how many "
+    "distinct event types the user produced in the trailing hour "
+    "(collect_set over a time-range frame)",
+)
+def window_distinct_types_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) isn't a window aggregate, but collect_set is:
+    the distinct-in-window count is the SIZE of the set aggregated over
+    the range frame. State per row is bounded by the type cardinality
+    (small by construction), so the frame never accumulates raw rows —
+    the scalable form of 'distinct things per trailing window'. The
+    oracle spells the same semantics as a correlated subquery (DuckDB
+    has no set-valued window aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-MICROS_HOUR, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("distinct_types_1h"),
+    )
