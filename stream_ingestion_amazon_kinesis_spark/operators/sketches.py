@@ -1,0 +1,158 @@
+"""Mergeable-sketch aggregates (SURVEY §2.3 G6 — the 100 TB distinct/
+frequency path).
+
+The reference has no aggregation at all (consumer.py is a per-record
+loop); at cluster scale the idiomatic way to answer "distinct users per
+day, and overall" over 100 TB is NOT a global shuffle per question but a
+*mergeable summary*: sketch each partition/day once (map-side, one pass)
+and merge the fixed-size sketches for any coarser rollup. Spark 4 ships
+Apache DataSketches HLL (`hll_sketch_agg` / `hll_union_agg`) and a
+count-min sketch aggregate; this module exposes both as first-class
+queries.
+
+Accuracy is pinned in tests/test_sketches.py against the exact twins
+(countDistinct / exact groupBy counts) — the sketches are rows-only
+under the oracle gate because their binary form is engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, dec
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "hll_monthly_merge_customers",
+    oracle=None,  # DataSketches HLL binary is engine-specific; the 5%
+    # accuracy band vs exact countDistinct is pinned in tests/test_sketches.py
+    description="G6 mergeable HLL: per-month customer sketches merged via "
+    "hll_union_agg into an overall distinct estimate — the incremental "
+    "rollup pattern (sketch each day once, merge for any window) that "
+    "replaces repeated global COUNT(DISTINCT) shuffles at 100 TB",
+)
+def hll_monthly_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sketch rollup: month -> overall.
+
+    Level 1 runs as an ordinary partial/final hash aggregate producing a
+    fixed-size (lgK=12 -> ~2.5 KB) sketch per month; level 2 merges 80ish
+    sketches — bytes, not rows — so the second stage is O(months), never
+    O(customers). At 100 TB the level-1 sketches would be persisted and
+    every ad-hoc date-range distinct query becomes a metadata-scale merge.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("custkey_sketch"),
+        F.count("*").alias("n_orders"),
+    )
+    return monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("custkey_sketch")).alias(
+            "distinct_customers_est"
+        ),
+        F.count("*").alias("n_months"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+
+
+@register(
+    "cms_orderpriority_frequencies",
+    oracle=None,  # CMS binary is engine-specific; the (exact <= est <=
+    # exact + eps*N) guarantee is asserted per key in tests/test_sketches.py
+    description="G6 count-min sketch over o_orderpriority: fixed-size "
+    "frequency summary with a one-sided error bound — the mergeable "
+    "heavy-hitters path for streams/partitions at scale (seeded, so "
+    "deterministic)",
+)
+def cms_orderpriority_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count_min_sketch("o_orderpriority", 0.001, 0.99, 42).alias(
+            "priority_sketch"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "corr_qty_price_exact",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1e6) AS BIGINT) AS corr_qty_price_ppm,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 100) AS BIGINT)
+               AS covar_pop_cents
+    FROM sums ORDER BY l_returnflag
+    """,
+    description="G5/G11 exact-decimal Pearson correlation per return flag: "
+    "power sums aggregate exactly in DECIMAL (partition-order invariant), "
+    "the float math happens once per group on the driver-visible sums — "
+    "deterministic on any cluster, unlike naive float corr()",
+)
+def corr_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation from exact power sums.
+
+    A naive `F.corr` accumulates doubles in partition order and differs
+    run-to-run at scale; summing DECIMAL products is exact, so the only
+    float ops are the final per-group combination — identical on 1 or
+    1000 executors. The products stay within DECIMAL(38): qty*price
+    <= 10^2 * 10^7 at 2+2 dp -> (25,4); SUM caps at 38 digits which at
+    SF100's 6e8 rows (~1e19 total) still fits.
+
+    Compared outputs are floor-quantized (ppm / cents): the power sums
+    exceed double's 16 significant digits, so each engine's
+    decimal->double conversion can differ in the last ulp — quantizing
+    makes the comparison insensitive to that while still pinning 6+
+    significant digits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity", 12, 2), dec("l_extendedprice", 12, 2)
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * price).alias("sxy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price * price).alias("syy"),
+    )
+    n = as_double(F.col("n"))
+    sx, sy = as_double(F.col("sx")), as_double(F.col("sy"))
+    sxy = as_double(F.col("sxy"))
+    sxx, syy = as_double(F.col("sxx")), as_double(F.col("syy"))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar = (n * sxy - sx * sy) / (n * n)
+    return (
+        sums.select(
+            "l_returnflag",
+            "n",
+            F.floor(corr * F.lit(1e6)).cast("bigint").alias("corr_qty_price_ppm"),
+            F.floor(covar * F.lit(100)).cast("bigint").alias("covar_pop_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

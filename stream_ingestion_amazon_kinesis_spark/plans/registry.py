@@ -58,6 +58,7 @@ def _load_all() -> None:
     from ..operators import text_analysis  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..operators import semistructured  # noqa: F401
+    from ..operators import sketches  # noqa: F401
     from ..sources import file_formats  # noqa: F401
     from ..sources import kinesis_sim  # noqa: F401
 

@@ -1,0 +1,59 @@
+"""Accuracy contracts for the mergeable-sketch aggregates (G6).
+
+The HLL and count-min queries are rows-only under the oracle gate (the
+DataSketches/CMS binary forms are engine-specific), so their error
+bounds are pinned here against exact twins computed on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+    cms_orderpriority_frequencies,
+    hll_monthly_merge_customers,
+)
+from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+
+def test_hll_monthly_merge_within_5pct_of_exact(spark, sf_dir):
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()[0]
+        .d
+    )
+    row = hll_monthly_merge_customers(spark, sf_dir).collect()[0]
+    assert abs(row.distinct_customers_est - exact) / exact <= 0.05
+    assert row.n_months > 1  # the merge stage actually merged sketches
+
+
+def test_hll_merge_equals_single_pass_sketch(spark, sf_dir):
+    """Merging per-month sketches must give the same estimate as
+    sketching the whole column in one pass — the property that makes
+    incremental rollups trustworthy."""
+    orders = load_table(spark, sf_dir, "orders")
+    single = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
+    ).collect()[0].est
+    merged = hll_monthly_merge_customers(spark, sf_dir).collect()[0]
+    assert merged.distinct_customers_est == single
+
+
+def test_cms_estimates_bounded_above_exact(spark, sf_dir):
+    """CMS guarantee: exact <= estimate <= exact + eps * N (w.p. 0.99)."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    row = cms_orderpriority_frequencies(spark, sf_dir).collect()[0]
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytearray(row.priority_sketch)
+    )
+    eps = 0.001
+    assert sketch.totalCount() == row.n_rows
+    for prio, n in exact.items():
+        est = sketch.estimateCount(prio)
+        assert n <= est <= n + eps * row.n_rows, f"{prio}: exact={n} est={est}"
