@@ -61,6 +61,7 @@ def _load_all() -> None:
     from ..operators import sketches  # noqa: F401
     from ..sources import file_formats  # noqa: F401
     from ..sources import kinesis_sim  # noqa: F401
+    from ..sources import rest_page_sim  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
