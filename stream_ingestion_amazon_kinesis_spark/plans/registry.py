@@ -59,6 +59,7 @@ def _load_all() -> None:
     from ..operators import multimodal  # noqa: F401
     from ..operators import semistructured  # noqa: F401
     from ..operators import sketches  # noqa: F401
+    from ..operators import subqueries  # noqa: F401
     from ..sources import file_formats  # noqa: F401
     from ..sources import kinesis_sim  # noqa: F401
     from ..sources import rest_page_sim  # noqa: F401
