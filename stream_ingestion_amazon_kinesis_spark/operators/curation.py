@@ -346,3 +346,163 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.first("bucket"))
         ).alias("fill_ratio"),
     )
+
+
+@register(
+    "mixture_epoch_expansion",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 2 ELSE 1 END AS target_num,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    per_src AS (
+        SELECT source, ANY_VALUE(target_num) AS target_num,
+               CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source),
+    tot AS (
+        SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(target_num) AS BIGINT) AS target_den
+        FROM per_src),
+    reps AS (
+        SELECT source,
+               LEAST(4, GREATEST(1,
+                   (target_num * total_tokens)
+                   // (target_den * src_tokens))) AS n_repeats
+        FROM per_src, tot)
+    SELECT d.doc_id, CAST(g.epoch AS BIGINT) AS epoch, d.source
+    FROM d
+    JOIN reps ON d.source = reps.source,
+    UNNEST(generate_series(1, CAST(reps.n_repeats AS INT))) AS g(epoch)
+    """,
+    description="G17 mixture materialization: each doc replicated "
+    "floor(upweight) times (clamped [1,4]) via explode(sequence()) — "
+    "the epoch-expansion step that turns domain_mix_weights' ratios "
+    "into an actual training stream; all-integer repeat counts so the "
+    "expansion is bit-reproducible",
+)
+def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization half of mixture control (`domain_mix_weights`
+    computes the ratios; this op applies them): under-represented
+    sources get their documents repeated floor(weight) times — epoch
+    numbers 1..n — exactly the "duplicate the small domains" knob of a
+    pretraining data loader. The repeat count is computed with integer
+    div (truncating on both engines) and clamped to [1, 4]; the fan-out
+    is explode(sequence(1, n)), a narrow rowwise amplification with no
+    shuffle — each task expands its own rows, so the op scales as
+    O(output rows) regardless of cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("target_num"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.any_value("target_num").alias("target_num"),
+        F.sum("n_tokens").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum("target_num").alias("target_den"),
+    )
+    reps = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(4),
+                F.greatest(
+                    F.lit(1),
+                    F.expr("(target_num * total_tokens) div (target_den * src_tokens)"),
+                ),
+            ).alias("n_repeats"),
+        )
+    )
+    return (
+        d.join(F.broadcast(reps), "source")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_repeats").cast("int"))).alias("epoch"),
+            "source",
+        )
+        .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"), "source")
+    )
+
+
+VOCAB_SIZE = 30
+
+
+@register(
+    "vocab_oov_audit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, d.lang, t.tok
+        FROM documents d,
+             UNNEST(string_split_regex(trim(d.text), '\\s+')) AS t(tok)),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+            FROM tok GROUP BY tok)
+        WHERE rnk <= {VOCAB_SIZE}),
+    per_doc AS (
+        SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+               COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+           CAST(MAX(n_oov) AS BIGINT) AS max_doc_oov
+    FROM per_doc GROUP BY lang
+    """,
+    description="G17 tokenizer-coverage audit: corpus-derived top-"
+    f"{VOCAB_SIZE} vocab (deterministic count-then-token rank), per-doc "
+    "out-of-vocabulary counts rolled up per lang — the coverage check "
+    "run before committing to a tokenizer; vocab is a broadcast "
+    "dictionary, OOV marking is a broadcast left join, never a shuffle "
+    "of the token stream",
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass vocab coverage: pass 1 derives the top-K vocabulary
+    (count desc, token asc — a total order, so the vocab set is
+    identical on any partitioning); pass 2 marks each token instance
+    against the broadcast vocab and aggregates per doc, then per lang.
+    At 100 TB the vocab relation is K rows (broadcast) and both passes
+    are map-side-combined token aggregates — no pairwise anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    # orderBy+limit plans as TakeOrderedAndProject: each partition keeps
+    # its local top-K and only K rows reach the driver-side merge — a
+    # global row_number window would instead sort ALL distinct tokens in
+    # one partition (Zipf tails make that billions of rows at 100 TB).
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+        F.max("n_oov").alias("max_doc_oov"),
+    )

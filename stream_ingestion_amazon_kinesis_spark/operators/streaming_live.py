@@ -404,3 +404,59 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_rest_pages_live",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    description="G1/S1-analog live: the rest_page_sim custom DataSource "
+    "streamed through the real micro-batch engine — rate-limited page "
+    "tail (offset cursor in the checkpoint), JSON-decoded, aggregated",
+)
+def streaming_rest_pages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offset-paginated API as a live stream: each micro-batch
+    advances the page cursor by at most maxPagesPerBatch (the client
+    rate limit), so draining the fixture exercises several rounds of
+    the offset protocol, not one bulk read. Streaming aggregation in
+    complete mode; the memory sink holds the final per-lang counts."""
+    from pyspark.sql import types as T
+
+    from ..sources.rest_page_sim import documents_api_dir
+
+    path = documents_api_dir(spark, sf_dir)
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("rest_page_sim")
+        .option("path", path)
+        .option("pageSize", "200")
+        .option("maxPagesPerBatch", "4")
+        .load()
+        .select(F.from_json("record", payload).alias("r"))
+        .select("r.*")
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

@@ -50,6 +50,7 @@ BNLJ_OK = {
     "salted_agg_user_totals",  # replicated-dim salt join (bounded salts)
     "asof_join_purchase_last_click",  # bounded non-equi fallback path
     "domain_mix_weights",  # per-source weights vs broadcast totals row
+    "mixture_epoch_expansion",  # per-source repeats vs broadcast totals row
     "curation_pipeline_stats",  # single-row threshold relation
     "stratified_sample_documents",  # bounded per-stratum rate relation
     "contamination_ngram_overlap",  # broadcast benchmark gram dictionary
