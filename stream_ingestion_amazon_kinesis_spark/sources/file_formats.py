@@ -62,6 +62,8 @@ def _ensure_export(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str
         writer = load_table(spark, sf_dir, name).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", True).csv(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             writer.json(path)
     return path
@@ -226,4 +228,33 @@ def xml_scan_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         as_double(F.sum(money("p_retailprice"))).alias("total_price"),
         F.max("p_size").cast("bigint").alias("max_size"),
+    )
+
+
+@register(
+    "orc_scan_order_priorities",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    description="G1 ORC scan: orders exported once to ORC and read back "
+    "through the native reader — columnar with row-group statistics, so "
+    "unlike CSV/JSON the status predicate pushes into the stripe scan "
+    "(asserted in tests/test_sources.py); oracle reads the same rows "
+    "from parquet",
+)
+def orc_scan_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_export(spark, sf_dir, "orders", "orc")
+    orders = spark.read.orc(path)
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_double(F.sum(money("o_totalprice"))).alias("total_price"),
+        )
     )

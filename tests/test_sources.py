@@ -83,3 +83,21 @@ def test_spread_is_noop_when_scan_already_parallel(spark):
     assert spread(wide) is wide  # no extra exchange on many-split layouts
     narrow = spark.range(0, 10000, 1, numPartitions=1)
     assert spread(narrow).rdd.getNumPartitions() == par
+
+
+def test_orc_scan_pushes_down_and_prunes(spark, sf_dir):
+    """The ORC path must behave like parquet: the status predicate
+    reaches the stripe scan (PushedFilters) and only the referenced
+    columns are read (ReadSchema)."""
+    from stream_ingestion_amazon_kinesis_spark.sources.file_formats import (
+        orc_scan_order_priorities,
+    )
+
+    q = orc_scan_order_priorities(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert (
+        "ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderpriority:string>"
+        in plan
+    ), plan[plan.find("ReadSchema") : plan.find("ReadSchema") + 200]
