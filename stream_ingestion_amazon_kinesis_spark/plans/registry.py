@@ -60,6 +60,8 @@ def _load_all() -> None:
     from ..operators import semistructured  # noqa: F401
     from ..operators import sketches  # noqa: F401
     from ..operators import subqueries  # noqa: F401
+    from ..operators import agg_extra  # noqa: F401
+    from ..operators import layout  # noqa: F401
     from ..sources import file_formats  # noqa: F401
     from ..sources import kinesis_sim  # noqa: F401
     from ..sources import rest_page_sim  # noqa: F401
