@@ -103,3 +103,52 @@ def variant_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant_agg("v").alias("variant_schema"),
         F.count("*").alias("n_records"),
     )
+
+
+@register(
+    "variant_explode_props",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS min_v,
+           CAST(MAX(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS max_v
+    FROM kv
+    GROUP BY prop_key
+    ORDER BY prop_key
+    """,
+    description="G11 VARIANT lateral expansion: variant_explode fans each "
+    "payload object out to (key, value) rows without a declared schema — "
+    "the generic path for profiling unknown payload shapes; grouped back "
+    "into a per-key presence + value-range profile",
+)
+def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`variant_explode` is a table-valued generator (a LATERAL join in
+    the plan): each record yields one row per object field, keys read
+    from the variant's metadata dictionary — no schema declared anywhere.
+    The profile aggregate is an ordinary map-side-combined hash agg, so
+    the whole thing is one narrow pass + one bounded-key shuffle no
+    matter how wide the payloads get."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(F.parse_json("props").alias("v"))
+    v.createOrReplaceTempView("_variant_props_rel")
+    exploded = spark.sql(
+        """
+        SELECT ve.key AS prop_key,
+               CAST(ve.value AS BIGINT) AS val
+        FROM _variant_props_rel, LATERAL variant_explode(v) ve
+        """
+    )
+    return (
+        exploded.groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("val").alias("min_v"),
+            F.max("val").alias("max_v"),
+        )
+        .orderBy("prop_key")
+    )
