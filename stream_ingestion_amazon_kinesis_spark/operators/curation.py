@@ -506,3 +506,45 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_oov").alias("total_oov"),
         F.max("n_oov").alias("max_doc_oov"),
     )
+
+
+@register(
+    "constraint_audit_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkey,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nonpositive_price,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1
+                    ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                         OR o_orderdate >= DATE '2030-01-01' THEN 1
+                    ELSE 0 END) AS BIGINT) AS out_of_range_date,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys
+    FROM orders
+    """,
+    description="data-quality constraint audit: five declarative rules "
+    "(null key, non-positive amount, status domain, date range, key "
+    "uniqueness) evaluated in ONE scan as conditional sums — the batch "
+    "admission gate a pipeline runs before promoting a partition, and "
+    "the batch twin of the observe() counters in streaming/observability",
+)
+def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All rules ride one map-side-combined aggregate over one scan —
+    adding a rule costs an expression, never a pass. The uniqueness rule
+    is the only one needing distinct state (COUNT(DISTINCT key)), which
+    Spark plans as a partial-distinct expand, still one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    rule = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        rule(F.col("o_custkey").isNull()).alias("null_custkey"),
+        rule(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        rule(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        rule(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("date"))
+        ).alias("out_of_range_date"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+    )
