@@ -156,3 +156,43 @@ def corr_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "topk_sketch_monthly_merge",
+    oracle="""
+    SELECT o_orderpriority AS item, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY n DESC, item
+    """,
+    description="G6 mergeable top-k: per-month approx_top_k_accumulate "
+    "sketches combined with approx_top_k_combine and read out with "
+    "approx_top_k_estimate — the heavy-hitters twin of the HLL/bitmap "
+    "rollups (persist month sketches once, answer any date-range top-k "
+    "by merging bytes); exercised in the exact regime (5 distinct "
+    "priorities << maxItemsTracked) so the oracle is the exact GROUP BY",
+)
+def topk_sketch_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level heavy-hitters rollup. Level 1 is an ordinary
+    partial/final hash aggregate emitting one fixed-size item-count
+    summary per month; level 2 merges ~80 sketches (bytes, not rows).
+    Like the HLL and bitmap rollups above, the month sketches would be
+    persisted at 100 TB and every ad-hoc date-range top-k becomes a
+    metadata-scale combine instead of a row shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_topk_sketch_orders")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   approx_top_k_accumulate(o_orderpriority, 10000) AS sk
+            FROM _topk_sketch_orders
+            GROUP BY date_trunc('month', o_orderdate)
+        ),
+        merged AS (SELECT approx_top_k_combine(sk, 10000) AS sk FROM monthly)
+        SELECT e.item, CAST(e.count AS BIGINT) AS n
+        FROM merged, LATERAL explode(approx_top_k_estimate(sk, 10)) AS ex(e)
+        ORDER BY n DESC, item
+        """
+    )
