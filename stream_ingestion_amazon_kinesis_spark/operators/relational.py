@@ -1273,3 +1273,75 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(cents).alias("total_cents"),
     )
+
+
+@register(
+    "sql_variables_param_query",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_acctbal > 100.0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    description="S9 parameterized-query surface: SQL session variables "
+    "(DECLARE / SET VAR) + a named-parameter spark.sql binding drive the "
+    "predicate — the engine's answer to the reference's CLI arguments "
+    "(argparse --stream/--json_string), typed and injection-safe instead "
+    "of string-spliced",
+)
+def sql_variables_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parameter channels the reference wires through argparse
+    (consumer_from_cli...py:111-112): session variables hold
+    configuration across statements; `spark.sql(..., args=...)` binds
+    per-call named parameters. Both reach Catalyst as typed literals, so
+    constant folding / pushdown see the same plan as hand-inlined
+    constants — parameterization is free at the scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_param_customer"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE seg_a STRING DEFAULT 'AUTOMOBILE'")
+    spark.sql("DECLARE OR REPLACE VARIABLE seg_b STRING DEFAULT 'FURNITURE'")
+    spark.sql("SET VAR seg_b = 'BUILDING'")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_acctbal
+        FROM _param_customer
+        WHERE c_mktsegment IN (seg_a, seg_b) AND c_acctbal > :min_bal
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"min_bal": 100.0},
+    )
+
+
+@register(
+    "file_metadata_provenance",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+    description="G1 hidden file-metadata columns: every file-source row "
+    "carries _metadata (file_name/path/size/mod time) for free — the "
+    "per-row provenance a 100 TB pipeline needs to trace a bad record "
+    "back to its input file without embedding paths in the data",
+)
+def file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by the hidden `_metadata.file_name` struct field — resolved
+    from scan metadata, zero bytes read beyond the normal scan. On a
+    multi-file layout this yields per-file row counts (the audit that
+    catches a short-written file); the single-file fixture pins the
+    mechanism with the file's name and total."""
+    import os as _os
+
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    return orders.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(F.count("*").alias("n_rows"))
