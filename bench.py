@@ -56,6 +56,9 @@ HEADLINE = [
     "neardup_components",
     # semi-structured
     "variant_props_extract",
+    # round-2 late additions: clustered-layout box scan, iterative graph
+    "zorder_box_query_events",
+    "pagerank_supplier_cooccurrence",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -26,6 +26,34 @@ from ..plans.registry import register
 from .pipeline import read_event_stream
 
 
+def _ensure_state_coordinator(spark: SparkSession) -> None:
+    """The state-store provider on executors registers with the
+    driver's StateStoreCoordinator RPC endpoint, which Spark only
+    creates once a streaming query runs in the session. A session that
+    has never streamed (exactly the batch-debugging scenario this
+    reader exists for) hits CANNOT_LOAD_STATE_STORE /
+    RpcEndpointNotFoundException — so force the lazy coordinator into
+    existence first. Falls back to a no-op resume of nothing (harmless)
+    if the internal accessor ever moves."""
+    try:
+        (
+            spark._jsparkSession.sessionState()
+            .streamingQueryManager()
+            .stateStoreCoordinator()
+        )
+    except Exception:
+        # Fallback: starting ANY streaming query initializes the
+        # coordinator; a zero-row memory-sink stream is the cheapest.
+        df = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"_coord_boot_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def read_state_store(
     spark: SparkSession,
     checkpoint: str,
@@ -37,6 +65,7 @@ def read_state_store(
     (key struct, value struct, partition_id). `batch_id` time-travels
     to the state as of that micro-batch's commit; default is the last
     committed batch."""
+    _ensure_state_coordinator(spark)
     reader = spark.read.format("statestore")
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
