@@ -25,21 +25,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     projections placed on top by callers reach the scan (PushedFilters /
     ReadSchema).
 
-    `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a long
-    (see session.py nanosAsLong) and we truncate to microseconds here —
-    the same truncation DuckDB applies — keeping the column a real
-    TimestampType for every operator downstream.
+    Timestamp normalization: fixture generations have carried
+    TIMESTAMP(NANOS) (events.ts) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (all ts/date columns) — the latter reads as
+    TIMESTAMP_NTZ in Spark 4. Every operator downstream (and every
+    DuckDB oracle) treats these as UTC instants, so both shapes are
+    normalized here to a real TimestampType with UTC wall times:
+
+    - session timezone is pinned to UTC at load time (runtime-settable,
+      so this works under ANY SparkSession including the verification
+      driver's) — that makes the NTZ->LTZ cast wall-time-preserving
+      and keeps collected timestamps rendering as the same wall times
+      DuckDB prints for its naive TIMESTAMP;
+    - NANOS fixtures additionally need nanosAsLong (else a vanilla
+      session throws PARQUET_TYPE_ILLEGAL) + a micros truncation, the
+      same truncation DuckDB applies.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The fixture carries TIMESTAMP(NANOS); without this runtime conf a
-        # vanilla SparkSession (e.g. the verification driver's) throws
-        # PARQUET_TYPE_ILLEGAL before the bigint->timestamp conversion below
-        # can apply. Runtime-settable, so set it here rather than relying on
-        # the engine's own session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
