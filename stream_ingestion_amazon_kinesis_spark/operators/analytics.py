@@ -1,0 +1,136 @@
+"""Dominance and independence analytics (SURVEY §2.3 G5/G9-adjacent):
+the skyline (Pareto-front) operator and a chi-square independence
+audit — two query shapes the reference's per-record loop
+(consumer.py:117-175) cannot express, both with exact oracles.
+
+Both are written to stay shuffle-minimal at 100 TB:
+
+- the skyline is computed with ONE aggregation + ONE bounded window
+  over the per-date relation (O(n log n) work, never the naive O(n^2)
+  dominance join — that quadratic form is exactly what the DuckDB
+  oracle runs, so the fast plan is verified against the definitional
+  one);
+- the chi-square contingency table collapses to |priorities| x
+  |statuses| cells in a single map-side-combined aggregation, and all
+  marginals come from windows over that bounded cell relation — no
+  second scan, no join, and the statistic itself is exact integer
+  milli-units (truncating div on both engines), so partial-aggregation
+  order can never change a digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "skyline_orders_price_date",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_orderdate <= o.o_orderdate
+          AND d.o_totalprice >= o.o_totalprice
+          AND (d.o_orderdate < o.o_orderdate
+               OR d.o_totalprice > o.o_totalprice))
+    ORDER BY o_orderdate, o_orderkey
+    """,
+    description="2-D skyline (minimize orderdate, maximize totalprice) "
+    "in O(n log n): per-date max + running max over strictly earlier "
+    "dates replaces the quadratic dominance anti-join — which is what "
+    "the oracle runs, verifying the fast plan against the definition",
+)
+def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An order is Pareto-optimal iff no other order has an
+    earlier-or-equal date with a higher-or-equal price (strictly better
+    in at least one). Sorting by date reduces dominance to a running
+    max: an order survives iff it holds its date's max price AND beats
+    the max price of every strictly earlier date. The window runs over
+    the per-date aggregate (one row per date — bounded, dense), not the
+    raw fact table, so the sort is tiny regardless of fact cardinality;
+    the only full-data operations are one groupBy(date) and one
+    broadcast-joinable date lookup."""
+    orders = load_table(spark, sf_dir, "orders")
+    dates = orders.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("date_max")
+    )
+    w = (
+        Window.orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = dates.withColumn("earlier_max", F.max("date_max").over(w)).filter(
+        F.col("earlier_max").isNull() | (F.col("date_max") > F.col("earlier_max"))
+    )
+    return (
+        orders.join(
+            F.broadcast(frontier.select("o_orderdate", "date_max")), "o_orderdate"
+        )
+        .filter(F.col("o_totalprice") == F.col("date_max"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+_CHI2 = "((o*1000 - (r*c*1000) {div} n) * (o*1000 - (r*c*1000) {div} n)) {div} ((r*c*1000) {div} n)"
+
+
+@register(
+    "chi2_priority_status",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               COUNT(*) AS o
+        FROM orders GROUP BY 1, 2),
+    win AS (
+        SELECT priority, status, o,
+               SUM(o) OVER (PARTITION BY priority) AS r,
+               SUM(o) OVER (PARTITION BY status) AS c,
+               SUM(o) OVER () AS n
+        FROM cells)
+    SELECT priority, status, CAST(o AS BIGINT) AS observed,
+           CAST((r*c*1000) // n AS BIGINT) AS expected_milli,
+           CAST({_CHI2.format(div='//')} AS BIGINT) AS chi2_contrib_milli
+    FROM win
+    ORDER BY priority, status
+    """,
+    description="chi-square independence audit of priority x status: "
+    "contingency cells in one map-side-combined agg, marginals as "
+    "windows over the bounded cell relation, contributions in exact "
+    "integer milli-units (truncating div both engines)",
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected counts e = r*c/n and contributions (o-e)^2/e are kept
+    in integer milli-units with truncating division — associative and
+    engine-independent, so 1 and 1000 executors agree to the digit
+    (the pagerank_supplier_cooccurrence determinism recipe). At a key
+    domain where r*c*1000 could pass 9.2e18, promote to DECIMAL(38,0);
+    the arithmetic stays exact either way. The windows run over the
+    |priority| x |status| cell relation — 15 rows here, bounded by the
+    attribute domains at any data scale, so the unpartitioned window
+    is a non-issue."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("o"))
+    win = cells.select(
+        "priority",
+        "status",
+        "o",
+        F.sum("o").over(Window.partitionBy("priority")).alias("r"),
+        F.sum("o").over(Window.partitionBy("status")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    return win.select(
+        "priority",
+        "status",
+        F.col("o").cast("bigint").alias("observed"),
+        F.expr("(r*c*1000) div n").cast("bigint").alias("expected_milli"),
+        F.expr(_CHI2.format(div="div")).cast("bigint").alias("chi2_contrib_milli"),
+    ).orderBy("priority", "status")

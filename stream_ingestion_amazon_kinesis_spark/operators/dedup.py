@@ -590,3 +590,86 @@ def exact_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("span_md5", "n_docs", "first_doc", "last_doc")
     )
+
+
+from ..plans.registry import QUERIES as _QUERIES  # noqa: E402
+from pyspark.sql.window import Window as _W  # noqa: E402
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    # Same output as jaccard_neardup_pairs by construction (prefix
+    # filtering is a lossless candidate pruning), so the oracle is
+    # shared verbatim.
+    oracle=_QUERIES["jaccard_neardup_pairs"].oracle,
+    description="All-Pairs/PPJoin-style prefix-filtered exact Jaccard "
+    "join: tokens globally ordered by rarity, candidates only from "
+    "pairs whose rare-token prefixes intersect — provably the same "
+    "pairs as the full token self-join at threshold 0.8, at a fraction "
+    "of the candidate volume",
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 pairs via prefix filtering (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07): order every
+    doc's tokens by global rarity (df asc, token), keep only the first
+    |d| - ceil(0.8*|d|) + 1 of them, and generate candidates from the
+    prefix self-join alone. Pigeonhole guarantee: two docs with
+    Jaccard >= t share >= ceil(t*|d|) tokens, so their globally-least
+    shared token must sit inside BOTH prefixes — no qualifying pair is
+    missed. Hot tokens land at the END of the rarity order and thus
+    almost never inside a prefix, which is what kills the k^2 stopword
+    blowup structurally (the df cap shared with jaccard_neardup_pairs
+    stays mirrored in the oracle). Candidate verification joins full
+    token sets for candidate pairs only. Prefix length is computed in
+    exact integer arithmetic: ceil(4n/5) = (4n+4) div 5."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _doc_tokens(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    dfreq = tok.groupBy("source", "token").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(dfreq, ["source", "token"])
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_tok") - F.expr("(4*n_tok + 4) div 5") + 1
+    ).select("doc_id", "source", "token")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.source") == F.col("pb.source"))
+            & (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    shared = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )

@@ -460,3 +460,71 @@ def streaming_rest_pages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+def _staged_events_json_doubled(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture TWICE (every record duplicated) so the
+    live dedup query has real duplicates to remove. Cached per sf like
+    `_staged_events_json`."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_stage", tag, "events_dup"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        doubled = events.unionAll(events)
+        doubled.select(
+            F.to_json(F.struct(*doubled.columns)).alias("value")
+        ).write.mode("overwrite").text(path)
+    return path
+
+
+@register(
+    "streaming_dedup_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="G14 executed by the real micro-batch engine: "
+    "dropDuplicatesWithinWatermark on event_id over a doubled replay "
+    "of the events fixture — per-type counts/sums must equal the "
+    "single-copy batch aggregate, proving exactly one survivor per key",
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup operator the reference's at-least-once
+    consumer needs in front of it (consumer.py re-reads records on
+    restart): every event is staged twice, the stream drops duplicates
+    by event_id with watermark-bounded state (state for a key is freed
+    once the watermark passes its event time — bounded memory at any
+    stream length, unlike an unbounded dropDuplicates), and the sink's
+    per-type totals must equal the batch aggregate over the SINGLE
+    copy. Dedup state is keyed only by event_id: at 100 TB that's one
+    compact state row per in-flight key in RocksDB, sharded by the
+    state-store partitioning."""
+    staging = _staged_events_json_doubled(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+    )

@@ -465,3 +465,49 @@ def window_distinct_types_trailing(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("distinct_types_1h"),
     )
+
+
+@register(
+    "window_first_nth_ignore_nulls",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lead(o_totalprice) OVER w_ord AS next_price,
+           first_value(CASE WHEN o_totalprice > 150000
+                            THEN o_totalprice END IGNORE NULLS)
+               OVER w_full AS first_big_price,
+           nth_value(CASE WHEN o_totalprice > 150000
+                          THEN o_totalprice END, 2 IGNORE NULLS)
+               OVER w_full AS second_big_price
+    FROM orders
+    WINDOW w_ord AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="G8 null-skipping analytic windows: lead plus "
+    "first_value/nth_value(2) IGNORE NULLS over a conditional column — "
+    "the earliest and second high-value order per customer in date "
+    "order, broadcast to every row of the partition",
+)
+def window_first_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three analytics share one (partition, order) spec — a
+    single sort-shuffle on o_custkey serves the whole query; only the
+    frame differs (running for lead, full-partition for the
+    first/nth broadcasts). The conditional column turns IGNORE NULLS
+    into a filtered positional lookup without a second pass or join.
+    Total tiebreak (o_orderdate, o_orderkey) keeps every value
+    engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_ord = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    big = F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_totalprice").over(w_ord).alias("next_price"),
+        F.first(big, ignorenulls=True).over(w_full).alias("first_big_price"),
+        F.nth_value(big, 2, ignoreNulls=True).over(w_full).alias("second_big_price"),
+    ).orderBy("o_custkey", "o_orderkey")

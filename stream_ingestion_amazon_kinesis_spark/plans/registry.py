@@ -61,6 +61,7 @@ def _load_all() -> None:
     from ..operators import sketches  # noqa: F401
     from ..operators import subqueries  # noqa: F401
     from ..operators import agg_extra  # noqa: F401
+    from ..operators import analytics  # noqa: F401
     from ..operators import layout  # noqa: F401
     from ..operators import linkage  # noqa: F401
     from ..operators import graph  # noqa: F401
