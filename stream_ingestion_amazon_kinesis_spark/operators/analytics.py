@@ -134,3 +134,64 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(r*c*1000) div n").cast("bigint").alias("expected_milli"),
         F.expr(_CHI2.format(div="div")).cast("bigint").alias("chi2_contrib_milli"),
     ).orderBy("priority", "status")
+
+
+@register(
+    "zscore_outlier_events",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, value,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events),
+    m AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x*x) AS BIGINT) AS q
+        FROM c GROUP BY event_type)
+    SELECT c.event_id, c.event_type, c.value
+    FROM c JOIN m USING (event_type)
+    WHERE CAST(n*x - s AS HUGEINT) * CAST(n*x - s AS HUGEINT)
+          > 9 * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
+    ORDER BY c.event_id
+    """,
+    description="per-type z-score outlier filter (|z| > 3) decided by "
+    "an exact integer inequality — (n*x-s)^2 > 9*(n*q-s^2) in centi "
+    "units — so no float mean/stddev ever enters the comparison and "
+    "every engine and partitioning agrees on the exact survivor set",
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter primitive for pipeline telemetry: flag events
+    whose value sits more than 3 sigma from their type's mean. The
+    naive form compares float (x-mean)/stddev — partial-aggregation
+    order changes the last ulp and engines disagree at the boundary.
+    Multiplying through by n^2 turns |x-mean| > 3*sigma into the pure
+    integer inequality (n*x-s)^2 > 9*(n*q-s^2) over centi-unit sums —
+    one map-side-combined aggregate per type plus a broadcast join of
+    the |event_type|-row moment relation; the products are promoted to
+    DECIMAL(38,0) (HUGEINT on the oracle side) so the squares stay
+    exact at any n."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    joined = c.join(F.broadcast(m), "event_type")
+    dev = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return (
+        joined.filter(dev * dev > 9 * var_n2)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -548,3 +548,89 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("out_of_range_date"),
         (F.count("*") - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH tok0 AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+    hot AS (SELECT source, token FROM tok0
+            GROUP BY source, token HAVING COUNT(*) > 1000),
+    tok AS (SELECT t.* FROM tok0 t
+            LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
+            WHERE h.token IS NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.source AS source, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3),
+    pairs AS (
+        SELECT doc_a, doc_b, source,
+               (doc_a * {_KNUTH}) % 4294967296 % 10 = 0 AS eval_a,
+               (doc_b * {_KNUTH}) % 4294967296 % 10 = 0 AS eval_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE)
+              / (sa.n_tok + sb.n_tok - n_shared) >= 0.8)
+    SELECT source,
+           COUNT(*) AS n_neardup_pairs,
+           CAST(COUNT(*) FILTER (WHERE eval_a <> eval_b) AS BIGINT)
+               AS n_cross_split_pairs,
+           COUNT(DISTINCT CASE WHEN eval_a AND NOT eval_b THEN doc_a
+                               WHEN eval_b AND NOT eval_a THEN doc_b
+                          END) AS n_contaminated_eval_docs
+    FROM pairs
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="train/eval split leakage audit: hash-split docs 90/10, "
+    "then count near-dup pairs (Jaccard >= 0.8) that straddle the split "
+    "and the distinct eval docs contaminated by a train twin — the "
+    "pre-training check that keeps held-out loss honest",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes two registered primitives — the deterministic
+    multiplicative-hash split (training_shard_assignment's function,
+    mod 10 for a 90/10 split) and the guarded exact-Jaccard near-dup
+    join (jaccard_neardup_pairs) — into the audit every training run
+    needs: an eval doc with a 0.8-Jaccard twin in train leaks the
+    answer key. Both primitives keep their scale shapes (hash is
+    per-row arithmetic; the pair join is the hot-token-guarded
+    self-join, upgradeable to prefix_filter_jaccard_pairs unchanged
+    since the pair sets are identical); the audit itself adds one
+    |pairs|-sized aggregation."""
+    from .dedup import jaccard_neardup_pairs
+
+    pairs = jaccard_neardup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def is_eval(col: str):
+        return (F.col(col) * _KNUTH) % F.lit(4294967296) % 10 == 0
+
+    flagged = (
+        pairs.join(
+            F.broadcast(docs).withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .withColumn("eval_a", is_eval("doc_a"))
+        .withColumn("eval_b", is_eval("doc_b"))
+    )
+    leaked_doc = F.when(
+        F.col("eval_a") & ~F.col("eval_b"), F.col("doc_a")
+    ).when(F.col("eval_b") & ~F.col("eval_a"), F.col("doc_b"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_neardup_pairs"),
+            F.count_if(F.col("eval_a") != F.col("eval_b"))
+            .cast("bigint")
+            .alias("n_cross_split_pairs"),
+            F.countDistinct(leaked_doc).alias("n_contaminated_eval_docs"),
+        )
+        .orderBy("source")
+    )

@@ -27,6 +27,7 @@ SIDE_EFFECT = {
     "streaming_session_window_live",
     "streaming_interval_join_live",
     "streaming_kinesis_sim_live",
+    "streaming_dedup_live",
     "kinesis_sim_roundtrip",
     "csv_scan_customer_segments",
     "json_scan_supplier_balance",
