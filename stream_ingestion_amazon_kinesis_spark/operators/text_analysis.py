@@ -707,3 +707,92 @@ def sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.max("n_sentences").alias("max_sentences"),
     )
+
+
+@register(
+    "collocation_pmi_top20",
+    oracle="""
+    WITH d AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    uc AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+    bc AS (
+        SELECT bg, COUNT(*) AS c
+        FROM (SELECT unnest(list_transform(
+                 list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                 s -> s[1] || ' ' || s[2])) AS bg
+              FROM d)
+        WHERE bg IS NOT NULL
+        GROUP BY bg),
+    tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n,
+                   CAST(SUM(len(toks) - 1) AS BIGINT) AS m
+            FROM d)
+    SELECT b.bg AS bigram, CAST(b.c AS BIGINT) AS n_pair,
+           CAST(((b.c * 1000000) // m) * 1000000000000
+                // (((u1.c * 1000000000) // n)
+                    * ((u2.c * 1000000000) // n)) AS BIGINT) AS pmi_micro
+    FROM bc b
+    JOIN uc u1 ON u1.w = split_part(b.bg, ' ', 1)
+    JOIN uc u2 ON u2.w = split_part(b.bg, ' ', 2)
+    CROSS JOIN tot
+    WHERE b.c >= 5
+    ORDER BY pmi_micro DESC, bigram
+    LIMIT 20
+    """,
+    description="top-20 bigram collocations by fixed-point PMI — the "
+    "likelihood ratio p(xy)/(p(x)p(y)) staged in exact integer "
+    "micro/nano units (identical truncating stages on both engines), "
+    "so the ranking needs no float log and no engine ever disagrees",
+)
+def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining for corpus analysis: rank bigrams by
+    p(xy)/(p(x)p(y)) — monotone in PMI, so no log is needed. The score
+    is DEFINED as the staged fixed-point computation
+    ((c_xy*1e6) div M) * 1e12 div (((c_x*1e9) div N) * ((c_y*1e9) div N))
+    with every stage in int64 (max operand ~1e18 at sf0.1; at a corpus
+    where N approaches 1e9 tokens, promote the stages to DECIMAL(38,0)
+    — same arithmetic, wider lanes). One explode+agg for unigrams, one
+    for bigrams (JVM transform over the token array, no Python), two
+    vocab-sized equi-joins AQE can broadcast, and a broadcast of the
+    single totals row."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = spread(docs).select(tokens("text").alias("toks"))
+    uc = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bg0 = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks)-1),"
+                " (t, i) -> struct(t AS w1, element_at(toks, i+2) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bg0.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # Totals come from doc lengths in one tiny agg — N = sum(len),
+    # M = sum(len-1) — instead of re-executing the vocab pipelines.
+    totals = d.agg(
+        F.sum(F.size("toks")).alias("n"),
+        F.sum(F.size("toks") - 1).alias("m"),
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.filter(F.col("c") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    return scored.select(
+        F.concat_ws(" ", "w1", "w2").alias("bigram"),
+        F.col("c").cast("bigint").alias("n_pair"),
+        F.expr(
+            "((c * 1000000) div m) * 1000000000000"
+            " div (((c1 * 1000000000) div n) * ((c2 * 1000000000) div n))"
+        )
+        .cast("bigint")
+        .alias("pmi_micro"),
+    ).orderBy(F.desc("pmi_micro"), "bigram").limit(20)
