@@ -59,6 +59,11 @@ HEADLINE = [
     # round-2 late additions: clustered-layout box scan, iterative graph
     "zorder_box_query_events",
     "pagerank_supplier_cooccurrence",
+    # round-2 final additions: oriented triangle join, prefix-filtered
+    # similarity join, fixed-point collocation mining
+    "triangle_count_suppliers",
+    "prefix_filter_jaccard_pairs",
+    "collocation_pmi_top20",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

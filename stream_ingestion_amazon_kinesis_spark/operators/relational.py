@@ -1345,3 +1345,65 @@ def file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy(
         F.col("_metadata.file_name").alias("file_name")
     ).agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "grouping_markers_order_mix",
+    oracle="""
+    SELECT grouping(o_orderpriority) AS g_priority,
+           grouping(o_orderstatus) AS g_status,
+           o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_priority, g_status,
+             o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
+    """,
+    description="G7 GROUPING SETS with grouping() markers: four "
+    "aggregation levels in one shuffle, the marker bits separating a "
+    "real NULL key from a rolled-up one — the disambiguation every "
+    "multi-level report needs",
+)
+def grouping_markers_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping sets evaluate in a single Expand+Aggregate —
+    one pass over the fact table, one shuffle keyed by (set-id, keys)
+    — instead of four scans unioned. grouping() is the per-column
+    rollup marker (0 = grouped, 1 = aggregated away), which is the
+    only reliable way to tell 'priority IS NULL in the data' from
+    'priority rolled up' downstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupingSets(
+        [
+            ["o_orderpriority", "o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+            [],
+        ],
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return (
+        g.agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+            as_double(F.sum(money("o_totalprice"))).alias("revenue"),
+        )
+        .select(
+            "g_priority",
+            "g_status",
+            "o_orderpriority",
+            "o_orderstatus",
+            "n",
+            "revenue",
+        )
+        .orderBy(
+            "g_priority",
+            "g_status",
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("o_orderstatus").asc_nulls_last(),
+        )
+    )
