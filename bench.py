@@ -61,7 +61,7 @@ HEADLINE = [
     "pagerank_supplier_cooccurrence",
     # round-2 final additions: oriented triangle join, prefix-filtered
     # similarity join, fixed-point collocation mining
-    "triangle_count_suppliers",
+    "triangle_count_parts",
     "prefix_filter_jaccard_pairs",
     "collocation_pmi_top20",
 ]

@@ -17,7 +17,7 @@ from stream_ingestion_amazon_kinesis_spark.operators.dedup import (
     prefix_filter_jaccard_pairs,
 )
 from stream_ingestion_amazon_kinesis_spark.operators.graph import (
-    triangle_count_suppliers,
+    triangle_count_parts,
 )
 from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
 
@@ -112,6 +112,6 @@ def test_triangle_counts_sum_divisible_by_three(spark, sf_dir):
     """Every triangle contributes exactly one count to each of its
     three corners, so the per-supplier counts must sum to 3x the
     number of triangles."""
-    df = triangle_count_suppliers(spark, sf_dir)
+    df = triangle_count_parts(spark, sf_dir)
     total = df.agg(F.sum("n_triangles")).collect()[0][0]
     assert total is not None and total % 3 == 0 and total > 0
