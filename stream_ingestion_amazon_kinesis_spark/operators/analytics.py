@@ -195,3 +195,64 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — precomputed constants, so
+# no runtime log ever enters the compared values.
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+@register(
+    "benford_digit_audit_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+        FROM orders
+        WHERE o_totalprice > 0),
+    d AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT digit, n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST(CASE digit {' '.join(f'WHEN {i+1} THEN {v}' for i, v in enumerate(_BENFORD_PPM))}
+           END AS BIGINT) AS benford_ppm
+    FROM d CROSS JOIN t
+    ORDER BY digit
+    """,
+    description="Benford first-digit audit of order totals: observed "
+    "leading-digit shares in exact integer ppm vs the precomputed "
+    "Benford expectation — the fraud/synthetic-data smoke test, no "
+    "runtime float log anywhere",
+)
+def benford_digit_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First digits are extracted from exact integer cents rendered as
+    strings (bigint-to-string is identical on every engine, unlike
+    double formatting), shares are truncating-integer ppm, and the
+    Benford expectations are compile-time constants — the whole audit
+    is one map-side-combined aggregate over a 9-row result, exact at
+    any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    d = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = d.agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_PPM]), F.col("digit").cast("int")
+    ).cast("bigint")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div total").cast("bigint").alias("share_ppm"),
+            expected.alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -462,3 +462,94 @@ def point_in_time_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "interval_overlap_session_pairs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged),
+    s AS (
+        SELECT user_id, MIN(ts) AS st, MAX(ts) + INTERVAL '30 minutes' AS en
+        FROM islands GROUP BY user_id, session_no)
+    SELECT date_trunc('hour', greatest(a.st, b.st)) AS overlap_hour,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_us(least(a.en, b.en))
+                    - epoch_us(greatest(a.st, b.st))) AS BIGINT)
+               AS overlap_micros_total
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="G4 interval-overlap self-join at scale: sessions "
+    "exploded into the hour buckets they span, equi-joined on bucket, "
+    "each pair emitted ONLY in its overlap-start hour (no distinct "
+    "needed) — the oracle is the quadratic overlap join",
+)
+def interval_overlap_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed interval join: a raw overlap self-join
+    is non-equi (quadratic shuffle); bucketizing every interval into
+    the hour buckets it spans turns it into an equi-join on the bucket
+    key, with the true overlap predicate applied as a post-filter.
+    Dedup across shared buckets is FREE — a pair is kept only where
+    bucket = hour(overlap start), an hour both intervals provably
+    touch, so each overlapping pair survives exactly once without a
+    distinct. Fan-out is bounded by interval length / bucket width
+    (sessions here span ~1-2 hours); per-bucket join width is bounded
+    by concurrent sessions, the quantity a 100 TB deployment would
+    tune bucket width against. Output is the per-hour overlap census,
+    not the raw pair list, so result size stays bounded too."""
+    events = load_table(spark, sf_dir, "events")
+    ses = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("st"),
+            F.col("session_window.end").alias("en"),
+        )
+    )
+    one_us = F.expr("INTERVAL 1 microsecond")
+    hour = F.expr("INTERVAL 1 hour")
+    sesb = ses.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("st")),
+                F.date_trunc("hour", F.col("en") - one_us),
+                hour,
+            )
+        ),
+    )
+    a, b = sesb.alias("a"), sesb.alias("b")
+    ov_start = F.greatest(F.col("a.st"), F.col("b.st"))
+    ov_end = F.least(F.col("a.en"), F.col("b.en"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.st") < F.col("b.en"))
+        & (F.col("b.st") < F.col("a.en"))
+        & (F.col("a.bucket") == F.date_trunc("hour", ov_start)),
+    )
+    return (
+        pairs.groupBy(F.col("a.bucket").alias("overlap_hour"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.unix_micros(ov_end) - F.unix_micros(ov_start))
+            .cast("bigint")
+            .alias("overlap_micros_total"),
+        )
+        .orderBy("overlap_hour")
+    )
