@@ -256,3 +256,90 @@ def benford_digit_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "association_rules_parts",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM os),
+    ic AS (SELECT l_partkey AS item, COUNT(*) AS c FROM os GROUP BY 1),
+    pc AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               COUNT(*) AS c_xy
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2)
+    SELECT antecedent, consequent, CAST(c_xy AS BIGINT) AS n_baskets_both,
+           CAST((c_xy * 1000000) // n_baskets AS BIGINT) AS support_ppm,
+           CAST((c_xy * 1000000) // cx.c AS BIGINT) AS confidence_ppm,
+           CAST(((c_xy * 1000000) // cx.c) * 1000000
+                // ((cy.c * 1000000) // n_baskets) AS BIGINT) AS lift_micro
+    FROM pc
+    JOIN ic cx ON cx.item = antecedent
+    JOIN ic cy ON cy.item = consequent
+    CROSS JOIN n
+    WHERE c_xy >= 2
+    ORDER BY antecedent, consequent
+    """,
+    description="market-basket association rules over order baskets: "
+    "directed part pairs with support/confidence/lift in exact staged "
+    "fixed-point (ppm/micro) — the Apriori-style co-purchase miner, "
+    "min-support 2, one self-join + two item-count joins",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining the declarative way: baskets are
+    distinct (order, part) rows; rule support comes from one
+    per-basket self-join (bounded by parts-per-order, never
+    corpus-quadratic), antecedent/consequent frequencies from one
+    item aggregate joined twice (AQE broadcasts the item side), and
+    the basket total from a broadcast single-row crossJoin. All three
+    metrics are staged truncating-integer ratios — same recipe as
+    collocation_pmi_top20 — so every engine and partitioning agrees
+    exactly; at N near 1e9 baskets promote the stages to
+    DECIMAL(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    n = os_.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ic = os_.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("c")
+    )
+    a, b = os_.alias("a"), os_.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 2)
+    )
+    cx = ic.select(F.col("item").alias("antecedent"), F.col("c").alias("cx"))
+    cy = ic.select(F.col("item").alias("consequent"), F.col("c").alias("cy"))
+    return (
+        pc.join(cx, "antecedent")
+        .join(cy, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_xy").cast("bigint").alias("n_baskets_both"),
+            F.expr("(c_xy * 1000000) div n_baskets")
+            .cast("bigint")
+            .alias("support_ppm"),
+            F.expr("(c_xy * 1000000) div cx")
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.expr(
+                "((c_xy * 1000000) div cx) * 1000000"
+                " div ((cy * 1000000) div n_baskets)"
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

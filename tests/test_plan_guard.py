@@ -60,6 +60,7 @@ BNLJ_OK = {
     "tfidf_top_terms",  # crossJoin of the single-row corpus count N
     "collocation_pmi_top20",  # crossJoin of the single-row totals (N, M)
     "benford_digit_audit_orders",  # crossJoin of the single-row total count
+    "association_rules_parts",  # crossJoin of the single-row basket count
     "key_skew_audit_lineitem",  # crossJoin of the single-row total
     "referential_integrity_audit",  # crossJoins of single-row counts per FK edge
     "sequence_packing_bins",  # bounded per-source offsets relation
