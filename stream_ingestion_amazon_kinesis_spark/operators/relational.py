@@ -1407,3 +1407,82 @@ def grouping_markers_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_last(),
         )
     )
+
+
+@register(
+    "setops_all_multiplicity",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+         b AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT 'intersect_all' AS op, COUNT(*) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+    description="G10 bag-semantics set ops: INTERSECT ALL / EXCEPT ALL "
+    "keep per-key multiplicities (min / truncated difference of "
+    "counts), the variant DISTINCT set ops silently destroy",
+)
+def setops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics matter when the rows ARE the quantity (per-order
+    cohort membership here): INTERSECT ALL keeps min(count_a, count_b)
+    copies per key, EXCEPT ALL keeps count_a - count_b truncated at
+    zero. Spark plans both as a single aggregate computing the two
+    counts per key and a generate — one shuffle, no join."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return count_as(a.intersectAll(b), "intersect_all").unionByName(
+        count_as(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
+    "exists_cohort_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+    description="G3 correlated EXISTS + NOT EXISTS in one SQL query — "
+    "Catalyst rewrites them to a left-semi and a left-anti join on the "
+    "correlation key (verified in the plan guard: no nested loops)",
+)
+def exists_cohort_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface twin of the DataFrame semi/anti joins: both
+    correlated subqueries decorrelate into hash joins keyed on
+    o_custkey, so the query costs two shuffle joins regardless of how
+    many orders each customer has."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )
