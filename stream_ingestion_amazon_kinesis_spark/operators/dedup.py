@@ -676,3 +676,72 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=_QUERIES["neardup_components"].oracle.replace(
+        """    SELECT node AS doc_id, MIN(reach) AS component_id
+    FROM walk GROUP BY node
+    """,
+        """    , comp AS (SELECT node AS doc_id, MIN(reach) AS component_id
+                 FROM walk GROUP BY node),
+    ranked AS (
+        SELECT c.component_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS n_docs
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT component_id, doc_id AS canonical_doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, n_docs
+    FROM ranked WHERE rn = 1
+    ORDER BY component_id
+    """,
+    ),
+    description="G17 dedup canonicalization: one survivor per near-dup "
+    "cluster (longest doc, doc_id tiebreak) — the keep-best step that "
+    "turns detected clusters into an actual deduplicated corpus",
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the dedup pipeline: detect (jaccard pairs) ->
+    cluster (connected components) -> SELECT (this): per component,
+    keep the longest document with doc_id as the total tiebreak, and
+    report cluster size so the drop count is auditable. One window
+    over the component-sized label relation — components are bounded
+    by cluster size, not corpus size, so the window partition never
+    grows with data. Oracle extends the recursive-CTE components
+    oracle with the identical ranked selection."""
+    from pyspark.sql.window import Window as _Win
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    edges = jaccard_neardup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    ranked = (
+        labels.join(docs, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _Win.partitionBy("component_id").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+        .withColumn(
+            "n_docs",
+            F.count("*").over(_Win.partitionBy("component_id")),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "n_docs",
+        )
+        .orderBy("component_id")
+    )
