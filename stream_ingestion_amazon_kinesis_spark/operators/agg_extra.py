@@ -145,3 +145,43 @@ def bitmap_distinct_customers_monthly(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(F.expr("bitmap_count(bm)")).alias("distinct_customers"),
         F.sum("n_orders").alias("n_orders"),
     )
+
+
+@register(
+    "percentile_disc_price_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="G5 ordered-set aggregate percentile_disc WITHIN GROUP: "
+    "discrete quantiles return ACTUAL data values (no interpolation), "
+    "so the result is float-exact on any engine — the safe form of "
+    "percentiles under an exact-value oracle",
+)
+def percentile_disc_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc picks the smallest value whose cumulative
+    distribution reaches p — a SELECTION, not an interpolation, so
+    unlike percentile_cont there is no float blend whose rounding
+    could differ between engines (verified: Spark WITHIN GROUP and
+    DuckDB quantile_disc agree on the same convention). Per-group
+    sort happens inside the aggregate; one shuffle on the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("pct_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+               COUNT(*) AS n
+        FROM pct_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

@@ -273,3 +273,70 @@ def cogroup_order_fill_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_order_fill_profile, out_schema)
         .orderBy("o_orderkey")
     )
+
+
+def _lang_profile_udtf():
+    # Table-argument UDTF (Spark 4 polymorphic TVF): receives WHOLE
+    # PARTITIONS of a TABLE(...) input — eval() streams the partition's
+    # rows, terminate() emits the per-partition summary. The stateful
+    # accumulate-then-emit lifecycle that a scalar UDF cannot express.
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import Row
+
+    @udtf(returnType="lang: string, n_docs: bigint, total_chars: bigint, "
+                     "max_chars: bigint")
+    class LangProfile:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.total = 0
+            self.mx = 0
+
+        def eval(self, row: Row):
+            self.lang = row["lang"]
+            self.n += 1
+            c = int(row["n_chars"])
+            self.total += c
+            self.mx = max(self.mx, c)
+
+        def terminate(self):
+            if self.n:
+                yield (self.lang, self.n, self.total, self.mx)
+
+    return LangProfile
+
+
+@register(
+    "udtf_table_arg_lang_profile",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="G16 table-argument UDTF: TABLE(docs) PARTITION BY lang "
+    "streams whole partitions through eval(), terminate() emits one "
+    "summary row per partition — the accumulate/emit lifecycle, "
+    "order-independent math so the oracle is exact",
+)
+def udtf_table_arg_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The polymorphic table-valued-function surface: the UDTF is
+    invoked as `lang_profile(TABLE(docs) PARTITION BY lang)`, so Spark
+    shuffles by lang and hands each partition's rows to one UDTF
+    instance — per-group custom logic WITHOUT collect_list buffering or
+    applyInPandas frame materialization (rows stream through eval one
+    at a time; memory is O(state), not O(partition)). All accumulators
+    here are order-independent (count/sum/max over ints), which is
+    what makes the Python path oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("lang_profile", _lang_profile_udtf())
+    docs.select("lang", "n_chars").createOrReplaceTempView("udtf_lang_input")
+    return spark.sql(
+        """
+        SELECT lang, n_docs, total_chars, max_chars
+        FROM lang_profile(TABLE(udtf_lang_input) PARTITION BY lang)
+        ORDER BY lang
+        """
+    )
