@@ -196,3 +196,71 @@ def topk_sketch_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, item
         """
     )
+
+
+@register(
+    "linreg_qty_price_exact",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 1000) AS BIGINT) AS slope_milli,
+           CAST(FLOOR(
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) * 100) AS BIGINT) AS intercept_cents
+    FROM sums ORDER BY l_returnflag
+    """,
+    description="G5 regression aggregates from exact power sums: OLS "
+    "slope/intercept per return flag — regr_slope/regr_intercept's "
+    "float accumulation replaced by DECIMAL sums + one final float "
+    "combination per group, floor-quantized for ulp-insensitive "
+    "comparison",
+)
+def linreg_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares price-per-quantity per return flag, the
+    corr_qty_price_exact recipe applied to regression: slope =
+    (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2), intercept = (Sy - slope*Sx)/n.
+    The builtin regr_slope/regr_intercept accumulate doubles in
+    partition order (run-to-run drift at scale); here every sum is
+    exact DECIMAL and the float division happens once per group —
+    identical on 1 or 1000 executors. Outputs floor-quantized
+    (milli / cents) to absorb the last-ulp decimal->double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity", 12, 2), dec("l_extendedprice", 12, 2)
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * price).alias("sxy"),
+        F.sum(qty * qty).alias("sxx"),
+    )
+    n = as_double(F.col("n"))
+    sx, sy = as_double(F.col("sx")), as_double(F.col("sy"))
+    sxy, sxx = as_double(F.col("sxy")), as_double(F.col("sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.floor(slope * 1000).cast("bigint").alias("slope_milli"),
+        F.floor(intercept * 100).cast("bigint").alias("intercept_cents"),
+    ).orderBy("l_returnflag")
