@@ -343,3 +343,50 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@register(
+    "iqr_outlier_orders",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderstatus,
+               quantile_disc(o_totalprice, 0.25) AS p25,
+               quantile_disc(o_totalprice, 0.75) AS p75
+        FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o JOIN q USING (o_orderstatus)
+    WHERE o.o_totalprice > q.p75 + 0.5 * (q.p75 - q.p25)
+    ORDER BY o.o_orderkey
+    """,
+    description="Tukey-style IQR outlier filter per status: fences "
+    "built from DISCRETE quantiles (actual data values, float-exact "
+    "cross-engine), one broadcast join of the tiny quantile relation",
+)
+def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust-statistics cousin of zscore_outlier_events: flag
+    orders above p75 + 0.5*IQR of their status group (the classic
+    multiplier is 1.5; the fixture's price distribution is short-tailed
+    so the fence is tightened to keep the survivor set non-empty at
+    every sf — the plan is identical either way). percentile_disc
+    returns actual data values, so the fence arithmetic runs on
+    identical doubles in both engines and the survivor set is exact —
+    the reason this uses discrete quantiles, not interpolated ones.
+    One aggregate to a |status|-row relation, broadcast back over the
+    fact table; no global sort anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("iqr_orders")
+    q = spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+        FROM iqr_orders GROUP BY o_orderstatus
+        """
+    )
+    fence = F.col("p75") + 0.5 * (F.col("p75") - F.col("p25"))
+    return (
+        orders.join(F.broadcast(q), "o_orderstatus")
+        .filter(F.col("o_totalprice") > fence)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -796,3 +796,78 @@ def collocation_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pmi_micro"),
     ).orderBy(F.desc("pmi_micro"), "bigram").limit(20)
+
+
+@register(
+    "sparse_retrieval_top5",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w AS token, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    qid AS (SELECT MIN(doc_id) AS query_doc FROM documents),
+    qvec AS (SELECT t.token, t.tf AS qtf FROM tf t, qid WHERE t.doc_id = qid.query_doc)
+    SELECT t.doc_id,
+           CAST(SUM(t.tf * q.qtf * ((nd.n_docs * 1000) // df.df)) AS BIGINT)
+               AS score_milli
+    FROM tf t
+    JOIN qvec q ON q.token = t.token
+    JOIN df ON df.token = t.token
+    CROSS JOIN nd, qid
+    WHERE t.doc_id <> qid.query_doc
+    GROUP BY t.doc_id
+    ORDER BY score_milli DESC, t.doc_id
+    LIMIT 5
+    """,
+    description="sparse lexical retrieval: top-5 docs for a query doc "
+    "by rarity-weighted token overlap (tf_q * tf_d * N*1000 div df) — "
+    "the TF-IDF-shaped score in exact staged integers, inverted-index "
+    "join on token, no float log",
+)
+def sparse_retrieval_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document retrieval over the inverted index: the query doc's
+    term vector (bounded — one doc's tokens) broadcasts into a join
+    against the (doc, token, tf) posting relation, so the only
+    full-corpus work is one explode+agg and one equi-join keyed by
+    token — the shape of every sparse retrieval engine. The rarity
+    weight (N*1000 div df) is monotone in IDF without the float log,
+    keeping the whole score in exact integer milli-units with a total
+    (score, doc_id) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    qid = docs.agg(F.min("doc_id").alias("query_doc"))
+    qvec = (
+        tf.crossJoin(F.broadcast(qid))
+        .filter(F.col("doc_id") == F.col("query_doc"))
+        .select(F.col("token"), F.col("tf").alias("qtf"))
+    )
+    return (
+        tf.join(F.broadcast(qvec), "token")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.col("qtf")
+                * F.expr("(n_docs * 1000) div df")
+            )
+            .cast("bigint")
+            .alias("score_milli")
+        )
+        .orderBy(F.desc("score_milli"), "doc_id")
+        .limit(5)
+    )

@@ -61,6 +61,7 @@ BNLJ_OK = {
     "collocation_pmi_top20",  # crossJoin of the single-row totals (N, M)
     "benford_digit_audit_orders",  # crossJoin of the single-row total count
     "association_rules_parts",  # crossJoin of the single-row basket count
+    "sparse_retrieval_top5",  # crossJoins of single-row totals + query-doc id
     "key_skew_audit_lineitem",  # crossJoin of the single-row total
     "referential_integrity_audit",  # crossJoins of single-row counts per FK edge
     "sequence_packing_bins",  # bounded per-source offsets relation
