@@ -247,3 +247,101 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "part")
     )
+
+
+def _linkpred_oracle() -> str:
+    return """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    nbr AS (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM und),
+    wedge AS (
+        SELECT a.node AS x, b.node AS y, COUNT(*) AS common_neighbors
+        FROM nbr a JOIN nbr b
+          ON a.nbr = b.nbr AND a.node < b.node
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT w.x, w.y, w.common_neighbors
+        FROM wedge w
+        LEFT JOIN und e ON e.u = w.x AND e.v = w.y
+        WHERE e.u IS NULL)
+    SELECT x AS part_a, y AS part_b, CAST(common_neighbors AS BIGINT)
+               AS common_neighbors
+    FROM pred
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT 20
+    """
+
+
+@register(
+    "link_prediction_common_neighbors",
+    oracle=_linkpred_oracle(),
+    description="link prediction on the part co-occurrence graph: "
+    "top-20 NON-edges ranked by common-neighbor count — wedge "
+    "generation through each shared neighbor, anti-join against "
+    "existing edges, the co-purchase recommender primitive",
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict the missing edges: for every non-adjacent pair, count
+    shared neighbors (the common-neighbors score that Adamic-Adar
+    refines). The wedge self-join through the shared neighbor is the
+    same bounded pattern as triangle counting — each neighbor of
+    degree d contributes d^2 wedge pairs, so the hub cap that keeps
+    triangles tractable governs this too; the anti-join against the
+    edge relation then removes already-connected pairs. Counts are
+    plain integers, the ranking carries a total (score, a, b)
+    tiebreak. The graph keeps only REPEAT co-occurrences (>= 2 shared
+    orders): incidental one-off pairings are noise for prediction, and
+    the support floor is also what keeps the wedge volume
+    Theta(sum deg^2) bounded — the same lever a 100 TB co-purchase
+    graph would tune (measured here: 57 s -> ~2 s at sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    nbr = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    na, nb = nbr.alias("na"), nbr.alias("nb")
+    wedge = (
+        na.join(
+            nb,
+            (F.col("na.nbr") == F.col("nb.nbr"))
+            & (F.col("na.node") < F.col("nb.node")),
+        )
+        .groupBy(F.col("na.node").alias("x"), F.col("nb.node").alias("y"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    pred = wedge.join(
+        und,
+        (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
+        "left_anti",
+    )
+    return (
+        pred.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(20)
+    )
