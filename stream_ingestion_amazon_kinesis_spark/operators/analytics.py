@@ -390,3 +390,77 @@ def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "cohort_ltv_weekly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    weekly AS (
+        SELECT e.user_id,
+               date_trunc('week', e.ts) AS wk,
+               SUM(CAST(e.value AS DECIMAL(12,2))) AS v
+        FROM events e GROUP BY 1, 2),
+    cohort_age AS (
+        SELECT f.cohort_week,
+               date_diff('day', f.cohort_week, w.wk) // 7 AS age_weeks,
+               SUM(w.v) AS weekly_value
+        FROM weekly w JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2),
+    sizes AS (SELECT cohort_week, COUNT(*) AS n_users
+              FROM first_seen GROUP BY cohort_week)
+    SELECT c.cohort_week, c.age_weeks, s.n_users,
+           CAST(SUM(c.weekly_value)
+                OVER (PARTITION BY c.cohort_week ORDER BY c.age_weeks
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM cohort_age c JOIN sizes s USING (cohort_week)
+    ORDER BY c.cohort_week, c.age_weeks
+    """,
+    description="cohort LTV curves: users cohorted by first-seen week, "
+    "cumulative value by cohort age — exact DECIMAL cumsum over the "
+    "bounded (cohort, age) relation, the triangle every growth "
+    "dashboard draws",
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three bounded shuffles: first-seen per user, weekly value per
+    (user, week), then one rollup to the (cohort, age) triangle whose
+    size is weeks^2 regardless of event volume — the running total
+    window runs over that bounded relation, never the fact table.
+    Money stays DECIMAL until the final double cast, so the cumsum is
+    partition-order-proof."""
+    events = load_table(spark, sf_dir, "events")
+    money = F.col("value").cast("decimal(12,2)")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weekly = events.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.sum(money).alias("v"))
+    cohort_age = (
+        weekly.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").alias("age_weeks"),
+        )
+        .agg(F.sum("v").alias("weekly_value"))
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cohort_age.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_users",
+            F.sum("weekly_value").over(w).cast("double").alias("cum_value"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
