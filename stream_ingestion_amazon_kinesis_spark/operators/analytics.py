@@ -205,12 +205,14 @@ _BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757
 @register(
     "benford_digit_audit_orders",
     oracle=f"""
-    WITH c AS (
-        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                                  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
-                   AS digit
-        FROM orders
-        WHERE o_totalprice > 0),
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    c AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+        WHERE cents >= 1),
     d AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
     SELECT digit, n,
@@ -234,10 +236,16 @@ def benford_digit_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    # Filter on the derived cents, not the raw price: a price in
+    # (0, 0.005) rounds to 0 cents, whose first "digit" 0 has no
+    # Benford expectation (element_at(_, 0) throws under ANSI).
     d = (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
         .select(
-            F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
         )
         .groupBy("digit")
         .agg(F.count("*").alias("n"))

@@ -74,7 +74,9 @@ def route_sessions(
 # ---------------------------------------------------------------------------
 
 
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, max_items: int | None = None
+) -> DataFrame:
     """Build reference-shaped sessions from the `events` fixture: one
     session per user, browse_history = that user's events as
     (product_code, quantity-as-string, in_shopping_cart) structs.
@@ -86,10 +88,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale bound: the per-session array mirrors the reference's payload
     shape (consumer.py:131-157), whose size is bounded by the session
-    length a single Kinesis record carries — NOT by corpus size. Feeding
-    this operator unboundedly-keyed data would make a power key one fat
-    row; cap with `F.slice(..., 1, N)` after the sort if sessions are
-    ever unbounded upstream.
+    length a single Kinesis record carries — NOT by corpus size. For
+    unboundedly-keyed upstreams (where a power key would otherwise
+    become one fat row), pass `max_items`: the sorted array is capped
+    with `F.slice(.., 1, max_items)`, keeping the deterministic
+    earliest-event_id prefix. Default None = exact reference parity.
     """
     events = load_table(spark, sf_dir, "events")
     item = F.struct(
@@ -98,9 +101,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").cast("string").alias("quantity"),
         (F.col("event_type") == "purchase").alias("in_shopping_cart"),
     )
+    arr = F.sort_array(F.collect_list(item))
+    if max_items is not None:
+        arr = F.slice(arr, 1, max_items)
     return (
         events.groupBy(F.col("user_id").alias("session_id"))
-        .agg(F.sort_array(F.collect_list(item)).alias("browse_history"))
+        .agg(arr.alias("browse_history"))
         .withColumn(
             "browse_history",
             F.transform(

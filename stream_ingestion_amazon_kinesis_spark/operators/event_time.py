@@ -82,7 +82,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
@@ -102,6 +102,12 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G12 session window (30m gap) per user; oracle = gaps-and-islands SQL",
 )
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary convention: Spark's `session_window(ts, gap)` merges
+    events only when the next event is STRICTLY inside the previous
+    [ts, ts+gap) window, i.e. a gap of exactly 30:00.000000 starts a
+    NEW session. The oracle mirrors that with `gap >= INTERVAL '30
+    minutes' -> new session`, so both engines split identically on the
+    exact-gap case."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -470,7 +476,7 @@ def point_in_time_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
@@ -509,7 +515,11 @@ def interval_overlap_session_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     (sessions here span ~1-2 hours); per-bucket join width is bounded
     by concurrent sessions, the quantity a 100 TB deployment would
     tune bucket width against. Output is the per-hour overlap census,
-    not the raw pair list, so result size stays bounded too."""
+    not the raw pair list, so result size stays bounded too.
+
+    Session boundary convention matches `session_window_events`: an
+    exact 30-minute gap starts a new session in BOTH engines (oracle
+    uses `>=`)."""
     events = load_table(spark, sf_dir, "events")
     ses = (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))

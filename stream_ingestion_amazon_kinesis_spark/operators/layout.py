@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import as_double, money
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import fixture_fingerprint, load_table
 
 # 16 bits per dimension -> 32-bit Morton key. Dimension values are
 # clamped into [0, 65535]; both fixture dimensions (user_id, whole-unit
@@ -82,7 +82,10 @@ def zordered_events_path(spark: SparkSession, sf_dir: str) -> str:
     file_formats._ensure_export)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_layout", tag, "events_zorder"
+        tempfile.gettempdir(),
+        "spark_graft_layout",
+        tag,
+        f"events_zorder_{fixture_fingerprint(sf_dir)}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         events = load_table(spark, sf_dir, "events")

@@ -18,16 +18,18 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import as_double, money
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import fixture_fingerprint, load_table
 from ..streaming.pipeline import read_event_stream
 
 
 
 def _staged_events_json(spark: SparkSession, sf_dir: str, micros: bool = False) -> str:
-    """Stage the events fixture as JSON-lines once per (sf, precision) —
-    the live queries replay it through the streaming engine repeatedly
-    and the export itself is invariant. `_SUCCESS` marker makes the
-    cache idempotent across processes; `micros=True` keeps full
+    """Stage the events fixture as JSON-lines once per (sf, precision,
+    fixture-fingerprint) — the live queries replay it through the
+    streaming engine repeatedly and the export itself is invariant for
+    a given fixture generation. `_SUCCESS` marker makes the cache
+    idempotent across processes; the fingerprint in the path makes a
+    regenerated fixture miss the cache; `micros=True` keeps full
     microsecond timestamps (default to_json truncates to millis, which
     only matters when a query COMPARES timestamps, e.g. a join
     condition)."""
@@ -36,7 +38,10 @@ def _staged_events_json(spark: SparkSession, sf_dir: str, micros: bool = False) 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     suffix = "us" if micros else "ms"
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream_stage", tag, f"events_{suffix}"
+        tempfile.gettempdir(),
+        "spark_graft_stream_stage",
+        tag,
+        f"events_{suffix}_{fixture_fingerprint(sf_dir)}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         events = load_table(spark, sf_dir, "events")
@@ -243,7 +248,7 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
@@ -465,12 +470,16 @@ def streaming_rest_pages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _staged_events_json_doubled(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture TWICE (every record duplicated) so the
     live dedup query has real duplicates to remove. Cached per sf like
-    `_staged_events_json`."""
+    `_staged_events_json` (fingerprint-keyed, so a regenerated fixture
+    invalidates the staged copy)."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream_stage", tag, "events_dup"
+        tempfile.gettempdir(),
+        "spark_graft_stream_stage",
+        tag,
+        f"events_dup_{fixture_fingerprint(sf_dir)}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         events = load_table(spark, sf_dir, "events")

@@ -20,6 +20,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def fixture_fingerprint(sf_dir: str, name: str = "events") -> str:
+    """Short content fingerprint (mtime+size of every file under the
+    table's parquet path). /tmp staging caches embed it in their path
+    so a fixture REGENERATION (same sf tag, new data — has happened
+    twice across rounds) invalidates the cache instead of silently
+    replaying a stale export."""
+    import hashlib
+
+    src = table_path(sf_dir, name)
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain `spark.read.parquet` so filters and
     projections placed on top by callers reach the scan (PushedFilters /
@@ -32,11 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB oracle) treats these as UTC instants, so both shapes are
     normalized here to a real TimestampType with UTC wall times:
 
-    - session timezone is pinned to UTC at load time (runtime-settable,
-      so this works under ANY SparkSession including the verification
-      driver's) — that makes the NTZ->LTZ cast wall-time-preserving
-      and keeps collected timestamps rendering as the same wall times
-      DuckDB prints for its naive TIMESTAMP;
+    - NTZ wall times are converted to instants TZ-INDEPENDENTLY:
+      `timestampdiff(MICROSECOND, epoch_ntz, c)` is pure wall-clock
+      arithmetic on the NTZ value, and `timestamp_micros` builds the
+      instant from micros-since-epoch directly — neither consults the
+      session timezone, so a later tz change in a shared session can
+      never shift the normalized instants (unlike a bare NTZ->LTZ
+      cast, which reads spark.sql.session.timeZone lazily at action
+      time);
+    - session timezone is still pinned to UTC (runtime-settable, works
+      under ANY SparkSession including the verification driver's) so
+      that instants RENDER as the same wall times DuckDB prints for
+      its naive TIMESTAMP when rows are collected/serialized — a
+      display concern only; correctness of the stored instants no
+      longer depends on it;
     - NANOS fixtures additionally need nanosAsLong (else a vanilla
       session throws PARQUET_TYPE_ILLEGAL) + a micros truncation, the
       same truncation DuckDB applies.
@@ -49,7 +79,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+                    )
+                ),
+            )
     return df
 
 

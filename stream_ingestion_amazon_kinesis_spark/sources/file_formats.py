@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from ..functions.numeric import as_double, money
 from ..plans.registry import register
-from .catalog import load_table
+from .catalog import fixture_fingerprint, load_table
 
 CUSTOMER_SCHEMA = T.StructType(
     [
@@ -50,7 +50,10 @@ SUPPLIER_SCHEMA = T.StructType(
 def _export_path(sf_dir: str, name: str, fmt: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_file_formats", tag, f"{name}_{fmt}"
+        tempfile.gettempdir(),
+        "spark_graft_file_formats",
+        tag,
+        f"{name}_{fmt}_{fixture_fingerprint(sf_dir, name)}",
     )
 
 

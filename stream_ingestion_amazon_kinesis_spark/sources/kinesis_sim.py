@@ -353,7 +353,14 @@ def _stream_cache_path(sf_dir: str) -> str:
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_kinesis_sim", tag, "events")
+    from .catalog import fixture_fingerprint
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_kinesis_sim",
+        tag,
+        f"events_{fixture_fingerprint(sf_dir)}",
+    )
 
 
 def events_stream_dir(spark, sf_dir: str, num_shards: int = 32) -> str:

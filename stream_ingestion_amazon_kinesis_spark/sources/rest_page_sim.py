@@ -241,12 +241,31 @@ def _api_cache_path(sf_dir: str) -> str:
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_rest_page_sim", tag, "documents")
+    from .catalog import fixture_fingerprint
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_rest_page_sim",
+        tag,
+        f"documents_{fixture_fingerprint(sf_dir, 'documents')}",
+    )
 
 
 def documents_api_dir(spark, sf_dir: str) -> str:
     """Materialize the documents fixture as the API's backing JSONL once
-    per sf (driver-side single write; marker makes it idempotent)."""
+    per sf+fingerprint (marker makes it idempotent).
+
+    The single ordered file is written EXECUTOR-side: repartition(1) +
+    sortWithinPartitions gives a total order inside one task whose
+    external sort spills to executor disk, and the text writer streams
+    straight to the file — the whole table never transits driver memory
+    (collecting rows here would OOM the driver at 100x the fixture).
+    One task for one file is inherent to a single-file API backing
+    store, and this path is test infra simulating the external API, not
+    a registered query plan."""
+    import glob
+    import shutil
+
     from pyspark.sql import functions as F
 
     from .catalog import load_table
@@ -257,18 +276,24 @@ def documents_api_dir(spark, sf_dir: str) -> str:
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
         docs = load_table(spark, sf_dir, "documents")
-        lines = (
+        stage = path + ".stage"
+        (
             docs.select(
-                F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("j")
+                "doc_id",
+                F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias(
+                    "j"
+                ),
             )
-            .orderBy("doc_id")  # stable offsets: the API's insertion order
-            .collect()
+            .repartition(1)
+            .sortWithinPartitions("doc_id")  # stable offsets: insertion order
+            .select("j")
+            .write.mode("overwrite")
+            .text(stage)
         )
-        tmp = os.path.join(path, "data.jsonl.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for r in lines:
-                fh.write(r.j + "\n")
-        os.replace(tmp, os.path.join(path, "data.jsonl"))
+        parts = sorted(glob.glob(os.path.join(stage, "part-*")))
+        assert len(parts) == 1, parts
+        os.replace(parts[0], os.path.join(path, "data.jsonl"))
+        shutil.rmtree(stage, ignore_errors=True)
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("")
     return path

@@ -95,7 +95,14 @@ def _windowed_counts_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_state_reader", tag)
+    from ..sources.catalog import fixture_fingerprint
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_state_reader",
+        tag,
+        fixture_fingerprint(sf_dir),
+    )
     ckpt = os.path.join(root, "ckpt")
     marker = os.path.join(root, "_DONE")
     if not os.path.exists(marker):

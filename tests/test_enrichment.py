@@ -106,3 +106,31 @@ def test_json_roundtrip_iso_timestamps(spark):
     # custom serializer)
     assert "T" in row["processing_timestamp"]
     assert row["overall_product_quantity"] == 5
+
+
+def test_sessionize_max_items_caps_power_keys(spark, sf_dir):
+    """A power key (one user with far more events than the rest) must
+    not become one unbounded fat row: `max_items` keeps only the
+    deterministic earliest-event_id prefix of the sorted array."""
+    from stream_ingestion_amazon_kinesis_spark.operators.enrichment import (
+        sessionize_events,
+    )
+
+    capped = sessionize_events(spark, sf_dir, max_items=3)
+    sizes = capped.select(F.size("browse_history").alias("n")).agg(
+        F.max("n").alias("mx")
+    ).collect()[0]
+    assert sizes.mx <= 3
+
+    full = sessionize_events(spark, sf_dir)
+    joined = (
+        full.select("session_id", F.slice("browse_history", 1, 3).alias("want"))
+        .join(capped.select("session_id", F.col("browse_history").alias("got")),
+              "session_id")
+    )
+    assert joined.filter(F.col("want") != F.col("got")).count() == 0
+    # and at least one session in the fixture actually exceeded the cap
+    assert (
+        full.select(F.size("browse_history").alias("n")).filter(F.col("n") > 3).count()
+        > 0
+    )

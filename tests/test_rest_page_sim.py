@@ -108,6 +108,70 @@ def test_stream_rate_limit_and_drain(spark, tmp_path):
     assert len(seen_batches) >= 4  # the cap actually forced multiple batches
 
 
+def test_no_driver_collect_in_module():
+    """The API staging used to `.collect()` the whole documents table
+    through driver memory; pin the executor-side write."""
+    import inspect
+
+    from stream_ingestion_amazon_kinesis_spark.sources import rest_page_sim
+
+    src = inspect.getsource(rest_page_sim)
+    assert ".collect()" not in src
+
+
+def test_index_persisted_and_reused_across_restart(spark, tmp_path):
+    """The byte-offset index lives next to the data file and is REUSED:
+    a second scan (or a stream restarted from its checkpoint) must not
+    rebuild it, and the checkpointed stream must resume exactly where
+    it stopped instead of re-reading the prefix."""
+    import time
+
+    path = _mk_api(tmp_path, 600)
+    _ensure_index(path)
+    idx = os.path.join(path, "data.idx")
+    stamp = os.stat(idx).st_mtime_ns
+
+    register_format(spark)
+    ckpt = str(tmp_path / "ckpt")
+    totals: list[int] = []
+
+    def run_until(target: int) -> None:
+        stream = (
+            spark.readStream.format("rest_page_sim")
+            .option("path", path)
+            .option("pageSize", "100")
+            .option("maxPagesPerBatch", "2")
+            .load()
+        )
+
+        def sink(batch_df, _bid):
+            n = batch_df.count()
+            if n:
+                totals.append(n)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and sum(totals) < target:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+
+    run_until(200)
+    assert sum(totals) >= 200
+    run_until(600)  # restart from the same checkpoint
+    # exactly-once resume: a prefix re-read would push the total PAST
+    # 600; a lost offset would stall it below
+    assert sum(totals) == 600
+    # the persisted index was reused, never rebuilt
+    assert os.stat(idx).st_mtime_ns == stamp
+
+
 def test_fixture_roundtrip_equals_parquet(spark, sf_dir):
     path = documents_api_dir(spark, sf_dir)
     raw = spark.read.format("rest_page_sim").option("path", path).load()
