@@ -641,14 +641,23 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_tok") - F.expr("(4*n_tok + 4) div 5") + 1
-    ).select("doc_id", "source", "token")
+    ).select("doc_id", "source", "token", "n_tok")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # Length filter (lossless, standard All-Pairs companion to the
+    # prefix filter): J(a,b) >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
+    # since the intersection is at most min and the union at least max.
+    # In exact integers for t=0.8: 5*min >= 4*max. Prunes candidates
+    # inside the join, before the distinct and the verify joins.
+    len_ok = F.least(F.col("pa.n_tok"), F.col("pb.n_tok")) * 5 >= F.greatest(
+        F.col("pa.n_tok"), F.col("pb.n_tok")
+    ) * 4
     cand = (
         pa.join(
             pb,
             (F.col("pa.source") == F.col("pb.source"))
             & (F.col("pa.token") == F.col("pb.token"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & len_ok,
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
