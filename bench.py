@@ -140,8 +140,13 @@ def main() -> None:
         "plan_stats": stats,
     }
 
+    # Two lower scaling points (sf0.1 -> 0.01 -> 0.001): a two-segment
+    # slope per round instead of a single ratio. `slope_flags` lists
+    # any query whose upper-segment time ratio exceeds the data ratio
+    # (10x) — super-linear growth, i.e. a hidden quadratic.
     low = SCALING_SF.get(sf)
     low_dir = low and os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{low}")
+    low_timings = None
     if low_dir and os.path.isdir(low_dir):
         low_timings, _ = _run_set(spark, low_dir, collect_stats=False)
         out["scaling"] = {
@@ -149,6 +154,26 @@ def main() -> None:
             "value": round(sum(low_timings.values()), 3),
             "queries": low_timings,
         }
+        low2 = SCALING_SF.get(low)
+        low2_dir = low2 and os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")), f"sf{low2}"
+        )
+        if low2_dir and os.path.isdir(low2_dir):
+            low2_timings, _ = _run_set(spark, low2_dir, collect_stats=False)
+            out["scaling2"] = {
+                "sf": float(low2),
+                "value": round(sum(low2_timings.values()), 3),
+                "queries": low2_timings,
+            }
+    if low_timings:
+        # Fixed overhead (job scheduling, Arrow pool) dominates small
+        # SFs, so compare against the lower point minus nothing but
+        # still require a clearly super-linear blowup before flagging.
+        out["slope_flags"] = sorted(
+            name
+            for name, t_hi in timings.items()
+            if low_timings.get(name, 0) > 0.05 and t_hi / low_timings[name] > 10.0
+        )
 
     print(json.dumps(out))
 
