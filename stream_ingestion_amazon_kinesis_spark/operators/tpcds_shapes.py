@@ -1,0 +1,306 @@
+"""TPC-DS-style query shapes the TPC-H set doesn't exercise.
+
+The reference has no query surface at all (SURVEY §2.3 — its ETL is
+consumer.py:117-175); the TPC-H family (relational.py, tpch_extra.py)
+covers classic star-join aggregation. This module adds the decision-
+support shapes TPC-DS is known for and TPC-H lacks:
+
+- multi-channel UNION ALL feeding one shared ROLLUP (q5 shape)
+- EXISTS / NOT EXISTS chains against multiple subqueries (q16/q69)
+- many conditional counts over one scan (q88 "time-slot" shape)
+- GROUPING SETS over a derived date dimension (q27/q36 shape)
+- channel-membership set algebra INTERSECT/EXCEPT (q38/q87 shape)
+
+All exact-decimal money math (functions.numeric) so every aggregate is
+bit-identical to the DuckDB oracle at any partitioning; all integer
+outputs are bigint on both engines.
+
+Scale notes are per query; the common theme: each shape stays a single
+shuffle-per-aggregation plan with map-side partials, channels are
+derived columns (no data duplication beyond the UNION branches Spark
+also scans once each with column pruning), and membership set algebra
+runs on distinct keys, never row bags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import as_double, frac, money
+from ..plans.registry import register
+from ..sources.catalog import load_table, load_tables
+
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+_DISC_PRICE = (
+    f"CAST(l_extendedprice AS DECIMAL(12,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _disc_price() -> F.Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return money("l_extendedprice") * (one - frac(F.col("l_discount")))
+
+
+@register(
+    "tpcds_channel_union_rollup",
+    oracle=f"""
+    WITH chan AS (
+        SELECT 'sold' AS channel, n_name,
+               {_DISC_PRICE} AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag <> 'R'
+        UNION ALL
+        SELECT 'returned' AS channel, n_name,
+               {_DISC_PRICE} AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R')
+    SELECT channel, n_name,
+           GROUPING(channel) AS g_channel,
+           GROUPING(n_name) AS g_nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM chan
+    GROUP BY ROLLUP (channel, n_name)
+    """,
+    description="TPC-DS q5 shape: two revenue channels (sold vs "
+    "returned lineitems) UNION ALL'd into one shared "
+    "ROLLUP(channel, nation) with GROUPING() markers — the "
+    "multi-channel report TPC-H never asks for",
+)
+def tpcds_channel_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel here is a derived column of one scan family: both UNION
+    branches read the same lineitem⋈orders⋈customer⋈nation tree with
+    complementary returnflag filters, so Catalyst pushes each filter to
+    its scan and the rollup is a single shuffle over (channel, n_name)
+    with map-side partials. At 100 TB the channels would be separate
+    fact tables; the plan shape (union -> one grouping shuffle) is
+    identical."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    sold = joined.filter(F.col("l_returnflag") != "R").select(
+        F.lit("sold").alias("channel"),
+        "n_name",
+        _disc_price().alias("rev"),
+    )
+    ret = joined.filter(F.col("l_returnflag") == "R").select(
+        F.lit("returned").alias("channel"),
+        "n_name",
+        _disc_price().alias("rev"),
+    )
+    chan = sold.unionAll(ret)
+    return chan.rollup("channel", "n_name").agg(
+        F.grouping("channel").cast("bigint").alias("g_channel"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.count("*").alias("n_items"),
+        as_double(F.sum("rev")).alias("revenue"),
+    )
+
+
+@register(
+    "tpcds_exists_chain_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_custkey = c.c_custkey
+                        AND l.l_returnflag = 'R')
+    GROUP BY c_mktsegment
+    """,
+    description="TPC-DS q16/q69 shape: EXISTS + two NOT EXISTS chained "
+    "against different subqueries (urgent buyers, no cheap finished "
+    "orders, no returns) — semi-join then two anti-joins, each a "
+    "distinct-key relation",
+)
+def tpcds_exists_chain_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS chains compile to one left-semi plus one left-anti join
+    per predicate — never a count-then-filter (which would shuffle the
+    full bag per customer). Each subquery side is reduced to distinct
+    custkeys before the join, so what shuffles is bounded by the
+    customer dimension, not by orders x lineitem. AQE picks
+    broadcast for whichever membership sets end up small."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    cheap_f = t["orders"].filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+    )
+    returned = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+    )
+    c = (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_semi")
+        .join(cheap_f, F.col("c_custkey") == cheap_f["o_custkey"], "left_anti")
+        .join(returned, F.col("c_custkey") == returned["o_custkey"], "left_anti")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        as_double(F.sum(money("c_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+@register(
+    "tpcds_multi_band_counts",
+    oracle="""
+    SELECT
+        COUNT(CASE WHEN l_quantity >= 1  AND l_quantity < 7  THEN 1 END) AS band1,
+        COUNT(CASE WHEN l_quantity >= 7  AND l_quantity < 13 THEN 1 END) AS band2,
+        COUNT(CASE WHEN l_quantity >= 13 AND l_quantity < 19 THEN 1 END) AS band3,
+        COUNT(CASE WHEN l_quantity >= 19 AND l_quantity < 25 THEN 1 END) AS band4,
+        COUNT(CASE WHEN l_quantity >= 25 AND l_quantity < 31 THEN 1 END) AS band5,
+        COUNT(CASE WHEN l_quantity >= 31 AND l_quantity < 37 THEN 1 END) AS band6,
+        COUNT(CASE WHEN l_quantity >= 37 AND l_quantity < 43 THEN 1 END) AS band7,
+        COUNT(CASE WHEN l_quantity >= 43                     THEN 1 END) AS band8
+    FROM lineitem
+    WHERE l_discount >= 0.02
+    """,
+    description="TPC-DS q88 shape: eight conditional counts (quantity "
+    "bands) computed in ONE scan/aggregate — where q88 spells eight "
+    "cross-joined subqueries, the engine form is a single-pass "
+    "multi-conditional aggregate",
+)
+def tpcds_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's eight scalar subqueries over the same fact table collapse
+    into one scan with eight F.count(when(...)) partials — 8x less I/O
+    than the literal translation and a single map-side-combined
+    aggregate with a 1-row result; the discount filter is pushed to
+    the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.02)
+    q = F.col("l_quantity")
+
+    def band(lo: int | None, hi: int | None, name: str) -> F.Column:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (q >= lo)
+        if hi is not None:
+            cond = cond & (q < hi)
+        return F.count(F.when(cond, 1)).alias(name)
+
+    return li.agg(
+        band(1, 7, "band1"),
+        band(7, 13, "band2"),
+        band(13, 19, "band3"),
+        band(19, 25, "band4"),
+        band(25, 31, "band5"),
+        band(31, 37, "band6"),
+        band(37, 43, "band7"),
+        band(43, None, "band8"),
+    )
+
+
+@register(
+    "tpcds_date_dim_grouping_sets",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+           GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS g_year,
+           GROUPING(EXTRACT(QUARTER FROM o_orderdate)) AS g_quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((EXTRACT(YEAR FROM o_orderdate),
+                             EXTRACT(QUARTER FROM o_orderdate)),
+                            (EXTRACT(YEAR FROM o_orderdate)),
+                            ())
+    """,
+    description="TPC-DS q27/q36 shape: GROUPING SETS over a DERIVED "
+    "date dimension (year, quarter) — (y,q) detail, yearly subtotal, "
+    "grand total in one pass with GROUPING() markers",
+)
+def tpcds_date_dim_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS joins a date_dim table; this engine derives the calendar
+    attributes from the order timestamp (year/quarter are pure column
+    expressions, so no join at all) and feeds them to one grouping-sets
+    shuffle with map-side partials — at 100 TB this is strictly
+    cheaper than the date_dim broadcast join it replaces."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        money("o_totalprice").alias("p"),
+    )
+    return orders.groupingSets([["yr", "qtr"], ["yr"], []], "yr", "qtr").agg(
+        F.grouping("yr").cast("bigint").alias("g_year"),
+        F.grouping("qtr").cast("bigint").alias("g_quarter"),
+        F.count("*").alias("n_orders"),
+        as_double(F.sum("p")).alias("revenue"),
+    )
+
+
+@register(
+    "tpcds_crosschannel_except",
+    oracle="""
+    WITH urgent AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+    high AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '2-HIGH'),
+    low AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '5-LOW'),
+    target AS (
+        SELECT k FROM urgent
+        INTERSECT
+        SELECT k FROM high
+        EXCEPT
+        SELECT k FROM low)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers
+    FROM customer JOIN target ON c_custkey = k
+    GROUP BY c_mktsegment
+    """,
+    description="TPC-DS q38/q87 shape: channel-membership set algebra "
+    "— customers placing URGENT and HIGH priority orders but never "
+    "LOW (INTERSECT then EXCEPT on distinct key sets), by segment",
+)
+def tpcds_crosschannel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q38/q87 cross-channel audit: each channel reduces to a
+    DISTINCT key set before any set op, so INTERSECT/EXCEPT shuffle
+    only deduplicated custkeys (bounded by the customer dimension),
+    never order bags. Catalyst plans the set ops as left-semi /
+    left-anti hash joins on the hashed key."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+
+    def channel(prio: str) -> DataFrame:
+        return (
+            t["orders"]
+            .filter(F.col("o_orderpriority") == prio)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    target = (
+        channel("1-URGENT").intersect(channel("2-HIGH")).exceptAll(channel("5-LOW"))
+    )
+    return (
+        t["customer"]
+        .join(target, F.col("c_custkey") == F.col("k"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
