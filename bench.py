@@ -64,6 +64,8 @@ HEADLINE = [
     "triangle_count_parts",
     "prefix_filter_jaccard_pairs",
     "collocation_pmi_top20",
+    # round-3 addition: TPC-DS multi-channel union rollup
+    "tpcds_channel_union_rollup",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import as_double, frac, money
 from ..plans.registry import register
@@ -303,4 +304,100 @@ def tpcds_crosschannel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(target, F.col("c_custkey") == F.col("k"), "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "tpcds_window_channel_crossover",
+    oracle="""
+    WITH sold AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag <> 'R'
+        GROUP BY 1),
+    ret AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1),
+    series AS (
+        SELECT COALESCE(s.mon, r.mon) AS mon,
+               COALESCE(s.rev, 0) AS sold_rev,
+               COALESCE(r.rev, 0) AS ret_rev
+        FROM sold s FULL OUTER JOIN ret r ON s.mon = r.mon),
+    cum AS (
+        SELECT mon,
+               SUM(sold_rev) OVER (ORDER BY mon
+                                   ROWS UNBOUNDED PRECEDING) AS cum_sold,
+               SUM(ret_rev) OVER (ORDER BY mon
+                                  ROWS UNBOUNDED PRECEDING) AS cum_returned
+        FROM series)
+    SELECT mon,
+           CAST(cum_sold AS DOUBLE) AS cum_sold,
+           CAST(cum_returned AS DOUBLE) AS cum_returned
+    FROM cum
+    WHERE cum_returned * 2 > cum_sold
+    ORDER BY mon
+    """,
+    description="TPC-DS q51 shape: two channel series (sold vs "
+    "returned revenue by month) FULL OUTER JOINed on the date key, "
+    "exact-decimal cumulative sums over the merged series, rows where "
+    "the cumulative curves cross a threshold",
+)
+def tpcds_window_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51's signature plan: aggregate two channels independently,
+    align them with a full outer join on the time key (months missing
+    in one channel still appear), then run cumulative windows over the
+    merged series. The global ORDER BY mon window is over months —
+    bounded by calendar length, not data size — so the single-partition
+    window is safe at any scale; everything upstream is partial-agg'd
+    per channel before the join. Exact decimal cumsums keep the
+    crossover predicate bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+    def monthly(flag_cond) -> DataFrame:
+        return (
+            joined.filter(flag_cond)
+            .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+            .agg(F.sum(_disc_price()).alias("rev"))
+        )
+
+    sold = monthly(F.col("l_returnflag") != "R").withColumnRenamed("rev", "s_rev")
+    ret = monthly(F.col("l_returnflag") == "R").withColumnRenamed("rev", "r_rev")
+    series = (
+        sold.alias("s")
+        .join(ret.alias("r"), F.col("s.mon") == F.col("r.mon"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.mon"), F.col("r.mon")).alias("mon"),
+            F.coalesce(F.col("s_rev"), F.lit(0).cast("decimal(16,4)")).alias(
+                "sold_rev"
+            ),
+            F.coalesce(F.col("r_rev"), F.lit(0).cast("decimal(16,4)")).alias(
+                "ret_rev"
+            ),
+        )
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    cum = series.select(
+        "mon",
+        F.sum("sold_rev").over(w).alias("cum_sold_d"),
+        F.sum("ret_rev").over(w).alias("cum_returned_d"),
+    )
+    return (
+        cum.filter(F.col("cum_returned_d") * 2 > F.col("cum_sold_d"))
+        .select(
+            "mon",
+            as_double(F.col("cum_sold_d")).alias("cum_sold"),
+            as_double(F.col("cum_returned_d")).alias("cum_returned"),
+        )
+        .orderBy("mon")
     )
