@@ -7,6 +7,12 @@ equality; floats must match bit-for-bit, which the engine guarantees
 via exact decimal aggregation + deterministic double derivations).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Set CHECK_ORACLE_VANILLA=1 to run under a BARE
+`SparkSession.builder.getOrCreate()` (no engine confs) — exactly the
+session the verification driver uses. The engine must pass the full
+gate under both sessions; the vanilla run is the strong form of
+tests/test_vanilla_session.py.
 """
 
 from __future__ import annotations
@@ -45,7 +51,17 @@ def main() -> int:
     only = set(sys.argv[2:])
     _load_all()
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -472,3 +472,92 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@register(
+    "timeseries_comovement_pairs",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pts,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM series GROUP BY user_id),
+    dots AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(SUM(a.cents * b.cents) AS BIGINT) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM series a JOIN series b
+          ON a.h = b.h AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3)
+    SELECT user_a, user_b, n_common,
+           dot * 720 - sa.s * sb.s AS comovement
+    FROM dots
+    JOIN stats sa ON sa.user_id = user_a
+    JOIN stats sb ON sb.user_id = user_b
+    ORDER BY comovement DESC, user_a, user_b
+    LIMIT 20
+    """,
+    description="time-series similarity search (EDBT'19 shape): "
+    "per-user hourly cents series, sparse inner-product self-join on "
+    "the hour key, covariance-numerator co-movement score in exact "
+    "int64 over the shared 720-hour span, top-20 pairs",
+)
+def timeseries_comovement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series similarity without densifying: each
+    user's series is its sparse (hour, cents) rows, and the pairwise
+    inner product is an equi-join on the hour key — per-hour join
+    width is bounded by concurrently active users, never total users,
+    which is the scalable sparse formulation (dense vectors would be
+    |users| x |hours|). Score = T*dot - s_a*s_b, the covariance
+    numerator over the fixture's fixed T=720-hour span treating absent
+    hours as zero — pure int64, so ranking is bit-exact cross-engine;
+    >= 3 shared active hours guards degenerate pairs. At 100 TB the
+    hour key would be salted per-bucket exactly like the interval
+    join's buckets."""
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    series = (
+        events.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    stats = series.groupBy("user_id").agg(
+        F.count("*").alias("n_pts"), F.sum("cents").alias("s")
+    )
+    a, b = series.alias("a"), series.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(
+            F.sum(F.col("a.cents") * F.col("b.cents")).alias("dot"),
+            F.count("*").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= 3)
+    )
+    sa, sb = stats.alias("sa"), stats.alias("sb")
+    return (
+        dots.join(sa, F.col("user_a") == F.col("sa.user_id"))
+        .join(sb, F.col("user_b") == F.col("sb.user_id"))
+        .select(
+            "user_a",
+            "user_b",
+            "n_common",
+            (F.col("dot") * 720 - F.col("sa.s") * F.col("sb.s")).alias(
+                "comovement"
+            ),
+        )
+        .orderBy(F.desc("comovement"), "user_a", "user_b")
+        .limit(20)
+    )

@@ -563,3 +563,64 @@ def interval_overlap_session_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("overlap_hour")
     )
+
+
+@register(
+    "funnel_multistep_strict",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t2
+        GROUP BY e.user_id),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t4
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_view_after,
+           (SELECT COUNT(*) FROM s3) AS n_click_after,
+           (SELECT COUNT(*) FROM s4) AS n_purchase_after
+    """,
+    description="G8/G12 strict-order multi-step funnel: signup -> view "
+    "-> click -> purchase, each step's anchor is the FIRST qualifying "
+    "event strictly after the previous step's anchor — the ordered "
+    "sequence count MATCH_RECOGNIZE engines advertise, as staged "
+    "user-keyed aggregations",
+)
+def funnel_multistep_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is min(ts) over a filtered scan joined to the prior
+    stage's per-user anchor: four user-keyed aggregations whose
+    relations shrink monotonically (funnels only narrow), so every
+    join after the first is a small-side broadcast under AQE and
+    nothing wider than (user_id, ts) ever shuffles. The strict `>`
+    keeps re-used timestamps from double-counting a step. This is the
+    scalable alternative to per-user event-array folds: state per
+    stage is one row per surviving user, never the event bag."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prior: DataFrame | None, t_prev: str, t_out: str):
+        e = events.filter(F.col("event_type") == event_type)
+        if prior is not None:
+            e = e.join(prior, "user_id").filter(F.col("ts") > F.col(t_prev))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    s1 = stage("signup", None, "", "t1")
+    s2 = stage("view", s1, "t1", "t2")
+    s3 = stage("click", s2, "t2", "t3")
+    s4 = stage("purchase", s3, "t3", "t4")
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_view_after"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_click_after"))))
+        .crossJoin(F.broadcast(s4.agg(F.count("*").alias("n_purchase_after"))))
+    )
