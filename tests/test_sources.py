@@ -101,3 +101,30 @@ def test_orc_scan_pushes_down_and_prunes(spark, sf_dir):
         "ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderpriority:string>"
         in plan
     ), plan[plan.find("ReadSchema") : plan.find("ReadSchema") + 200]
+
+
+def test_fixture_fingerprint_tracks_regeneration(tmp_path):
+    """Staging caches key on this fingerprint; it must change whenever
+    the fixture file content/mtime changes (the driver has regenerated
+    fixtures mid-round twice) and stay stable otherwise."""
+    import os
+    import time
+
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import (
+        fixture_fingerprint,
+    )
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    p = sf / "events.parquet"
+    p.write_bytes(b"v1")
+    f1 = fixture_fingerprint(str(sf))
+    assert f1 == fixture_fingerprint(str(sf))  # stable
+    time.sleep(0.01)
+    p.write_bytes(b"v2-longer")
+    assert fixture_fingerprint(str(sf)) != f1  # size change
+    stat = os.stat(p)
+    os.utime(p, ns=(stat.st_atime_ns, stat.st_mtime_ns + 1_000_000))
+    f3 = fixture_fingerprint(str(sf))
+    os.utime(p, ns=(stat.st_atime_ns, stat.st_mtime_ns))
+    assert f3 != fixture_fingerprint(str(sf))  # mtime-sensitive
