@@ -537,3 +537,62 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum(money("value"))).alias("sum_value"),
         )
     )
+
+
+@register(
+    "streaming_append_watermark_live",
+    oracle="""
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '10 minutes'
+                   AS watermark
+        FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN wm
+    GROUP BY 1, 2, wm.watermark
+    HAVING date_trunc('hour', ts) + INTERVAL '1 hour' <= wm.watermark
+    """,
+    description="G13 executed by the real micro-batch engine in APPEND "
+    "mode: a window row is emitted only once the watermark (max event "
+    "time - 10min) passes its end, so the sink holds exactly the "
+    "watermark-closed windows — the late-data policy as an oracle row, "
+    "not just a pytest",
+)
+def streaming_append_watermark_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark semantics, made oracle-checkable: after
+    the bounded file source drains, Spark runs its no-data batch, the
+    final watermark settles at max(staged ts) - delay (order-
+    independent: the max is global), and the emitted set is exactly
+    {windows : window.end <= watermark}. The oracle computes that set
+    in SQL — ms-truncating the max because the JSON staging carries
+    millisecond timestamps. In production the same plan runs forever
+    and each window emits once, state freed after emission; that
+    eviction is what bounds state at 100 TB/day stream volumes."""
+    staging = _staged_events_json(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
