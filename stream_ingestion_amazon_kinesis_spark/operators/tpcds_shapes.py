@@ -401,3 +401,76 @@ def tpcds_window_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("mon")
     )
+
+
+@register(
+    "hierarchy_share_of_parent",
+    oracle="""
+    WITH leaf AS (
+        SELECT r_name AS region, n_name AS nation,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+    cents AS (
+        SELECT region, nation,
+               CAST(rev * 100 AS BIGINT) AS cents
+        FROM leaf),
+    agg AS (
+        SELECT region, nation, cents,
+               SUM(cents) OVER (PARTITION BY region) AS region_cents,
+               SUM(cents) OVER () AS total_cents
+        FROM cents)
+    SELECT region, nation,
+           CAST(cents AS BIGINT) AS rev_cents,
+           CAST((cents * 1000000) // region_cents AS BIGINT)
+               AS share_of_region_ppm,
+           CAST((region_cents * 1000000) // total_cents AS BIGINT)
+               AS region_share_of_total_ppm
+    FROM agg
+    ORDER BY region, nation
+    """,
+    description="BI percent-of-parent over the region>nation hierarchy: "
+    "leaf revenue in exact cents, nation share of its region and "
+    "region share of the grand total in truncating-integer ppm — two "
+    "window sums over the bounded leaf relation, one fact scan",
+)
+def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down ratio report every BI tool generates: each level's
+    share of its parent. One scan aggregates the fact table to the
+    (region, nation) leaf grain — bounded by the dimension domains, so
+    the two window sums that derive parent totals run over a tiny
+    relation no matter the fact cardinality; shares are truncating
+    integer ppm on exact cents (both engines truncate identically on
+    non-negatives), never float division."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    leaf = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(money("o_totalprice")) * 100).cast("bigint").alias("cents")
+        )
+    )
+    agg = leaf.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).alias("region_cents"),
+        F.sum("cents").over(Window.partitionBy()).alias("total_cents"),
+    )
+    return agg.select(
+        "region",
+        "nation",
+        F.col("cents").alias("rev_cents"),
+        F.expr("(cents * 1000000) div region_cents")
+        .cast("bigint")
+        .alias("share_of_region_ppm"),
+        F.expr("(region_cents * 1000000) div total_cents")
+        .cast("bigint")
+        .alias("region_share_of_total_ppm"),
+    ).orderBy("region", "nation")

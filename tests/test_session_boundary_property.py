@@ -1,14 +1,21 @@
 """Property-based pin of the session-window boundary convention.
 
-Spark's `session_window(ts, gap)` only merges an event into the open
-session when it lands STRICTLY inside [prev_ts, prev_ts + gap): a gap
-of exactly `gap` starts a NEW session. The DuckDB oracles mirror that
-with `gap >= INTERVAL -> new session` (gaps-and-islands form). The
-fixtures' microsecond timestamps essentially never produce an exact
-30:00.000000 gap, so this property test generates them deliberately —
-minute-granularity offsets make exact-gap collisions common — and
-asserts the engine sessionization equals the >=-convention
-gaps-and-islands computation row for row.
+Spark's `session_window(ts, gap)` merges NON-STRICTLY: an event whose
+ts is exactly `gap` after the previous event still joins that session
+(its per-event window [ts, ts+gap) STARTS where the open session ends,
+and the merging-session iterator treats touching windows as one). So a
+new session starts only when the gap is STRICTLY greater than `gap`,
+and the DuckDB oracles mirror that with `gap > INTERVAL -> new
+session` (gaps-and-islands form).
+
+This was verified EMPIRICALLY here — a round-3 advisor note claimed
+the opposite ([ts, ts+gap) half-open windows "only merge on strict
+overlap", i.e. exact-gap splits); this test's falsifying example
+(events at 00:00 and 00:30 -> ONE session of 2 events) disproved it.
+The fixtures' microsecond timestamps essentially never produce an
+exact 30:00.000000 gap, so only a generated-boundary test can hold
+this invariant; minute-granularity offsets make exact-gap collisions
+common.
 """
 
 from __future__ import annotations
@@ -32,7 +39,8 @@ events = st.lists(
 
 
 def _expected_sessions(rows):
-    """Gaps-and-islands with the >= convention, per user."""
+    """Gaps-and-islands with the strict-> convention, per user: a new
+    session starts only when the gap EXCEEDS the threshold."""
     by_user: dict[int, list[dt.datetime]] = {}
     for uid, ts in rows:
         by_user.setdefault(uid, []).append(ts)
@@ -41,7 +49,7 @@ def _expected_sessions(rows):
         tss.sort()
         start, n, last = tss[0], 0, None
         for ts in tss:
-            if last is not None and (ts - last) >= dt.timedelta(minutes=GAP_MIN):
+            if last is not None and (ts - last) > dt.timedelta(minutes=GAP_MIN):
                 out.append((uid, start, n))
                 start, n = ts, 0
             n += 1
@@ -56,7 +64,7 @@ def _expected_sessions(rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=events)
-def test_session_window_matches_ge_convention(spark, data):
+def test_session_window_merges_on_exact_gap(spark, data):
     rows = [(uid, BASE + dt.timedelta(minutes=m)) for uid, m in data]
     df = spark.createDataFrame(rows, "user_id int, ts timestamp")
     got = sorted(
@@ -73,3 +81,16 @@ def test_session_window_matches_ge_convention(spark, data):
         )
     )
     assert got == _expected_sessions(rows)
+
+
+def test_exact_gap_merges_single_case(spark):
+    """The concrete boundary case, pinned without hypothesis: events
+    exactly 30:00.000000 apart form ONE session."""
+    rows = [(0, BASE), (0, BASE + dt.timedelta(minutes=GAP_MIN))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    ses = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(ses) == 1 and ses[0].n == 2
