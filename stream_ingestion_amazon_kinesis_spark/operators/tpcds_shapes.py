@@ -474,3 +474,79 @@ def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("region_share_of_total_ppm"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "tpcds_yoy_growth_cohort",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995
+                             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                       AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS cents_y1,
+               CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                       AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS cents_y2
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey),
+    grown AS (
+        SELECT o_custkey,
+               (cents_y2 * 1000000) // cents_y1 AS growth_ppm
+        FROM yearly
+        WHERE cents_y1 > 0 AND cents_y2 > 0)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN growth_ppm > 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_grew,
+           CAST(MAX(growth_ppm) AS BIGINT) AS max_growth_ppm
+    FROM grown JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="TPC-DS q4/q11 shape: year-over-year customer growth "
+    "cohort — both-year spenders, growth ratio in truncating ppm on "
+    "exact cents, per-segment counts of who grew",
+)
+def tpcds_yoy_growth_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4/q11 compare a customer's spend trajectory across years and
+    channels; the engine form pivots both years out of ONE scan with
+    conditional sums (no self-join of yearly aggregates — the classic
+    q4 plan joins the same CTE 2-6 times, this computes all years in
+    one pass), guards the ratio with both-year > 0, and keeps the
+    growth ratio in truncating-integer ppm so the cohort predicate
+    `grew: ppm > 1e6` is bit-exact on both engines."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    yr = F.year("o_orderdate")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    yearly = (
+        t["orders"]
+        .filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1995, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("cents_y1"),
+            F.sum(F.when(yr == 1996, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("cents_y2"),
+        )
+    )
+    grown = yearly.filter(
+        (F.col("cents_y1") > 0) & (F.col("cents_y2") > 0)
+    ).select(
+        "o_custkey",
+        F.expr("(cents_y2 * 1000000) div cents_y1").alias("growth_ppm"),
+    )
+    return (
+        grown.join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("growth_ppm") > 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_grew"),
+            F.max("growth_ppm").cast("bigint").alias("max_growth_ppm"),
+        )
+    )
