@@ -596,3 +596,76 @@ def streaming_append_watermark_live(spark: SparkSession, sf_dir: str) -> DataFra
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_chained_windows_live",
+    oracle="""
+    WITH half AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w30, event_type,
+               COUNT(*) AS n30,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v30
+        FROM events
+        GROUP BY 1, 2),
+    wm AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '10 minutes'
+                   AS watermark
+        FROM events)
+    SELECT date_trunc('hour', w30) AS window_start, event_type,
+           CAST(SUM(n30) AS BIGINT) AS n,
+           CAST(SUM(v30) AS DOUBLE) AS sum_value
+    FROM half CROSS JOIN wm
+    GROUP BY 1, 2, wm.watermark
+    HAVING date_trunc('hour', w30) + INTERVAL '1 hour' <= wm.watermark
+    """,
+    description="Spark 4 chained stateful operators on the real "
+    "micro-batch engine: 30-minute windowed aggregate feeding a second "
+    "1-hour window aggregate (window_time re-windowing) in ONE "
+    "streaming query, append mode — the final watermark closes both "
+    "stages, and the emitted hours must equal the direct hourly "
+    "rollup of the half-hour partials",
+)
+def streaming_chained_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple stateful operators in one query — the capability that
+    lets production pipelines pre-aggregate at fine grain and roll up
+    coarser WITHOUT a second job or an intermediate topic: state for
+    stage 1 is per-30min window, stage 2 re-windows `window_time()`
+    into hours, and watermark propagation closes stage 2 exactly when
+    the stage-1 partials that feed an hour are final. Cross-checked
+    against the batch identity: hourly totals == rollup of half-hour
+    partials over closed hours."""
+    staging = _staged_events_json(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    half = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n30"),
+            F.sum(money("value")).alias("v30"),
+        )
+    )
+    hourly = (
+        half.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.sum("n30").cast("bigint").alias("n"),
+            as_double(F.sum("v30")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        hourly.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
