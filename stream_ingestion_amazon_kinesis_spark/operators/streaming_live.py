@@ -669,3 +669,97 @@ def streaming_chained_windows_live(spark: SparkSession, sf_dir: str) -> DataFram
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_outer_interval_join_live",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        -- the GLOBAL watermark is the min over both watermarked
+        -- inputs, each computed from ITS OWN filtered stream
+        SELECT least((SELECT MAX(ts) FROM p),
+                     (SELECT MAX(ts) FROM c)) - INTERVAL '10 minutes'
+                   AS watermark),
+    matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL '1 hour'),
+    unmatched AS (
+        SELECT p.event_id AS purchase_id, NULL::BIGINT AS click_id,
+               p.user_id, p.ts AS p_ts, NULL::TIMESTAMP AS c_ts
+        FROM p CROSS JOIN wm
+        WHERE p.ts < wm.watermark
+          AND NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL '1 hour'))
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    """,
+    description="G4 stream-stream LEFT OUTER interval join on the real "
+    "micro-batch engine: matched purchase-click pairs emit on arrival; "
+    "an unmatched purchase emits its null row only after the watermark "
+    "proves no qualifying click can still arrive — the emitted set is "
+    "matched pairs + watermark-cleared unmatched purchases",
+)
+def streaming_outer_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer variant completes the stream-stream join family:
+    inner results are watermark-independent (emit when both sides
+    arrive), while null-padded rows are a WATERMARK DECISION — a
+    purchase can only be declared clickless once the click-side
+    watermark passes its ts (no click with c.ts <= p.ts can arrive
+    after that). On a drained source the final watermark is
+    the MIN over both sides' watermarks — each side's watermark
+    derives from its OWN filtered stream's max event time (purchases
+    and clicks top out at different instants), a multi-input subtlety
+    single-stream oracles never see. The oracle's unmatched set is
+    exactly {clickless purchases with p_ts < min(max_p, max_c) -
+    10min}; later purchases stay in state unemitted (verified: the
+    max-ts purchase is withheld because its own side's watermark
+    sits 10min below it)."""
+    from ..streaming.pipeline import read_event_stream
+
+    staging = _staged_events_json(spark, sf_dir, micros=True)
+    stream = read_event_stream(spark, staging)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
