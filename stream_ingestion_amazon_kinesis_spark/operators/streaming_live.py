@@ -763,3 +763,71 @@ def streaming_outer_interval_join_live(spark: SparkSession, sf_dir: str) -> Data
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_union_sources_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) * 2 AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 2 AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="multi-source streaming DAG on the real engine: the "
+    "SAME events replayed through a JSON file stream AND a CSV file "
+    "stream, unioned into one aggregate — per-type totals are exactly "
+    "double the single-copy batch aggregate",
+)
+def streaming_union_sources_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One streaming query over two heterogeneous sources — the
+    consolidation topology (many ingest formats, one logical stream) a
+    platform needs when producers migrate wire formats. Each source
+    keeps its own offsets in the shared checkpoint; the union is
+    plan-level (no shuffle added beyond the aggregate's own), and the
+    doubled totals give a self-evident oracle. The CSV side carries
+    timestamps as unix micros (format-proof), the JSON side as ISO
+    strings — both normalize before the union."""
+    staging_json = _staged_events_json(spark, sf_dir)
+    json_stream = read_event_stream(spark, staging_json).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+
+    import os
+
+    csv_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_stage",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        f"events_csv_{fixture_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        events.select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        ).write.mode("overwrite").option("header", True).csv(csv_dir)
+    csv_stream = (
+        spark.readStream.schema(EVENTS_CSV_SCHEMA)
+        .option("header", True)
+        .csv(csv_dir)
+        .select("event_type", F.col("value").cast("double").alias("value"))
+    )
+
+    unioned = json_stream.unionByName(csv_stream)
+    agg = unioned.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(money("value"))).alias("sum_value"),
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

@@ -128,3 +128,29 @@ def test_fixture_fingerprint_tracks_regeneration(tmp_path):
     f3 = fixture_fingerprint(str(sf))
     os.utime(p, ns=(stat.st_atime_ns, stat.st_mtime_ns))
     assert f3 != fixture_fingerprint(str(sf))  # mtime-sensitive
+
+
+def test_load_table_instants_independent_of_session_tz(spark, sf_dir):
+    """ADVICE r2 regression pin: the NTZ->instant normalization must be
+    pure wall-clock arithmetic — changing the session timezone AFTER
+    load (as a shared verification driver might) can never shift the
+    stored instants."""
+    from pyspark.sql import functions as F
+
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # Build the plan ONCE, then act on it under different session
+        # timezones: lazy expressions read confs at ACTION time, so a
+        # tz-dependent cast (the pre-fix implementation) would yield
+        # different instants here.
+        plan = load_table(spark, sf_dir, "orders").select(
+            F.unix_micros("o_orderdate").alias("u")
+        ).orderBy("u").limit(5)
+        base = [r.u for r in plan.collect()]
+        for tz in ("America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert [r.u for r in plan.collect()] == base, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
