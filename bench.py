@@ -133,13 +133,16 @@ def main() -> None:
     timings, stats = _run_set(spark, sf_dir, collect_stats=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Field order matters: the driver's capture keeps the TAIL of long
+    # output (BENCH_r02 lost the leading headline fields this way), so
+    # the bulky nested fields go FIRST and the headline scalars LAST.
     out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf else sf_dir,
         "plan_stats": stats,
+        "queries": timings,
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": float(sf) if sf else sf_dir,
+        "value": round(sum(timings.values()), 3),
     }
 
     # Two lower scaling points (sf0.1 -> 0.01 -> 0.001): a two-segment
@@ -177,6 +180,15 @@ def main() -> None:
             if low_timings.get(name, 0) > 0.05 and t_hi / low_timings[name] > 10.0
         )
 
+    # Repeat the headline scalars at the very end of the line so even a
+    # heavily tail-truncated capture retains them.
+    out["headline"] = {
+        "metric": "headline_queries_total_runtime",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+    }
     print(json.dumps(out))
 
 
