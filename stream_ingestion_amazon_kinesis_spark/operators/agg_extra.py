@@ -185,3 +185,138 @@ def percentile_disc_price_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem
+        GROUP BY l_returnflag, l_extendedprice),
+    c AS (
+        SELECT l_returnflag, l_extendedprice, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice
+                             ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM w)
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price
+    FROM c
+    WHERE 2 * cumw >= total
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="exact lower weighted median (weight = quantity) of "
+    "line prices per returnflag: price-grouped integer weights, one "
+    "cumulative window over the grouped relation, first price whose "
+    "cumulative weight reaches half the total",
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median without any per-row sort of the full fact table:
+    weights are pre-aggregated per DISTINCT price (the grouped
+    relation is bounded by price cardinality, far below row count),
+    the cumulative window runs over that grouped relation, and the
+    median is the first price where 2*cumw >= total — integer
+    comparisons only, so engines agree exactly. Ties in price are
+    impossible after grouping, making the selection deterministic."""
+    from pyspark.sql.window import Window as _W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("wt")
+    )
+    c = w.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wt")
+        .over(
+            _W.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        .alias("cumw"),
+        F.sum("wt").over(_W.partitionBy("l_returnflag")).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "capped_running_balance_final",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN -CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END AS delta
+        FROM orders),
+    walk AS (
+        SELECT o_custkey, rn,
+               LEAST(GREATEST(delta, 0), 100000000) AS bal
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.rn,
+               LEAST(GREATEST(w.bal + s.delta, 0), 100000000)
+        FROM walk w
+        JOIN seq s ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1),
+    last AS (
+        SELECT o_custkey, MAX(rn) AS n_orders FROM walk GROUP BY o_custkey)
+    SELECT w.o_custkey AS custkey,
+           CAST(l.n_orders AS BIGINT) AS n_orders,
+           CAST(w.bal AS BIGINT) AS final_balance_cents
+    FROM walk w JOIN last l
+      ON w.o_custkey = l.o_custkey AND w.rn = l.n_orders
+    ORDER BY custkey
+    """,
+    description="non-associative per-key scan: running order balance "
+    "clamped to [0, 1e8 cents] after every step (credit-limit "
+    "semantics), per customer in (date, key) order — the fold no "
+    "plain window can express; oracle is the recursive-CTE walk",
+)
+def capped_running_balance_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running sums are NON-associative (the clamp after each
+    step destroys partial-aggregation algebra), so neither a window
+    SUM nor a two-phase aggregate can compute them. The scalable
+    distributed form: one shuffle groups each key's steps, sort_array
+    orders them deterministically in-memory, and `F.aggregate` folds
+    the clamp left-to-right as JVM codegen — state per key is one
+    bigint, array size is the per-key step count (the reference's own
+    per-record payload bound, capped upstream via sessionize-style
+    F.slice when keys are unbounded). The same shape implements EMA,
+    inventory with restock limits, and TCP-window-style simulations."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    delta = F.when(F.col("o_orderstatus") == "F", -cents).otherwise(cents)
+    item = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        delta.alias("delta"),
+    )
+    folded = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sort_array(F.collect_list(item)).alias("steps"))
+        .select(
+            "custkey",
+            F.size("steps").cast("bigint").alias("n_orders"),
+            F.aggregate(
+                "steps",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: F.least(
+                    F.greatest(acc + x["delta"], F.lit(0).cast("bigint")),
+                    F.lit(100000000).cast("bigint"),
+                ),
+            ).alias("final_balance_cents"),
+        )
+    )
+    return folded.orderBy("custkey")
