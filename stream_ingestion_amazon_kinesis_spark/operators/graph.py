@@ -355,3 +355,119 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
         .limit(20)
     )
+
+
+_KCORE_K = 3
+_KCORE_MAX_PEELS = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling twin: each CTE level keeps nodes whose degree
+    within the previous level's survivor set is >= k. _KCORE_MAX_PEELS
+    levels; the Spark side RAISES if convergence needs more, so the
+    unrolling bound is sound (same contract as the components
+    unrolled-CTE oracle)."""
+    base = """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    nbr AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM und),
+    keep0 AS MATERIALIZED (SELECT DISTINCT node FROM nbr)"""
+    levels = []
+    for i in range(1, _KCORE_MAX_PEELS + 1):
+        levels.append(f""",
+    keep{i} AS MATERIALIZED (
+        SELECT n.node
+        FROM nbr n
+        JOIN keep{i-1} s  ON s.node = n.node
+        JOIN keep{i-1} s2 ON s2.node = n.nbr
+        GROUP BY n.node
+        HAVING COUNT(*) >= {_KCORE_K})""")
+    final = f"""
+    SELECT k.node AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM keep{_KCORE_MAX_PEELS} k
+    JOIN nbr n ON n.node = k.node
+    JOIN keep{_KCORE_MAX_PEELS} s ON s.node = n.nbr
+    GROUP BY k.node
+    ORDER BY part
+    """
+    return base + "".join(levels) + final
+
+
+@register(
+    "kcore_parts",
+    oracle=_kcore_oracle(),
+    description=f"k-core decomposition (k={_KCORE_K}) of the repeat "
+    "co-occurrence part graph: iterative peeling of nodes with "
+    "in-survivor degree < k until fixpoint — the subgraph-density "
+    "primitive; oracle is the peeling unrolled as CTE levels",
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative peeling with the engine's fixpoint discipline: the
+    edge relation is built once and localCheckpointed; each round
+    recomputes in-survivor degrees (one shuffle over surviving
+    edges) and drops nodes below k; the loop stops when the survivor
+    count is stable and RAISES if _KCORE_MAX_PEELS rounds don't
+    converge — so the unrolled oracle's depth bound is verified, not
+    assumed. Survivor sets shrink monotonically, so per-round cost
+    falls; at 100 TB each round is one degree-aggregate + one
+    semi-join, the same shape as distributed k-core in Pregel-class
+    systems, with no per-node state beyond the current survivor
+    flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    nbr = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    keep = nbr.select("node").distinct().localCheckpoint()
+    n_prev = keep.count()
+    for _ in range(_KCORE_MAX_PEELS):
+        survivors_edges = nbr.join(
+            keep, "node", "left_semi"
+        ).join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+        keep = (
+            survivors_edges.groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        n_now = keep.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise RuntimeError(
+            f"kcore_parts: no fixpoint within {_KCORE_MAX_PEELS} peels "
+            "— raise _KCORE_MAX_PEELS (and the oracle unrolling) together"
+        )
+    core_edges = nbr.join(keep, "node", "left_semi").join(
+        keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+    )
+    return (
+        core_edges.groupBy(F.col("node").alias("part"))
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .orderBy("part")
+    )
