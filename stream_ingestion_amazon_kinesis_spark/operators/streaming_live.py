@@ -831,3 +831,80 @@ def streaming_union_sources_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_join_then_window_live",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT least((SELECT MAX(ts) FROM p),
+                     (SELECT MAX(ts) FROM c)) - INTERVAL '10 minutes'
+                   AS watermark),
+    pairs AS (
+        SELECT p.ts AS p_ts
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL '1 hour')
+    SELECT date_trunc('hour', p_ts) AS window_start,
+           COUNT(*) AS n_pairs
+    FROM pairs CROSS JOIN wm
+    GROUP BY 1, wm.watermark
+    HAVING date_trunc('hour', p_ts) + INTERVAL '1 hour' <= wm.watermark
+    ORDER BY window_start
+    """,
+    description="chained stateful ops, join-first topology: "
+    "stream-stream interval join feeding a windowed aggregate in ONE "
+    "append-mode query — emitted hours are those closed by the global "
+    "(min-of-inputs) watermark, counts equal the batch join's per-hour "
+    "pair totals",
+)
+def streaming_join_then_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second multi-stateful topology (the first,
+    `streaming_chained_windows_live`, chains agg->agg): a watermarked
+    stream-stream interval join whose matched pairs flow straight into
+    a tumbling-window count. Watermark propagation is the subtle part:
+    the window stage closes on the GLOBAL watermark (min over both
+    join inputs' own-stream watermarks) delayed by the join's state
+    bound — on a drained replay every pair is emitted by the join, so
+    the window stage emits exactly the hours whose end precedes the
+    final global watermark. Pre-3.4 Spark rejected this plan
+    (multiple stateful operators); it is now the one-query form of
+    join-then-rollup pipelines."""
+    from ..streaming.pipeline import read_event_stream
+
+    staging = _staged_events_json(spark, sf_dir, micros=True)
+    stream = read_event_stream(spark, staging)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    )
+    agg = (
+        pairs.groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.col("window.start").alias("window_start"), "n_pairs")
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
