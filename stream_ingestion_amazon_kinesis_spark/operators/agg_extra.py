@@ -320,3 +320,69 @@ def capped_running_balance_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.orderBy("custkey")
+
+
+@register(
+    "ema_value_per_user_final",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    walk AS (
+        SELECT user_id, rn, cents AS ema
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               (2 * s.cents + 8 * w.ema) // 10
+        FROM walk w
+        JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1),
+    last AS (SELECT user_id, MAX(rn) AS n_events FROM walk GROUP BY user_id)
+    SELECT w.user_id,
+           CAST(l.n_events AS BIGINT) AS n_events,
+           CAST(w.ema AS BIGINT) AS ema_cents
+    FROM walk w JOIN last l
+      ON w.user_id = l.user_id AND w.rn = l.n_events
+    ORDER BY w.user_id
+    """,
+    description="fixed-point EMA (alpha=0.2) of event values per user "
+    "in event order — the decay fold (ema = (2x + 8*ema) div 10 on "
+    "cents), non-associative like the clamp fold, exact on both "
+    "engines via truncating integer arithmetic",
+)
+def ema_value_per_user_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving averages are the canonical decay statistic
+    (monitoring, trend features for training data) and, like the
+    clamped balance, non-associative — no window SUM computes them.
+    Same distributed shape: one shuffle per key, deterministic
+    sort_array, JVM `F.aggregate` fold; alpha is the integer ratio
+    2/10 applied with truncating div so engines agree bit-for-bit
+    (floats would drift in the last ulp per step). Fold state is one
+    bigint per key."""
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    item = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("k"),
+        cents.alias("cents"),
+    )
+    folded = (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(item)).alias("steps"))
+        .select(
+            "user_id",
+            F.size("steps").cast("bigint").alias("n_events"),
+            # `div` (truncating) is only reachable through SQL syntax,
+            # and it is the operator DuckDB's `//` matches exactly.
+            F.expr(
+                "aggregate(slice(steps, 2, size(steps) - 1), "
+                "element_at(steps, 1).cents, "
+                "(acc, x) -> (2 * x.cents + 8 * acc) div 10)"
+            )
+            .cast("bigint")
+            .alias("ema_cents"),
+        )
+    )
+    return folded.select("user_id", "n_events", "ema_cents").orderBy("user_id")
