@@ -626,3 +626,71 @@ def funnel_multistep_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_click_after"))))
         .crossJoin(F.broadcast(s4.agg(F.count("*").alias("n_purchase_after"))))
     )
+
+
+@register(
+    "session_conversion_rates",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_no,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM islands GROUP BY user_id, session_no)
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+               AS conversion_ppm
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="per-user session conversion: session_window (30m gap) "
+    "sessions flagged by whether they contain a purchase, conversion "
+    "rate in truncating ppm — the product-analytics KPI built on the "
+    "engine's session operator",
+)
+def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation on session windows: the first groupBy
+    builds sessions (merging session state, one shuffle), the second
+    collapses each user's bounded session list into the KPI. The
+    conversion flag is a MAX over a conditional — computed inside the
+    session aggregate, so no second pass over raw events. Boundary
+    convention as pinned: exact 30-minute gaps merge."""
+    events = load_table(spark, sf_dir, "events")
+    ses = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        ses.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_sessions")
+            .cast("bigint")
+            .alias("conversion_ppm"),
+        )
+        .orderBy("user_id")
+    )

@@ -550,3 +550,70 @@ def tpcds_yoy_growth_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("growth_ppm").cast("bigint").alias("max_growth_ppm"),
         )
     )
+
+
+@register(
+    "tpcds_rollup_topn_per_level",
+    oracle="""
+    WITH r AS (
+        SELECT n_name, o_orderpriority,
+               GROUPING(n_name) AS g_nation,
+               GROUPING(o_orderpriority) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g_nation, g_priority, n_name
+                   ORDER BY revenue DESC, o_orderpriority NULLS FIRST) AS rk
+        FROM r)
+    SELECT n_name, o_orderpriority, g_nation, g_priority, revenue,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY g_nation, g_priority, n_name NULLS FIRST,
+             o_orderpriority NULLS FIRST
+    """,
+    description="TPC-DS q67 shape: window rank WITHIN each rollup "
+    "level — top-3 priorities per nation, plus the per-nation and "
+    "grand-total subtotal rows ranked within their own level, "
+    "grouping markers as the window partition keys",
+)
+def tpcds_rollup_topn_per_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 ranks inside rollup output — the window's partition keys
+    must include the GROUPING() markers, else detail rows and
+    subtotal rows (whose rollup columns are NULL) collapse into one
+    partition and ranks interleave across levels. The window runs
+    over the rollup RESULT (bounded by the grouping-set domains), not
+    the fact table, so the rank stage is near-free at any fact
+    cardinality. Deterministic tiebreak on the priority key."""
+    from pyspark.sql.window import Window as _W
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    r = joined.rollup("n_name", "o_orderpriority").agg(
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        as_double(F.sum(money("o_totalprice"))).alias("revenue"),
+    )
+    w = _W.partitionBy("g_nation", "g_priority", "n_name").orderBy(
+        F.desc("revenue"), F.asc_nulls_first("o_orderpriority")
+    )
+    return (
+        r.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy(
+            "g_nation",
+            "g_priority",
+            F.asc_nulls_first("n_name"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
