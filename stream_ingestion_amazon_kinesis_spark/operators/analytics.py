@@ -561,3 +561,80 @@ def timeseries_comovement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("comovement"), "user_a", "user_b")
         .limit(20)
     )
+
+
+@register(
+    "order_total_reconciliation_audit",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS line_cents
+        FROM lineitem
+        GROUP BY l_orderkey),
+    j AS (
+        SELECT o.o_orderstatus,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS order_cents,
+               COALESCE(li.line_cents, 0) AS line_cents
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN order_cents <> line_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(SUM(ABS(order_cents - line_cents)) AS BIGINT)
+               AS total_abs_diff_cents
+    FROM j
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="cross-table value reconciliation audit: order header "
+    "total vs the sum of its line extended prices, exact cents — "
+    "mismatch counts and total drift per status, the data-quality "
+    "check run after any pipeline that writes both tables",
+)
+def order_total_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation — the audit every warehouse
+    runs between a fact table and its rollup: line items aggregate
+    map-side to one row per order, a LEFT join keeps orders with no
+    lines (drift of the full header amount), and all comparison is
+    exact integer cents so 'mismatch' is a crisp predicate, not a
+    float tolerance. One shuffle each side on the order key; output
+    bounded by the status domain."""
+    t_orders = load_table(spark, sf_dir, "orders")
+    t_li = load_table(spark, sf_dir, "lineitem")
+    line_cents = (
+        t_li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("line_cents")
+        )
+    )
+    order_cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    j = (
+        t_orders.select("o_orderkey", "o_orderstatus", order_cents.alias("order_cents"))
+        .join(line_cents, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderstatus",
+            "order_cents",
+            F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+        )
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("order_cents") != F.col("line_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatched"),
+            F.sum(F.abs(F.col("order_cents") - F.col("line_cents")))
+            .cast("bigint")
+            .alias("total_abs_diff_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

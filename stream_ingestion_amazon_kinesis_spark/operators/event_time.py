@@ -694,3 +694,69 @@ def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "late_data_audit_hourly",
+    oracle="""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events),
+    j AS (
+        SELECT ts,
+               CASE WHEN ts < high_water - INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS is_late
+        FROM arr)
+    SELECT date_trunc('hour', ts) AS event_hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST((SUM(is_late) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm
+    FROM j
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="G13 policy quantified in batch: events that a "
+    "10-minute watermark would drop (event time below the running max "
+    "of event time in arrival order), counted per event-hour in ppm — "
+    "the lateness audit run before choosing a watermark delay",
+)
+def late_data_audit_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answers 'what delay should the watermark be?' from history:
+    arrival order is the event_id sequence (the fixture's ingestion
+    order), the high-water mark is a running MAX window over it, and
+    an event is late iff its event time sits more than the candidate
+    delay below that mark — exactly the streaming drop rule applied
+    retrospectively. The running max is one global-order window; in
+    production this runs per ingest partition (arrival order is only
+    meaningful within one), making the window partition-bounded."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    arr = events.select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    j = arr.select(
+        "ts",
+        F.when(
+            F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 minutes"), 1
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    return (
+        j.groupBy(F.date_trunc("hour", "ts").alias("event_hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+        )
+        .select(
+            "event_hour",
+            "n_events",
+            "n_late",
+            F.expr("(n_late * 1000000) div n_events")
+            .cast("bigint")
+            .alias("late_ppm"),
+        )
+        .orderBy("event_hour")
+    )
