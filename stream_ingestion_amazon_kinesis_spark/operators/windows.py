@@ -511,3 +511,40 @@ def window_first_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first(big, ignorenulls=True).over(w_full).alias("first_big_price"),
         F.nth_value(big, 2, ignoreNulls=True).over(w_full).alias("second_big_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "topk_with_ties_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rk
+        FROM orders)
+    WHERE rk <= 3
+    ORDER BY o_orderpriority, rk, o_orderkey
+    """,
+    description="top-k WITH TIES per group: RANK() <= 3 keeps every "
+    "order tied at the cutoff price (row_number top-k silently drops "
+    "ties — different business semantics), deterministic output via "
+    "the key sort",
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH TIES semantics: the result size per group is >= k whenever
+    the cutoff value repeats, which is what 'top 3 prices' usually
+    means to an analyst (row_number's arbitrary tie drop is a bug
+    report waiting to happen). Same single-shuffle ranking plan as
+    row_number; only the rank function changes."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    )

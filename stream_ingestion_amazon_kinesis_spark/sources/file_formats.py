@@ -261,3 +261,85 @@ def orc_scan_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum(money("o_totalprice"))).alias("total_price"),
         )
     )
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 8
+) -> str:
+    """Stage a fixture table as a BUCKETED external table (bucketBy +
+    sortBy on the join key) once per session+fixture-fingerprint; the
+    in-memory catalog entry is per-session, the files are cached in
+    /tmp like every other staged export. Returns the table name."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    fp = fixture_fingerprint(sf_dir, name)
+    tbl = f"{name}_bucketed_{tag}_{fp}".replace(".", "_").replace("-", "_")
+    if not spark.catalog.tableExists(tbl):
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_bucketed",
+            tag,
+            f"{name}_{fp}",
+        )
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+def _register_bucketed_query() -> None:
+    from pyspark.sql import functions as F
+
+    from ..plans.registry import register
+
+    @register(
+        "bucketed_join_order_line_sizes",
+        oracle="""
+        WITH per_order AS (
+            SELECT o_orderkey, o_orderstatus, COUNT(l_orderkey) AS n_lines
+            FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderstatus)
+        SELECT o_orderstatus, n_lines,
+               COUNT(*) AS n_orders
+        FROM per_order
+        GROUP BY o_orderstatus, n_lines
+        ORDER BY o_orderstatus, n_lines
+        """,
+        description="exchange-free co-located join: orders and lineitem "
+        "staged as bucketed+sorted tables on the join key, joined "
+        "without any shuffle of either side (SortMergeJoin reads "
+        "bucket-aligned files) — the bucketing scale utility as an "
+        "oracle row; result is the order-size histogram per status",
+    )
+    def bucketed_join_order_line_sizes(spark, sf_dir: str):
+        """Bucketing is THE layout lever for repeated big-big joins at
+        100 TB: both fact tables are written bucketed+sorted on the
+        join key, so the join is bucket-wise aligned with NO exchange
+        on either side (pinned structurally in
+        tests/test_skew_and_bucketing.py; here the RESULT goes under
+        the oracle gate). The one-time bucketed write costs one
+        shuffle — amortized across every subsequent join on that
+        key."""
+        ob = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+        lb = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+        orders_b = spark.table(ob)
+        lines_b = spark.table(lb)
+        per_order = (
+            orders_b.join(
+                lines_b, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+            )
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(F.count("l_orderkey").alias("n_lines"))
+        )
+        return (
+            per_order.groupBy("o_orderstatus", "n_lines")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderstatus", "n_lines")
+        )
+
+
+_register_bucketed_query()
