@@ -537,7 +537,7 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     report waiting to happen). Same single-shuffle ranking plan as
     row_number; only the rank function changes."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
     return (
         orders.select(
             "o_orderpriority",
