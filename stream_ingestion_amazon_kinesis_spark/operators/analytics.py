@@ -638,3 +638,61 @@ def order_total_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sequence_gap_audit_user_events",
+    oracle="""
+    WITH k AS (SELECT DISTINCT user_id, event_id AS id FROM events),
+    gaps AS (
+        SELECT user_id, id,
+               LEAD(id) OVER (PARTITION BY user_id ORDER BY id) AS next_id
+        FROM k),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN next_id - id > 1 THEN 1 END) AS BIGINT)
+                   AS n_gaps,
+               CAST(COALESCE(SUM(CASE WHEN next_id - id > 1
+                                      THEN next_id - id - 1 END), 0) AS BIGINT)
+                   AS missing_ids
+        FROM gaps GROUP BY user_id)
+    SELECT user_id, n_gaps, missing_ids
+    FROM g
+    WHERE n_gaps > 0
+    ORDER BY user_id
+    """,
+    description="per-key monotonic-sequence gap audit: missing "
+    "event_id ranges within each user's sequence via one LEAD window "
+    "partitioned by user — the completeness check for id-sequenced "
+    "ingest, window bounded per key",
+)
+def sequence_gap_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection as a single partitioned window pass: within each
+    user's distinct id sequence, consecutive ids differing by more
+    than 1 delimit a missing range; the per-user gap count and missing
+    total make the audit row compact. The window is PARTITIONED by the
+    key, so sorts are per-user (bounded), never global — the form that
+    scales to id-sequenced ingest partitions at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    k = events.select("user_id", F.col("event_id").alias("id")).distinct()
+    w = Window.partitionBy("user_id").orderBy("id")
+    gaps = k.select(
+        "user_id", "id", F.lead("id").over(w).alias("next_id")
+    )
+    g = gaps.groupBy("user_id").agg(
+        F.count(F.when(F.col("next_id") - F.col("id") > 1, 1))
+        .cast("bigint")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("next_id") - F.col("id") > 1,
+                    F.col("next_id") - F.col("id") - 1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("missing_ids"),
+    )
+    return g.filter(F.col("n_gaps") > 0).orderBy("user_id")

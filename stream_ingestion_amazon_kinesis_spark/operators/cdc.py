@@ -54,3 +54,90 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key: str, ts_col: str) -> Dat
     )
     opened = scd2_init(upd, key, ts_col)
     return untouched.unionByName(history).unionByName(closed).unionByName(opened)
+
+
+def _register_snapshot_diff() -> None:
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from ..plans.registry import register
+    from ..sources.catalog import load_table
+
+    T1, T2 = "2024-01-15 00:00:00", "2024-01-30 00:00:00"
+
+    @register(
+        "snapshot_diff_user_state",
+        oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, value FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '{T1}')
+            WHERE rn = 1),
+        s2 AS (
+            SELECT user_id, value FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '{T2}')
+            WHERE rn = 1)
+        SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+               s1.value AS old_value,
+               s2.value AS new_value,
+               CASE WHEN s1.user_id IS NULL THEN 'added'
+                    ELSE 'changed' END AS change_type
+        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        WHERE s1.user_id IS NULL OR s1.value <> s2.value
+        ORDER BY user_id
+        """,
+        description="CDC snapshot diff: per-user latest-state at two "
+        "as-of times (argmax by ts,event_id), full-outer compared — "
+        "added and changed keys with old/new values, the audit between "
+        "two SCD2 time-travel reads",
+    )
+    def snapshot_diff_user_state(spark, sf_dir: str):
+        """Time-travel diff without storing snapshots: each side is an
+        as-of argmax over the event history (one ranking window per
+        side on the filtered scan, pushdown keeps the t1 side small),
+        the comparison is a keyed full outer join — bounded by the
+        user dimension. This is the audit query behind 'what changed
+        between these two loads'; at 100 TB the event filter prunes
+        partitions by the as-of date before anything shuffles."""
+        events = load_table(spark, sf_dir, "events")
+
+        def snap(t: str):
+            w = _W.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            return (
+                events.filter(F.col("ts") <= F.lit(t).cast("timestamp"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "value")
+            )
+
+        s1 = snap(T1).select(
+            F.col("user_id").alias("u1"), F.col("value").alias("old_value")
+        )
+        s2 = snap(T2).select(
+            F.col("user_id").alias("u2"), F.col("value").alias("new_value")
+        )
+        return (
+            s1.join(s2, F.col("u1") == F.col("u2"), "full_outer")
+            .filter(
+                F.col("u1").isNull() | (F.col("old_value") != F.col("new_value"))
+            )
+            .select(
+                F.coalesce(F.col("u2"), F.col("u1")).alias("user_id"),
+                "old_value",
+                "new_value",
+                F.when(F.col("u1").isNull(), F.lit("added"))
+                .otherwise(F.lit("changed"))
+                .alias("change_type"),
+            )
+            .orderBy("user_id")
+        )
+
+
+_register_snapshot_diff()
