@@ -498,3 +498,95 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
     )
+
+
+@register(
+    "label_centroid_distances",
+    oracle="""
+    WITH flat AS (
+        SELECT label, g.i - 1 AS dim,
+               CAST(CAST(ROUND(t.e[g.i], 6) AS DECIMAL(18,6)) * 1000000
+                    AS BIGINT) AS v_micro
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) t,
+             UNNEST(generate_series(1, 64)) AS g(i)),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(v_micro) AS HUGEINT) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM flat GROUP BY label, dim),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                   AS num,
+               MAX(a.n) AS na, MAX(b.n) AS nb
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(num AS VARCHAR) AS dist_sq_num_micro2
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+    description="inter-label centroid separation audit: per-label "
+    "per-dim exact micro-unit sums, pairwise squared centroid "
+    "distance as the EXACT integer numerator sum_dims (s_a*n_b - "
+    "s_b*n_a)^2 (denominator (n_a*n_b)^2 reported via the counts) — "
+    "the cluster-separation diagnostic with no float accumulation",
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How separated are the embedding classes? Pairwise centroid
+    distances, computed without ever dividing: the squared distance
+    numerator Σ_dim (s_a·n_b − s_b·n_a)² is pure integer arithmetic
+    on micro-unit per-dim sums (the division by (n_a·n_b)² is left to
+    the reader of the audit row, keeping every compared value exact).
+    Shuffle story: raw vectors collapse to |labels|×64 centroid rows
+    map-side, the pair join runs over that bounded relation — nothing
+    pairwise ever touches the full matrix. Result serialized as a
+    string because the exact numerator exceeds int64 by design
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: (
+                    F.round(x.cast("double"), 6).cast("decimal(18,6)")
+                    * 1000000
+                ).cast("bigint"),
+            )
+        ).alias("dim", "v_micro"),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        F.sum("v_micro").cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    diff = F.col("a.s") * F.col("b.n") - F.col("b.s") * F.col("a.n")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(diff * diff).alias("num"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("num").cast("decimal(38,0)").cast("string").alias(
+            "dist_sq_num_micro2"
+        ),
+    ).orderBy("label_a", "label_b")
