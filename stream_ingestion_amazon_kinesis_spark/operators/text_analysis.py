@@ -871,3 +871,52 @@ def sparse_retrieval_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), "doc_id")
         .limit(5)
     )
+
+
+@register(
+    "digit_span_census",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_spans,
+               len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_digit_spans,
+           CAST(SUM(n_digits) AS BIGINT) AS total_digits,
+           CAST(MAX(n_spans) AS BIGINT) AS max_spans_per_doc
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="regex extraction census: digit-run spans and digit "
+    "totals per document, aggregated by source — the PII/number-"
+    "density prefilter, using only character-class regexes whose "
+    "semantics are identical across engines",
+)
+def digit_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface under the exact gate: counts of `[0-9]+` runs
+    (regexp_extract_all) and total digit characters (regexp_replace
+    strip) — deliberately restricted to character classes, the regex
+    subset Java and RE2-style engines agree on byte-for-byte (no
+    lookaround, no word boundaries, no Unicode classes — those DO
+    diverge across engines and belong behind engine-pinned tests,
+    not a cross-engine oracle). Pure narrow map + one aggregate;
+    regex work distributes with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+')")).alias("n_spans"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("total_digit_spans"),
+            F.sum("n_digits").cast("bigint").alias("total_digits"),
+            F.max("n_spans").cast("bigint").alias("max_spans_per_doc"),
+        )
+        .orderBy("source")
+    )
