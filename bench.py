@@ -171,13 +171,17 @@ def main() -> None:
                 "queries": low2_timings,
             }
     if low_timings:
-        # Fixed overhead (job scheduling, Arrow pool) dominates small
-        # SFs, so compare against the lower point minus nothing but
-        # still require a clearly super-linear blowup before flagging.
+        # Flag only queries doing REAL work at the high SF (>= 2 s):
+        # sub-second timings are fixed-overhead + cache noise at these
+        # scales (measured: exact_dedup_documents is ~0.35 s hot at
+        # BOTH sf0.01 and sf0.1 — flat — yet a cold-vs-warm bench pass
+        # produced an 11x ratio), so a ratio alone cries wolf.
         out["slope_flags"] = sorted(
             name
             for name, t_hi in timings.items()
-            if low_timings.get(name, 0) > 0.05 and t_hi / low_timings[name] > 10.0
+            if t_hi >= 2.0
+            and low_timings.get(name, 0) > 0.05
+            and t_hi / low_timings[name] > 10.0
         )
 
     # Repeat the headline scalars at the very end of the line so even a
