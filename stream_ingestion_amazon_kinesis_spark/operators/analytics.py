@@ -696,3 +696,73 @@ def sequence_gap_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("missing_ids"),
     )
     return g.filter(F.col("n_gaps") > 0).orderBy("user_id")
+
+
+@register(
+    "rfm_segmentation_counts",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                    AS BIGINT) AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        FROM rfm)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    description="RFM customer segmentation: recency/frequency/monetary "
+    "quartiles (NTILE with total tiebreak on the customer key) over "
+    "per-customer aggregates, segment population counts — the "
+    "marketing-analytics staple",
+)
+def rfm_segmentation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartiles over the per-customer aggregate relation (one
+    fact shuffle, then windows over the bounded customer dim).
+    Determinism: NTILE assigns by row position, so every ORDER BY
+    carries the customer key as a total tiebreak — without it, equal
+    frequencies would land in either quartile depending on partition
+    order and the segment counts would wobble. Monetary is exact
+    cents; recency orders by the date itself (no now() in compared
+    output)."""
+    from pyspark.sql.window import Window as _Win
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        F.ntile(4)
+        .over(_Win.orderBy("last_order", "o_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(_Win.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(_Win.orderBy("monetary_cents", "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -760,3 +760,67 @@ def late_data_audit_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_hour")
     )
+
+
+@register(
+    "interarrival_stats_by_type",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p50_gap_us,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p95_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="inter-arrival time profile per event type: LAG gaps "
+    "in exact integer microseconds with discrete p50/p95 — the "
+    "traffic-model input for stream capacity planning, one window + "
+    "one aggregate",
+)
+def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival distributions drive throughput/state sizing for
+    the streaming pipeline (how bursty is each event type?). Gaps are
+    exact integer microsecond differences from one LAG window per
+    type; quantiles are DISCRETE (actual observed gaps — float-exact
+    cross-engine, unlike interpolated percentiles of derived
+    doubles). The window partitions by type, so sorts are per-type;
+    at scale this runs per (type, day) partition with identical
+    output semantics."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gaps.createOrReplaceTempView("interarrival_gaps")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(gap_us) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p95_gap_us
+        FROM interarrival_gaps
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

@@ -471,3 +471,96 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("core_degree"))
         .orderBy("part")
     )
+
+
+@register(
+    "degree_assortativity_parts",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    deg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS k FROM und UNION ALL SELECT v AS k FROM und)
+        GROUP BY k),
+    e AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM und JOIN deg du ON du.k = und.u
+                 JOIN deg dv ON dv.k = und.v),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x + y) AS BIGINT) AS s1,
+               CAST(SUM(x*x + y*y) AS BIGINT) AS s2,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM e)
+    SELECT m, s1, s2, sxy,
+           CAST(4 * m * sxy - s1 * s1 AS BIGINT) AS num,
+           CAST(2 * m * s2 - s1 * s1 AS BIGINT) AS den
+    FROM sums
+    """,
+    description="degree assortativity of the repeat co-occurrence "
+    "graph: Newman's r as the EXACT integer pair (num, den) from edge "
+    "degree power sums (r = num/den), plus the raw sums — do hubs "
+    "connect to hubs? one scan over edges joined to the degree "
+    "relation",
+)
+def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level mixing statistic: Newman's degree assortativity
+    over undirected edges reduces to three power sums over edge
+    endpoint degrees — Σ(x+y), Σ(x²+y²), Σxy — combined as
+    r = (4m·Σxy − (Σ(x+y))²) / (2m·Σ(x²+y²) − (Σ(x+y))²). Everything
+    stays int64 (degrees are bounded by the co-occurrence support
+    floor; products < 1e18 at fixture scale — promote to
+    DECIMAL(38,0) for denser graphs), so the compared values are
+    exact; the float r is left to the consumer. Two joins against the
+    bounded degree relation, one single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("k"))
+        .unionAll(und.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    e = (
+        und.join(du, F.col("du.k") == F.col("u"))
+        .join(dv, F.col("dv.k") == F.col("v"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    sums = e.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("x") + F.col("y")).cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return sums.select(
+        "m",
+        "s1",
+        "s2",
+        "sxy",
+        (4 * F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1"))
+        .cast("bigint")
+        .alias("num"),
+        (2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("bigint")
+        .alias("den"),
+    )
