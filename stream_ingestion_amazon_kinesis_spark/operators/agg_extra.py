@@ -386,3 +386,59 @@ def ema_value_per_user_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.select("user_id", "n_events", "ema_cents").orderBy("user_id")
+
+
+@register(
+    "orders_above_group_p95",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderpriority,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p95
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority, COUNT(*) AS n_above,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_above,
+           MAX(p.p95) AS p95
+    FROM orders o JOIN p ON p.o_orderpriority = o.o_orderpriority
+    WHERE o.o_totalprice > p.p95
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    description="group-quantile join-back filter: orders strictly above "
+    "their priority's discrete p95, with per-group counts and exact "
+    "sums — the 'top tail per segment' selection pattern",
+)
+def orders_above_group_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile thresholds computed per group (one aggregate over the
+    fact table), broadcast back against the same scan, and applied as
+    a strict filter — the selection behind per-segment outlier
+    review queues. The threshold relation is bounded by the group
+    domain, so the join-back is a broadcast at any fact size;
+    discrete p95 keeps the cutoff an actual observed value, exact on
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("p95_orders")
+    p = spark.sql(
+        """
+        SELECT o_orderpriority AS prio,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p95
+        FROM p95_orders GROUP BY o_orderpriority
+        """
+    )
+    return (
+        orders.join(
+            F.broadcast(p), F.col("o_orderpriority") == F.col("prio")
+        )
+        .filter(F.col("o_totalprice") > F.col("p95"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_above"),
+            F.max("p95").alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -824,3 +824,71 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged),
+    paths AS (
+        SELECT user_id, session_no,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                   '>') AS path
+        FROM islands
+        GROUP BY user_id, session_no)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    description="user-journey mining: each session's first three event "
+    "types as a '>'-joined path, top-20 paths by session count — "
+    "session_window + in-aggregate ordered list + slice, the product-"
+    "analytics flows report",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path extraction without a per-event window: sessions come from
+    `session_window`, the ordered step list is built INSIDE the
+    session aggregate (sort_array over (ts, event_id, type) structs —
+    deterministic under any shuffle), and only the first three steps
+    survive via slice, so the carried payload is O(3) per session
+    regardless of session length — the cap the sessionize operator
+    exposes as max_items, applied here structurally. Two bounded
+    aggregations follow."""
+    events = load_table(spark, sf_dir, "events")
+    step = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("e"),
+    )
+    paths = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list(step)), 1, 3),
+                    lambda x: x["e"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
