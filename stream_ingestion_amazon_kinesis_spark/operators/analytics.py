@@ -766,3 +766,96 @@ def rfm_segmentation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "decile_lift_purchases",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events
+        GROUP BY user_id),
+    scored AS (
+        SELECT NTILE(10) OVER (ORDER BY cents DESC, user_id) AS decile,
+               converted
+        FROM per_user),
+    d AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM scored GROUP BY decile),
+    t AS (SELECT CAST(SUM(n_converted) AS BIGINT) AS total_conv FROM d)
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_converted,
+           CAST((n_converted * 1000000) // n_users AS BIGINT)
+               AS conv_rate_ppm,
+           CAST((SUM(n_converted) OVER (ORDER BY decile
+                                        ROWS UNBOUNDED PRECEDING)
+                 * 1000000) // t.total_conv AS BIGINT)
+               AS cum_capture_ppm
+    FROM d CROSS JOIN t
+    ORDER BY decile
+    """,
+    description="decile lift/gains chart: users ranked by total spend "
+    "into deciles (total tiebreak), per-decile conversion rate and "
+    "cumulative capture of all converters in truncating ppm — the "
+    "model-evaluation staple, exact end to end",
+)
+def decile_lift_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lift chart that evaluates any propensity ranking (here the
+    ranking is total spend — swap in a model score column unchanged):
+    decile assignment is NTILE with a total tiebreak, per-decile
+    conversion is integer ppm, and cumulative capture shows how much
+    of all conversion the top-k deciles hold. Windows run over the
+    10-row decile relation; the only fact-scale work is the per-user
+    aggregate."""
+    from pyspark.sql.window import Window as _Win
+
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(cents).alias("cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    scored = per_user.select(
+        F.ntile(10)
+        .over(_Win.orderBy(F.desc("cents"), F.asc("user_id")))
+        .alias("decile"),
+        "converted",
+    )
+    d = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    t = d.agg(F.sum("n_converted").cast("bigint").alias("total_conv"))
+    cum = F.sum("n_converted").over(
+        _Win.orderBy("decile").rowsBetween(_Win.unboundedPreceding, 0)
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_users")
+            .cast("bigint")
+            .alias("conv_rate_ppm"),
+            (cum * 1000000).cast("bigint").alias("_cum_scaled"),
+            F.col("total_conv"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "n_converted",
+            "conv_rate_ppm",
+            F.expr("_cum_scaled div total_conv")
+            .cast("bigint")
+            .alias("cum_capture_ppm"),
+        )
+        .orderBy("decile")
+    )

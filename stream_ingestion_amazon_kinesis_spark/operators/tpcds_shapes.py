@@ -617,3 +617,76 @@ def tpcds_rollup_topn_per_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("o_orderpriority"),
         )
     )
+
+
+@register(
+    "dense_monthly_nation_report",
+    oracle="""
+    WITH months AS (
+        SELECT unnest(generate_series(
+                   (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders),
+                   (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders),
+                   INTERVAL '1 month')) AS mon),
+    rev AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT n.n_name, m.mon,
+           CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue,
+           CASE WHEN rev.r IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM nation n CROSS JOIN months m
+    LEFT JOIN rev ON rev.n_name = n.n_name AND rev.mon = m.mon
+    ORDER BY n.n_name, m.mon
+    """,
+    description="dense BI report: every (nation, month) cell present "
+    "even when no orders exist — calendar spine from min/max dates "
+    "cross the bounded dimension, left-joined to the sparse aggregate, "
+    "zero-filled with a missing flag",
+)
+def dense_monthly_nation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid reports (every cell, zeros included) are a LEFT JOIN
+    from a generated spine, never an aggregation trick: the month
+    spine comes from one min/max aggregate + sequence (bounded by the
+    calendar), crossed with the bounded nation dim — both broadcast —
+    then left-joined to the sparse revenue aggregate. The only
+    fact-sized operation is the one revenue groupBy; the dense grid
+    is dimension-sized. `was_missing` makes imputation auditable."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    span = t["orders"].agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 month"))
+        ).alias("mon")
+    )
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("rn"), F.date_trunc("month", "o_orderdate").alias("rmon")
+        )
+        .agg(F.sum(money("o_totalprice")).alias("r"))
+    )
+    grid = t["nation"].select("n_name").crossJoin(F.broadcast(months))
+    return (
+        grid.join(
+            rev,
+            (F.col("n_name") == F.col("rn")) & (F.col("mon") == F.col("rmon")),
+            "left",
+        )
+        .select(
+            "n_name",
+            "mon",
+            F.coalesce(F.col("r"), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.when(F.col("r").isNull(), 1).otherwise(0).alias("was_missing"),
+        )
+        .orderBy("n_name", "mon")
+    )
