@@ -61,6 +61,7 @@ BNLJ_OK = {
     "funnel_multistep_strict",  # 4 single-row stage counts cross-combined
     "incremental_neardup_new_vs_old",  # 1-row median-split broadcast
     "dense_monthly_nation_report",  # bounded nation x month spine grid
+    "decile_lift_purchases",  # crossJoin of the single-row conversion total
     "collocation_pmi_top20",  # crossJoin of the single-row totals (N, M)
     "benford_digit_audit_orders",  # crossJoin of the single-row total count
     "association_rules_parts",  # crossJoin of the single-row basket count
