@@ -859,3 +859,141 @@ def decile_lift_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ab_hash_split_outcomes",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        GROUP BY user_id)
+    SELECT arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+               AS conv_ppm,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM per_user
+    GROUP BY arm
+    ORDER BY arm
+    """,
+    description="experiment-analysis shape: users deterministically "
+    "hash-split into arms via md5 first hex digit (identical on every "
+    "engine — the reproducible assignment rule), per-arm conversion "
+    "ppm and exact spend totals",
+)
+def ab_hash_split_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with a REPRODUCIBLE split: arm assignment is a pure
+    function of the unit key (md5 hex prefix — the same rule
+    stratified sampling uses; never rand(), which is neither
+    repeatable nor cross-engine comparable). At 100 TB the assignment
+    is a narrow map fused into the scan; everything downstream is one
+    per-user aggregate + a 2-row rollup. Swap the digit set to change
+    traffic allocation."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+        .isin(*"01234567"),
+        "A",
+    ).otherwise("B")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.sum(cents).alias("cents"),
+    ).select(arm.alias("arm"), "converted", "cents")
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_users")
+            .cast("bigint")
+            .alias("conv_ppm"),
+            "total_cents",
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "median_order_by_customer_decile",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM per_cust),
+    j AS (
+        SELECT s.decile, o.o_totalprice
+        FROM orders o JOIN scored s ON s.o_custkey = o.o_custkey)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_orders,
+           quantile_disc(o_totalprice, 0.5) AS median_order_price
+    FROM j
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    description="conditional distribution audit: discrete median ORDER "
+    "price within each customer-spend decile — rank units on one "
+    "metric, profile another's distribution per band (the 'whales "
+    "order bigger?' question), ntile + join-back + percentile_disc",
+)
+def median_order_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-metric conditional profiling: deciles are assigned on
+    per-customer TOTAL spend (total tiebreak for determinism), then
+    joined back to the raw orders so the per-decile statistic is over
+    ORDERS, not customers — the join-back is what distinguishes a
+    conditional distribution from a simple grouped aggregate.
+    Discrete medians keep the oracle exact; decile relation is
+    customer-bounded, so the join-back broadcasts its small side
+    under AQE."""
+    from pyspark.sql.window import Window as _Win
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    scored = per_cust.select(
+        F.col("o_custkey").alias("ck"),
+        F.ntile(10)
+        .over(_Win.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    j = orders.join(scored, F.col("o_custkey") == F.col("ck")).select(
+        "decile", "o_totalprice"
+    )
+    j.createOrReplaceTempView("decile_orders")
+    return spark.sql(
+        """
+        SELECT CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS n_orders,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS median_order_price
+        FROM decile_orders
+        GROUP BY decile
+        ORDER BY decile
+        """
+    )
