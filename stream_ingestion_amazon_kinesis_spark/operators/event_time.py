@@ -892,3 +892,72 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "session_dwell_time_per_user",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged),
+    ses AS (
+        SELECT user_id, session_no,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dwell_us
+        FROM islands GROUP BY user_id, session_no)
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us,
+           CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS avg_dwell_us
+    FROM ses
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="engagement profile: per-user session dwell times "
+    "(first-to-last event span per session_window session) in exact "
+    "integer microseconds — totals, max, truncating average",
+)
+def session_dwell_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell = the observed span of each session (first to last
+    event), the engagement metric sessions exist to support. Span is
+    computed inside the session aggregate (min/max ts — no second
+    pass), per-user rollup is over the bounded session list, and all
+    times are integer microseconds with a truncating average so the
+    engines agree exactly. Boundary convention as pinned (exact gaps
+    merge)."""
+    events = load_table(spark, sf_dir, "events")
+    ses = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dwell_us")
+        )
+    )
+    return (
+        ses.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+            F.max("dwell_us").cast("bigint").alias("max_dwell_us"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "total_dwell_us",
+            "max_dwell_us",
+            F.expr("total_dwell_us div n_sessions")
+            .cast("bigint")
+            .alias("avg_dwell_us"),
+        )
+        .orderBy("user_id")
+    )

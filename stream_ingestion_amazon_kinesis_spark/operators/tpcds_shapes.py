@@ -690,3 +690,50 @@ def dense_monthly_nation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "mon")
     )
+
+
+@register(
+    "quantity_discount_grid",
+    oracle="""
+    SELECT (CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) - 1) // 10
+               AS qty_band,
+           CAST(CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) // 2
+                AS BIGINT) AS disc_band,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="2-D banded contingency of two continuous variables: "
+    "quantity deciles x discount 2-point bands, line counts and exact "
+    "revenue per cell — the interaction grid behind pricing analyses, "
+    "one map-side-banded aggregate",
+)
+def quantity_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding both axes IN the grouping expression (integer
+    arithmetic, no join against a band dim) keeps this a single
+    hash aggregate whose cell count is the product of the band
+    domains — bounded, so map-side partials collapse each partition
+    to the grid size before the exchange. Discount bands come from
+    cents-scaled integers (float banding boundaries would put
+    borderline rows in different cells per engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_band = F.expr(
+        "(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) - 1) div 10"
+    )
+    disc_band = F.expr(
+        "CAST(CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) div 2 "
+        "AS BIGINT)"
+    )
+    return (
+        li.groupBy(
+            qty_band.alias("qty_band"), disc_band.alias("disc_band")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("qty_band", "disc_band")
+    )
