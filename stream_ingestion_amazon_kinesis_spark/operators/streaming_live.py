@@ -908,3 +908,170 @@ def streaming_join_then_window_live(spark: SparkSession, sf_dir: str) -> DataFra
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_full_outer_interval_join_live",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT least((SELECT MAX(ts) FROM p),
+                     (SELECT MAX(ts) FROM c)) - INTERVAL '10 minutes'
+                   AS watermark),
+    matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS uid, p.ts AS p_ts, c.ts AS c_ts
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL '1 hour'),
+    unmatched_p AS (
+        SELECT p.event_id AS purchase_id, NULL::BIGINT AS click_id,
+               p.user_id AS uid, p.ts AS p_ts, NULL::TIMESTAMP AS c_ts
+        FROM p CROSS JOIN wm
+        WHERE p.ts < wm.watermark
+          AND NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL '1 hour')),
+    unmatched_c AS (
+        SELECT NULL::BIGINT AS purchase_id, c.event_id AS click_id,
+               c.user_id AS uid, NULL::TIMESTAMP AS p_ts, c.ts AS c_ts
+        FROM c CROSS JOIN wm
+        WHERE c.ts + INTERVAL '1 hour' < wm.watermark
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL '1 hour'))
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_p
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+    description="G4 stream-stream FULL OUTER interval join on the real "
+    "micro-batch engine: each side's null row emits only once the "
+    "global watermark passes the LAST instant the other side could "
+    "still produce a match — p_ts itself for purchases, c_ts + 1h for "
+    "clicks, the asymmetry coming from the interval condition",
+)
+def streaming_full_outer_interval_join_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completes the stream-stream join family (inner, left-outer,
+    full-outer). The instructive part is the ASYMMETRIC eviction rule
+    both engines must agree on: under `p_ts - 1h <= c_ts <= p_ts`, a
+    purchase's latest possible click arrives at c_ts = p_ts, so its
+    null row is final once the global watermark (min over both sides'
+    own-stream watermarks) passes p_ts; a click's latest possible
+    purchase sits at p_ts = c_ts + 1h, so its null row waits a full
+    extra hour. Rows above the final watermark stay withheld in state
+    — the oracle enumerates exactly the watermark-cleared unmatched
+    sets plus the watermark-independent matched pairs."""
+    staging = _staged_events_json(spark, sf_dir, micros=True)
+    stream = read_event_stream(spark, staging)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user").alias("uid"),
+        "p_ts",
+        "c_ts",
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_dedup_then_window_live",
+    oracle="""
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL '10 minutes'
+                   AS watermark
+        FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN wm
+    GROUP BY 1, 2, wm.watermark
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               <= wm.watermark
+    """,
+    description="chained stateful ops, dedup-first topology: "
+    "dropDuplicatesWithinWatermark over a DOUBLED replay feeding a "
+    "tumbling hourly aggregate in ONE append-mode query — closed "
+    "windows must equal the single-copy batch rollup, proving the "
+    "dedup stage removed every duplicate before the window stage "
+    "counted it",
+)
+def streaming_dedup_then_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third multi-stateful topology (agg->agg and join->agg are
+    registered above): at-least-once ingestion deduplicated and rolled
+    up in one query instead of two jobs with an intermediate topic.
+    Every event arrives twice; stage 1 keeps one survivor per event_id
+    with watermark-bounded state, stage 2 windows the survivors into
+    hourly per-type totals. Append mode emits exactly the windows the
+    final watermark closed (window.end <= max(ts) - delay via the
+    no-data batch), and each emitted total must equal the SINGLE-copy
+    batch aggregate — a doubled count anywhere means a duplicate
+    leaked past stage 1 into stage 2's state."""
+    staging = _staged_events_json_doubled(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            as_double(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
