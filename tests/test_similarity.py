@@ -72,3 +72,23 @@ def test_topk_is_k_per_query(spark, sf_dir):
     assert all(v == 5 for v in per_query.values())
     # cosine in [-1, 1]
     assert all(-1.000001 <= r["cosine_sim"] <= 1.000001 for r in rows)
+
+
+def test_ivf_pq_recall_vs_brute_force(spark, sf_dir):
+    """IVF-PQ (codes-only candidate scoring + exact rerank) must stay
+    near the plain-IVF recall ceiling — the PQ stage may cost a little
+    recall for its 8x candidate-I/O reduction, never collapse it.
+    Measured 0.65 at sf0.01 / 0.60 at sf0.1 (IVF ceiling 0.65)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_pq_topk(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall:.3f}"
