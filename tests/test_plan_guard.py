@@ -70,6 +70,8 @@ BNLJ_OK = {
     "referential_integrity_audit",  # crossJoins of single-row counts per FK edge
     "sequence_packing_bins",  # bounded per-source offsets relation
     "training_shard_assignment",  # bounded shard stats relation
+    "autocorr_hourly_counts",  # hour spine x broadcast 5-type relation
+    "seasonal_naive_backtest",  # hour spine x broadcast 5-type relation
 }
 
 
