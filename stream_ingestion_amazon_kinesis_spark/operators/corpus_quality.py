@@ -1,0 +1,180 @@
+"""Corpus-quality depth ops for the LLM-data pipeline (SURVEY §2.3 G17):
+asymmetric containment near-dup and token-rarity document scoring.
+
+Containment C(A -> B) = |A intersect B| / |A| is the directional
+complement of Jaccard: a short document pasted inside a long one has low
+Jaccard (the union is dominated by B) but containment ~1.0 — the shape
+that catches quote-farms, boilerplate-wrapped reposts, and
+sub-document scrapes that symmetric near-dup misses (cf. Broder's
+resemblance vs containment distinction in the original shingling
+paper). Reference scope: the reference pipeline treats each record's
+payload as an opaque document (consumer.py:117-175); these are the
+corpus-level batch analyses run over the accumulated archive.
+
+Both ops reuse `dedup._doc_tokens` — per-doc distinct whitespace
+tokens, blocked by source, hot tokens (within-source df > TOKEN_DF_CAP)
+removed on BOTH engines — so the candidate volume is bounded exactly
+like the Jaccard family (cap^2 per surviving token worst case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table, spread
+from ..functions.text import tokens
+from .dedup import _doc_tokens
+
+CONTAINMENT_T = 0.9
+MIN_TOKENS = 5
+
+
+@register(
+    "containment_neardup_pairs",
+    oracle=f"""
+    WITH tok0 AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+    hot AS (SELECT source, token FROM tok0
+            GROUP BY source, token HAVING COUNT(*) > 1000),
+    tok AS (SELECT t.* FROM tok0 t
+            LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
+            WHERE h.token IS NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    both_dirs AS (
+        SELECT lo AS contained, hi AS container, n_shared,
+               sa.n_tok AS n_contained
+        FROM shared JOIN sizes sa ON sa.doc_id = lo
+        UNION ALL
+        SELECT hi AS contained, lo AS container, n_shared,
+               sb.n_tok AS n_contained
+        FROM shared JOIN sizes sb ON sb.doc_id = hi)
+    SELECT contained, container, n_shared,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST(n_shared AS DOUBLE) / n_contained AS containment
+    FROM both_dirs
+    WHERE n_contained >= {MIN_TOKENS}
+      AND CAST(n_shared AS DOUBLE) / n_contained >= {CONTAINMENT_T}
+    """,
+    description="G17 asymmetric containment near-dup: directional "
+    "|A∩B|/|A| >= 0.9 pairs (catches sub-document duplication that "
+    "symmetric Jaccard misses), same source blocking + hot-token cap as "
+    "the Jaccard family",
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs over blocked token sets.
+
+    One token self-join with a < b (identical cost shape to
+    `jaccard_neardup_pairs` — the shared-count relation is built ONCE),
+    then both directions are derived from it by unioning the two size
+    joins; no second self-join. The division is double on both engines
+    over exact integers, so the ratio is bit-identical.
+    """
+    tok = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    dir_a = (
+        shared.join(sa, F.col("lo") == F.col("sa.doc_id"))
+        .select(
+            F.col("lo").alias("contained"),
+            F.col("hi").alias("container"),
+            "n_shared",
+            F.col("sa.n_tok").alias("n_contained"),
+        )
+    )
+    dir_b = (
+        shared.join(sb, F.col("hi") == F.col("sb.doc_id"))
+        .select(
+            F.col("hi").alias("contained"),
+            F.col("lo").alias("container"),
+            "n_shared",
+            F.col("sb.n_tok").alias("n_contained"),
+        )
+    )
+    both = dir_a.unionByName(dir_b)
+    cont = F.col("n_shared").cast("double") / F.col("n_contained")
+    return both.filter(
+        (F.col("n_contained") >= MIN_TOKENS) & (cont >= CONTAINMENT_T)
+    ).select("contained", "container", "n_shared", "n_contained", cont.alias("containment"))
+
+
+@register(
+    "token_rarity_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY token),
+    scored AS (
+        SELECT t.doc_id, d.df FROM tok t JOIN dfreq d USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(df) AS BIGINT) AS sum_df,
+           (1000 * CAST(SUM(df) AS BIGINT)) // COUNT(*) AS mean_df_milli,
+           CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_hapax,
+           (1000000 * CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT))
+               // COUNT(*) AS hapax_ppm
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="G17 token-rarity document scoring: per-doc mean corpus "
+    "document-frequency of its distinct tokens + hapax (df=1) share — an "
+    "integer-exact lexical novelty / noisiness signal (high hapax share "
+    "flags OCR garbage and codes; low mean-df flags template text)",
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical rarity profile against the corpus df table.
+
+    The df relation is |vocab|-sized (sub-linear in corpus size) and
+    joined back on token — at 100 TB the join key is the token, the
+    heavy side is pre-aggregated to distinct (doc, token), and the df
+    side is a broadcastable dictionary for any realistic vocabulary.
+    All statistics are integers; divisions are truncating on
+    non-negative operands (identical on both engines).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tok.join(dfreq, "token")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("df").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_df",
+            F.expr("(1000 * sum_df) div n_tok").alias("mean_df_milli"),
+            F.col("n_hapax").cast("bigint").alias("n_hapax"),
+            F.expr("(1000000 * n_hapax) div n_tok").alias("hapax_ppm"),
+        )
+        .orderBy("doc_id")
+    )

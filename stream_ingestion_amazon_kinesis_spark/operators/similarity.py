@@ -771,3 +771,76 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim, rnk
+    FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id) AS rnk
+        FROM q JOIN c ON q.label <> c.label)
+    WHERE rnk <= {HARD_NEG_K}
+    """,
+    description="G17 hard-negative mining for contrastive training: per "
+    "query, the top-3 most-similar vectors with a DIFFERENT label — the "
+    "label inequality is pushed into the join so same-class pairs never "
+    "materialize",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: nearest cross-label neighbors.
+
+    Same broadcast queries x corpus shape as `ann_topk_cosine` (the
+    brute-force baseline is the oracle-exact twin; at 100 TB the IVF
+    cell-probe path in `ann_ivf_topk` supplies the candidates and this
+    ranking runs per cell). The label filter lives in the join
+    condition, so the similarity column is only computed for
+    cross-label pairs. Deterministic: cosine rounded to 6 decimals
+    before ranking with neighbor_id as total tiebreak.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = F.round(
+        cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(
+            F.broadcast(queries), F.col("query_label") != F.col("neighbor_label")
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+    )
