@@ -961,3 +961,86 @@ def session_dwell_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "asof_join_with_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+    joined AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.click_ts <= p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 2 HOUR)
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+           epoch_us(purchase_ts) - epoch_us(click_ts) AS staleness_us
+    FROM joined WHERE rn = 1
+    """,
+    description="G4 as-of join with tolerance (merge_asof tolerance= "
+    "semantics): each purchase matched to the user's latest click no "
+    "older than 2 hours, NULL when the nearest click is staler — "
+    "implemented as a union + running-max window, no non-equi join",
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join via the union trick.
+
+    Instead of a per-row non-equi join (quadratic in the worst key),
+    clicks and purchases are unioned into ONE stream per user, sorted
+    once by (ts, kind, event_id), and the latest-click-so-far is a
+    running `max(struct(ts, id))` window — a single shuffle on user_id,
+    linear state, the standard scalable as-of plan. The tolerance is
+    then a pure projection: matches staler than 2h become NULL. The
+    kind flag orders clicks BEFORE purchases at equal timestamps, so a
+    click at exactly purchase_ts is eligible (ties with the <=
+    semantics of the oracle's join predicate).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"), F.col("event_id")
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("kind") == 0, F.struct(F.col("ts"), F.col("event_id")))
+    ).over(w)
+    matched = (
+        unioned.withColumn("lc", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("lc.event_id").alias("click_id"),
+            F.col("lc.ts").alias("click_ts"),
+        )
+    )
+    in_tol = F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOUR")
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(in_tol, F.col("click_id")).alias("click_id"),
+        F.when(in_tol, F.col("click_ts")).alias("click_ts"),
+        F.when(
+            in_tol, F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("staleness_us"),
+    )

@@ -130,3 +130,64 @@ def zorder_box_query_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         as_double(F.sum(money("value"))).alias("total_value"),
     )
+
+
+@register(
+    "scan_pruning_audit_orders",
+    oracle="""
+    WITH stats AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS min_cents,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS max_cents,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         BETWEEN 40000000 AND 45000000) AS BIGINT) AS n_match
+        FROM orders GROUP BY 1)
+    SELECT month, n_rows, min_cents, max_cents, n_match,
+           (max_cents < 40000000 OR min_cents > 45000000) AS prunable,
+           (1000000 * n_match) // n_rows AS selectivity_ppm
+    FROM stats
+    ORDER BY month
+    """,
+    description="layout/statistics audit: per-month min/max column "
+    "statistics for o_totalprice vs a band predicate — which partitions "
+    "a stats-based reader (parquet row-group / partition pruning) could "
+    "skip entirely, and the actual selectivity inside non-prunable ones",
+)
+def scan_pruning_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would-this-predicate-prune audit over a monthly partition layout.
+
+    The exact audit a 100 TB table owner runs before choosing a
+    partition/sort key: aggregate each candidate partition's min/max
+    for the filter column and test the predicate band against the
+    range. A `prunable=true` month is one a parquet reader skips from
+    footer statistics alone (zero IO); `selectivity_ppm` inside
+    non-prunable months measures how much the row-group-level sort
+    (see `zorder_box_query_events`) would further cut. One map-side
+    combinable aggregate on the month grain; no shuffle beyond it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    lo, hi = 40000000, 45000000
+    stats = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.sum(F.when(cents.between(lo, hi), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    return stats.select(
+        "month",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        "n_match",
+        ((F.col("max_cents") < lo) | (F.col("min_cents") > hi)).alias("prunable"),
+        F.expr("(1000000 * n_match) div n_rows").alias("selectivity_ppm"),
+    ).orderBy("month")
