@@ -564,3 +564,95 @@ def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("den"),
     )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One unrolled weighted-LPA round as DuckDB CTE text."""
+    return f"""
+    n{out} AS (
+        SELECT e.src AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS c
+        FROM e0 e JOIN {prev} l ON l.node = e.dst
+        GROUP BY 1, 2),
+    {out} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM n{out})
+        WHERE rn = 1)"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY 1
+    ORDER BY n_members DESC, community
+    """,
+    description="iterative graph analytics: 2 rounds of deterministic "
+    "weighted label propagation over the part co-occurrence graph "
+    "(votes weighted by co-occurrence count, ties to the smallest "
+    "label) — community size histogram; oracle is the identical rounds "
+    "unrolled as CTEs",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted LPA (Raghavan et al.
+    2007), made deterministic: every node adopts the neighbor label
+    with the highest edge-weight vote, ties to the smallest label —
+    no randomized update order, so 1 and 1000 executors agree.
+
+    Spark shape: the support-floored (w >= 2) co-occurrence edge
+    relation is built once and localCheckpointed (feeds both rounds —
+    the pagerank/kcore lesson); each round is one join + one (node,
+    label) aggregate + one per-node argmax window. O(rounds) shuffles
+    on the edge key; only the |nodes| label relation carries between
+    rounds. The support floor keeps the co-occurrence graph sparse
+    (part cardinality grows with data — see STATE.md graph-key lesson).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    rank_w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(2):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.sum("w").alias("c"))
+            .withColumnRenamed("n2", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )

@@ -1075,3 +1075,64 @@ def streaming_dedup_then_window_live(spark: SparkSession, sf_dir: str) -> DataFr
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_foreachbatch_topk_live",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        FROM counts)
+    SELECT window_start, event_type, n, rnk FROM ranked WHERE rnk <= 3
+    """,
+    description="G12/G14 batch-only operator inside a streaming sink: "
+    "complete-mode windowed counts ranked top-3 per window by a window "
+    "function INSIDE foreachBatch (rank/row_number are unsupported on "
+    "streaming DataFrames; foreachBatch is the documented escape hatch) "
+    "— executed by the real micro-batch engine",
+)
+def streaming_foreachbatch_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour window, computed live.
+
+    The streaming half is an ordinary complete-mode windowed count; the
+    ranking half — a window function, which Structured Streaming
+    rejects on unbounded input — runs per epoch inside foreachBatch on
+    the (bounded, |windows| x |types|) aggregate state. The last
+    epoch's ranking is the answer once the source drains. State held
+    driver-side is only the ranked top-3 rows (3 x |windows|), never
+    event-sized data. At scale the same topology writes each epoch's
+    ranking to a keyed sink instead of a local holder.
+    """
+    from pyspark.sql import Window as W
+
+    staging = _staged_events_json(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    holder: dict[str, list] = {}
+    rank_w = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+
+    def rank_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = (
+            batch_df.withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+            .filter(F.col("rnk") <= 3)
+        )
+        holder["rows"] = ranked.collect()  # bounded: 3 rows per window
+        holder["schema"] = ranked.schema
+
+    query = agg.writeStream.foreachBatch(rank_sink).outputMode("complete").start()
+    query.processAllAvailable()
+    query.stop()
+    return spark.createDataFrame(holder["rows"], holder["schema"])

@@ -28,6 +28,17 @@ SIDE_EFFECT = {
     "streaming_interval_join_live",
     "streaming_kinesis_sim_live",
     "streaming_dedup_live",
+    "streaming_append_watermark_live",
+    "streaming_chained_windows_live",
+    "streaming_dedup_then_window_live",
+    "streaming_full_outer_interval_join_live",
+    "streaming_join_then_window_live",
+    "streaming_outer_interval_join_live",
+    "streaming_rest_pages_live",
+    "streaming_union_sources_live",
+    "streaming_foreachbatch_topk_live",
+    "rest_page_scan_documents",
+    "orc_scan_order_priorities",
     "kinesis_sim_roundtrip",
     "csv_scan_customer_segments",
     "json_scan_supplier_balance",
