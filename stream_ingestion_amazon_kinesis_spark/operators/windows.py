@@ -548,3 +548,132 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("o_orderpriority", "rk", "o_orderkey")
     )
+
+
+@register(
+    "window_value_range_frame",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders)
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_near_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                 RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    description="G8 value-based RANGE window frame: for every order, the "
+    "count and exact-cents sum of same-priority orders priced within "
+    "±$5000 — a sliding-value-band density profile (RANGE frames over a "
+    "numeric ORDER BY, not time and not ROWS)",
+)
+def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: ±5000-dollar neighborhood per order.
+
+    RANGE frames bound by VALUE distance (not row count) are the one
+    frame type the ROWS family can't emulate; Spark evaluates them with
+    a single sort per partition and a sliding aggregate — one shuffle
+    on the partition key. Frame arithmetic is on exact integer cents,
+    so frame membership is identical across engines (a double ordering
+    key could disagree at the boundary ulp).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(-500000, 500000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.count("*").over(w).alias("n_near"),
+        F.sum("cents").over(w).alias("sum_near_cents"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "revenue_concentration_topdecile",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents DESC, o_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM cust_rev)
+    SELECT n.n_name,
+           CAST(ANY_VALUE(n_cust) AS BIGINT) AS n_customers,
+           CAST((ANY_VALUE(n_cust) + 9) // 10 AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN rn <= (n_cust + 9) // 10 THEN cents END)
+                AS BIGINT) AS top_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           (1000000 * CAST(SUM(CASE WHEN rn <= (n_cust + 9) // 10
+                                    THEN cents END) AS BIGINT))
+               // CAST(SUM(cents) AS BIGINT) AS top_share_ppm
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    description="G5/G8 revenue concentration: the top-decile customers' "
+    "share of each nation's revenue (ceil(n/10) by ranked exact-cents "
+    "spend, custkey tiebreak) in exact ppm — the 80/20 concentration "
+    "KPI next to the Gini query",
+)
+def revenue_concentration_topdecile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10%-customers revenue share per nation, all-integer.
+
+    Per-customer revenue is an exact-cents aggregate; the per-nation
+    ranking window is |customers|-sized per nation; everything after is
+    a 25-row rollup joined to the broadcast nation dim. ceil(n/10) is
+    integer ((n+9) div 10); the share is truncating-ppm on non-negative
+    operands.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    wr = W.partitionBy("c_nationkey").orderBy(F.desc("cents"), "o_custkey")
+    wc = W.partitionBy("c_nationkey")
+    ranked = cust_rev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_cust", F.count("*").over(wc)
+    )
+    agg = (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.first("n_cust").cast("bigint").alias("n_customers"),
+            F.expr("(first(n_cust) + 9) div 10").cast("bigint").alias("n_top"),
+            F.sum(
+                F.when(F.col("rn") <= F.expr("(n_cust + 9) div 10"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("top_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "n_name",
+        "n_customers",
+        "n_top",
+        "top_cents",
+        "total_cents",
+        F.expr("(1000000 * top_cents) div total_cents").alias("top_share_ppm"),
+    ).orderBy("n_name")
