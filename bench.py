@@ -66,6 +66,11 @@ HEADLINE = [
     "collocation_pmi_top20",
     # round-3 addition: TPC-DS multi-channel union rollup
     "tpcds_channel_union_rollup",
+    # round-3 late additions: stream downsampling, directional near-dup,
+    # dense-grid time-series statistics
+    "ohlc_hourly_bars",
+    "containment_neardup_pairs",
+    "autocorr_hourly_counts",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

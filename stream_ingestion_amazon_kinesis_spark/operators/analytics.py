@@ -997,3 +997,70 @@ def median_order_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY decile
         """
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM au),
+    contrib AS (
+        SELECT au.user_id, au.day + i * INTERVAL 1 DAY AS bucket
+        FROM au, unnest(generate_series(0, 6)) AS t(i)),
+    wau AS (
+        SELECT c.bucket AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+        FROM contrib c JOIN days d ON d.day = c.bucket
+        GROUP BY 1),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM au GROUP BY 1)
+    SELECT d.day, d.dau, w.wau,
+           (1000000 * d.dau) // w.wau AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+    description="G5/G6 DAU/WAU stickiness: daily actives over trailing-"
+    "7-day actives per day — the trailing distinct count is computed by "
+    "the contribution trick (each active day feeds 7 day-buckets, like "
+    "a sliding window), never a per-day 7-day rescan",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-AU stickiness ratio per day.
+
+    Exact trailing distinct counts via contribution expansion: the
+    (user, active-day) relation — already deduplicated, so bounded by
+    users x days, not events — is exploded 7x onto the day-buckets it
+    should count toward, then one distinct aggregate per bucket. This
+    is the sliding-window-as-union shape that scales (the naive form
+    rescans 7 days of raw events per output day). The bucket join
+    against observed days is an equi-join; stickiness is truncating
+    ppm on positive integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    au = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = au.select("day").distinct()
+    contrib = au.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select(
+        "user_id", F.expr("day + i * INTERVAL 1 DAY").alias("bucket")
+    )
+    wau = (
+        contrib.join(days, contrib.bucket == days.day)
+        .groupBy(F.col("bucket").alias("wday"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = au.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(1000000 * dau) div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

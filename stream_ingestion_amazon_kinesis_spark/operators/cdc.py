@@ -141,3 +141,75 @@ def _register_snapshot_diff() -> None:
 
 
 _register_snapshot_diff()
+
+
+def _register_incremental_agg() -> None:
+    from pyspark.sql import SparkSession
+    from ..functions.numeric import money
+    from ..plans.registry import register
+    from ..sources.catalog import load_table
+
+    @register(
+        "incremental_agg_maintenance",
+        oracle="""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, day
+        """,
+        description="incremental view maintenance: a daily aggregate "
+        "maintained as base-partial MERGE delta-partial (full-outer join "
+        "+ coalesced partial-sum algebra) must equal the from-scratch "
+        "aggregate — the oracle IS the full recompute, so the merge "
+        "algebra is verified exactly",
+    )
+    def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Merge-maintained daily aggregate == full recompute.
+
+        The engine-side plan deliberately computes the view the way an
+        incremental pipeline does at 100 TB: the historical partition
+        (event_id % 10 < 8) is aggregated once ("materialized view"),
+        the late-arriving delta (the remaining 20%) is aggregated
+        separately, and the two PARTIAL aggregates are merged by keyed
+        full-outer join with coalesce(0) + addition — the same
+        partial-merge algebra Spark's own map-side combine uses, lifted
+        to the view level. COUNT and exact-cents SUM are both
+        self-mergeable; the oracle recomputes from scratch, proving the
+        maintenance path loses nothing. No event-sized relation is ever
+        joined — only the two |keys|-sized partials.
+        """
+        events = load_table(spark, sf_dir, "events")
+        cents = (money("value") * 100).cast("bigint")
+
+        def partial(df: DataFrame) -> DataFrame:
+            return df.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("day")
+            ).agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+
+        base = partial(events.filter(F.col("event_id") % 10 < 8))
+        delta = partial(events.filter(F.col("event_id") % 10 >= 8)).select(
+            F.col("event_type").alias("d_type"),
+            F.col("day").alias("d_day"),
+            F.col("n").alias("d_n"),
+            F.col("sum_cents").alias("d_sum"),
+        )
+        merged = base.join(
+            delta,
+            (base.event_type == delta.d_type) & (base.day == delta.d_day),
+            "full_outer",
+        )
+        z = F.lit(0).cast("bigint")
+        return merged.select(
+            F.coalesce("event_type", "d_type").alias("event_type"),
+            F.coalesce("day", "d_day").alias("day"),
+            (F.coalesce("n", z) + F.coalesce("d_n", z)).alias("n"),
+            (F.coalesce("sum_cents", z) + F.coalesce("d_sum", z)).alias(
+                "sum_cents"
+            ),
+        ).orderBy("event_type", "day")
+
+
+_register_incremental_agg()

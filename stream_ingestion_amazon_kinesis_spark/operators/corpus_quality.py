@@ -178,3 +178,73 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "vocab_overlap_langs",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+    shared AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.lang < b.lang
+        GROUP BY 1, 2)
+    SELECT lang_a, lang_b, n_shared,
+           sa.n AS n_vocab_a, sb.n AS n_vocab_b,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    ORDER BY lang_a, lang_b
+    """,
+    description="G17 cross-language vocabulary overlap matrix: pairwise "
+    "Jaccard between per-language token vocabularies — the corpus-level "
+    "language-contamination screen (high overlap between supposedly "
+    "distinct langs flags mislabeled or code-switched documents)",
+)
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language groups.
+
+    The vocab relation is |langs| x |vocab| (sub-linear in corpus
+    size); the token self-join is keyed on token with lang_a < lang_b
+    pruning, and output is |langs|^2 rows. At 100 TB the vocab relation
+    is the only thing that shuffles — document text never moves after
+    the distinct-(lang, token) map-side combine.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = docs.select(
+        "lang", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count("*").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), F.col("lang_a") == F.col("sa.lang"))
+        .join(F.broadcast(sb), F.col("lang_b") == F.col("sb.lang"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.col("sa.n").alias("n_vocab_a"),
+            F.col("sb.n").alias("n_vocab_b"),
+            jac.alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
