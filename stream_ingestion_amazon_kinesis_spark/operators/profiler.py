@@ -1,0 +1,127 @@
+"""Whole-catalog data-quality profiler (SURVEY §2.3 G5/G6 + the audit
+family): per-column row/null/distinct counts for every fixture table in
+ONE registered query.
+
+The profile every ingestion pipeline runs before trusting a new drop:
+null density (broken upstream fields), distinct cardinality (key
+candidates, join-key sanity, accidental constant columns). Each table
+contributes a single aggregate pass — nulls are conditional sums,
+cardinalities exact distincts (at 100 TB the same plan swaps
+`countDistinct` for `approx_count_distinct` column-by-column; the
+melt/union shape is unchanged). The per-table single-row aggregate is
+melted into (table, column) rows JVM-side via an inline struct array —
+no driver loop over data, only over the static schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Static fixture schema (TESTDATA.md). The profiler is deliberately
+# schema-driven, not data-driven: the plan is fully determined at
+# compile time.
+_SCHEMA: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _oracle() -> str:
+    parts = []
+    for table, cols in _SCHEMA.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{table}' AS table_name, '{c}' AS column_name,\n"
+                f"       CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+                f"       CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,\n"
+                f"       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct\n"
+                f"FROM {table}"
+            )
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY table_name, column_name"
+    )
+
+
+@register(
+    "null_profile_all_tables",
+    oracle=_oracle(),
+    description="catalog-wide data-quality profile: per (table, column) "
+    "row count, null count, exact distinct cardinality — one aggregate "
+    "pass per table, melted JVM-side to (table, column) rows",
+)
+def null_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/cardinality profile of every table in the catalog.
+
+    Per table: ONE aggregate producing count(*), per-column null sums,
+    and per-column distinct counts (Spark plans the multi-distinct via
+    Expand — a single scan). The single aggregate row is exploded into
+    per-column rows through an inline array<struct>, then the ten
+    bounded per-table profiles union. Nothing but the profile rows
+    (sum |columns| across tables) ever leaves the aggregate.
+    """
+    profiles = []
+    for table, cols in _SCHEMA.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__null_{c}")
+            )
+            aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+        row = df.agg(*aggs)
+        melted = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(table).alias("table_name"),
+                            F.lit(c).alias("column_name"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"__null_{c}").alias("n_null"),
+                            F.col(f"__dist_{c}").alias("n_distinct"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        ).select("p.*")
+        profiles.append(melted)
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")

@@ -70,6 +70,7 @@ def _load_all() -> None:
     from ..operators import corpus_extra  # noqa: F401
     from ..operators import timeseries  # noqa: F401
     from ..operators import corpus_quality  # noqa: F401
+    from ..operators import profiler  # noqa: F401
     from ..streaming import state_reader  # noqa: F401
     from ..sources import file_formats  # noqa: F401
     from ..sources import kinesis_sim  # noqa: F401
