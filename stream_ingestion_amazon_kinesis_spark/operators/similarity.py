@@ -844,3 +844,91 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= HARD_NEG_K)
     )
+
+
+PCA_TOP_DIMS = 8
+
+
+@register(
+    "pca_power_iteration_topdims",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id, d.i - 1 AS dim,
+               CAST(ROUND(e[d.i] * 1000000) AS BIGINT) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) d),
+    s1 AS (SELECT vec_id, CAST(SUM(x) AS BIGINT) AS s FROM flat GROUP BY 1),
+    v1 AS (
+        SELECT f.dim, SUM(f.x * s1.s) AS v
+        FROM flat f JOIN s1 USING (vec_id) GROUP BY 1),
+    s2 AS (
+        SELECT f.vec_id, SUM(f.x * v1.v) AS s
+        FROM flat f JOIN v1 USING (dim) GROUP BY 1),
+    v2 AS (
+        SELECT f.dim, SUM(f.x * s2.s) AS v
+        FROM flat f JOIN s2 USING (vec_id) GROUP BY 1),
+    ranked AS (
+        SELECT dim, CAST(sign(v) AS BIGINT) AS direction,
+               ROW_NUMBER() OVER (ORDER BY abs(v) DESC, dim) AS rnk
+        FROM v2)
+    SELECT CAST(rnk AS BIGINT) AS rnk, dim, direction
+    FROM ranked WHERE rnk <= {PCA_TOP_DIMS}
+    """,
+    description="iterative linear algebra: 2 unnormalized power "
+    "iterations of the uncentered second-moment matrix (v = (X'X)^2 1) "
+    "over integer-micro quantized embeddings — the top principal "
+    "direction's dominant dimensions, exact integer/decimal arithmetic "
+    "end to end, oracle = identical iterations unrolled in SQL",
+)
+def pca_power_iteration_topdims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant dimensions of the top principal direction, exactly.
+
+    Power iteration without explicit normalization: two rounds of
+    v <- X^T (X v) starting from the all-ones vector, over embeddings
+    quantized to integer micros. Normalization only fights overflow,
+    and two rounds stay inside DECIMAL(38,0) (bounds in module: |x| <=
+    ~0.53e6 micros, 64 dims — v2 <= ~1e30), so every engine — and every
+    partitioning — produces bit-identical v2, and the readout (dims
+    ranked by |v2| with sign) is deterministic without ever dividing.
+    Spark shape: each iteration is one equi-join (on vec_id or dim) +
+    one narrow aggregate over the |rows| x 64 flat relation — the
+    classic distributed mat-vec; nothing quadratic, no driver loop.
+    Mean-centering is omitted deliberately: centered second-moment
+    products overflow 38 digits at round 2 (see autocorr's n*x - S
+    trick for where centering IS affordable).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "xv"
+        ),
+    ).select(
+        "vec_id", "dim", F.round(F.col("xv") * 1000000).cast("bigint").alias("x")
+    )
+    s1 = flat.groupBy("vec_id").agg(F.sum("x").alias("s"))
+    v1 = (
+        flat.join(s1, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x") * F.col("s")).cast("decimal(38,0)").alias("v"))
+    )
+    s2 = (
+        flat.join(v1, "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("v")).alias("s"))
+    )
+    v2 = (
+        flat.join(s2, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("s")).alias("v"))
+    )
+    w = W.orderBy(F.abs(F.col("v")).desc(), "dim")
+    return (
+        v2.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PCA_TOP_DIMS)
+        .select(
+            "rnk",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.signum("v").cast("bigint").alias("direction"),
+        )
+    )

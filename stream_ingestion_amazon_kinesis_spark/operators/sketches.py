@@ -264,3 +264,49 @@ def linreg_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(slope * 1000).cast("bigint").alias("slope_milli"),
         F.floor(intercept * 100).cast("bigint").alias("intercept_cents"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "hll_retention_intersection",
+    oracle=None,  # sketch estimates are engine-specific; the accuracy
+    # band vs the exact inclusion-exclusion twin is pinned in
+    # tests/test_sketches.py::test_hll_intersection_accuracy
+    description="G6 sketch set algebra: week-over-week retained-user "
+    "estimate via HLL inclusion-exclusion (|A∩B| ≈ est(A) + est(B) - "
+    "est(A∪B)) — the mergeable-sketch answer to retention at 100 TB, "
+    "where exact weekly user sets are too large to re-intersect",
+)
+def hll_retention_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained users between consecutive weeks from merged HLL sketches.
+
+    One pass builds a per-week user sketch; every week-pair readout is
+    then pure sketch algebra (union-merge + inclusion-exclusion), no
+    second scan of the data — the reason sketch columns are stored at
+    all. Estimates carry HLL error (lgK=12 -> ~1.6% * 3 terms); the
+    exact twin and the error band live in the pytest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        F.date_trunc("week", "ts").alias("week")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    a, b = weekly.alias("a"), weekly.alias("b")
+    pairs = a.join(
+        b, F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAY")
+    ).select(
+        F.col("a.week").alias("week"),
+        F.col("b.week").alias("next_week"),
+        F.hll_sketch_estimate("a.sk").alias("est_a"),
+        F.hll_sketch_estimate("b.sk").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("a.sk", "b.sk", True)
+        ).alias("est_union"),
+    )
+    return pairs.select(
+        "week",
+        "next_week",
+        "est_a",
+        "est_b",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_retained"
+        ),
+    ).orderBy("week")

@@ -57,3 +57,32 @@ def test_cms_estimates_bounded_above_exact(spark, sf_dir):
     for prio, n in exact.items():
         est = sketch.estimateCount(prio)
         assert n <= est <= n + eps * row.n_rows, f"{prio}: exact={n} est={est}"
+
+
+def test_hll_intersection_accuracy(spark, sf_dir):
+    """Inclusion-exclusion retained-user estimate stays within an HLL
+    error band of the exact week-over-week intersection (lgK=12 ->
+    ~1.6% relative standard error per estimate; three estimates
+    compound, so the band is 8% of the union, floored at 5 absolute
+    for small fixtures)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+        hll_retention_intersection,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = (
+        events.select(F.date_trunc("week", "ts").alias("week"), "user_id")
+        .distinct()
+        .toPandas()
+    )
+    by_week = {w: set(g.user_id) for w, g in pdf.groupby("week")}
+    got = hll_retention_intersection(spark, sf_dir).collect()
+    assert got, "no week pairs"
+    for r in got:
+        a, b = by_week[r.week], by_week[r.next_week]
+        exact = len(a & b)
+        union = len(a | b)
+        band = max(5.0, 0.08 * union)
+        assert abs(r.est_retained - exact) <= band, (
+            f"{r.week}: est={r.est_retained} exact={exact} band={band}"
+        )
