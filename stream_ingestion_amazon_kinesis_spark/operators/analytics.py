@@ -1064,3 +1064,140 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "user_lifecycle_growth_accounting",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+    hist AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS first_week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+        FROM au),
+    classified AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 'new'
+                    WHEN prev_week = week - INTERVAL 7 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS stage
+        FROM hist),
+    stage_counts AS (
+        SELECT week,
+               CAST(COUNT(*) FILTER (WHERE stage = 'new') AS BIGINT) AS n_new,
+               CAST(COUNT(*) FILTER (WHERE stage = 'retained') AS BIGINT)
+                   AS n_retained,
+               CAST(COUNT(*) FILTER (WHERE stage = 'resurrected') AS BIGINT)
+                   AS n_resurrected,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM classified GROUP BY week)
+    SELECT week, n_new, n_retained, n_resurrected, n_active,
+           COALESCE(LAG(n_active) OVER (ORDER BY week), 0)
+               - n_retained AS n_churned
+    FROM stage_counts
+    ORDER BY week
+    """,
+    description="G8 growth accounting: every weekly active user classified "
+    "new / retained / resurrected from their own activity history "
+    "(first-week + lag), churn derived from the previous week's actives "
+    "minus this week's retained — the standard DAU/MAU lifecycle ledger, "
+    "all-integer",
+)
+def user_lifecycle_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned ledger.
+
+    The per-user window runs over the deduplicated (user, week)
+    relation — bounded by users x weeks, never events. Churn needs no
+    user-level anti-join: actives(prev) - retained(cur) is the same
+    number, derived from the 1-row-per-week rollup with a single
+    ordered LAG. Consecutive-week arithmetic uses the week-start
+    timestamp directly (week - 7 days), so no calendar table is needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    au = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("week")
+    hist = au.withColumn("first_week", F.min("week").over(wu)).withColumn(
+        "prev_week", F.lag("week").over(wo)
+    )
+    stage = (
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(
+            F.col("prev_week") == F.col("week") - F.expr("INTERVAL 7 DAY"),
+            "retained",
+        )
+        .otherwise("resurrected")
+    )
+    counts = (
+        hist.withColumn("stage", stage)
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("stage") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("stage") == "retained", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("stage") == "resurrected", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.count("*").alias("n_active"),
+        )
+    )
+    wk = Window.orderBy("week")
+    return counts.select(
+        "week",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_active",
+        (
+            F.coalesce(F.lag("n_active").over(wk), F.lit(0).cast("bigint"))
+            - F.col("n_retained")
+        ).alias("n_churned"),
+    ).orderBy("week")
+
+
+@register(
+    "power_user_curve_monthly",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS month,
+               date_trunc('day', ts) AS day
+        FROM events),
+    per_user AS (
+        SELECT month, user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+        FROM ud GROUP BY 1, 2)
+    SELECT month, active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY 1, 2
+    ORDER BY month, active_days
+    """,
+    description="G5 power-user curve (L28-style engagement histogram): "
+    "users bucketed by distinct active days within each month — the "
+    "engagement-depth distribution behind DAU/MAU",
+)
+def power_user_curve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-days-per-user histogram per month.
+
+    Two stacked distinct/count aggregates over progressively smaller
+    relations (events -> user-days -> user-months -> histogram rows);
+    every stage map-side combines. The histogram never exceeds
+    |months| x 31 rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).distinct()
+    per_user = ud.groupBy("month", "user_id").agg(
+        F.count("*").alias("active_days")
+    )
+    return (
+        per_user.groupBy("month", "active_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("month", "active_days")
+    )

@@ -1486,3 +1486,81 @@ def exists_cohort_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "sql_pipe_syntax_priority_report",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+    description="SQL API surface: Spark 4 SQL pipe syntax (FROM ... |> "
+    "WHERE ... |> AGGREGATE ... GROUP BY ALL |> ORDER BY) compiles to "
+    "the identical Catalyst plan as classic SELECT — same oracle",
+)
+def sql_pipe_syntax_priority_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax SQL (SQL:2023-style |> chaining, new in Spark 4).
+
+    Pure surface parity: the pipe chain lowers to the same logical plan
+    (Filter -> Aggregate -> Sort) as the classic form, so every
+    optimizer rule (pushdown, partial agg) applies unchanged.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderpriority, o_orderstatus
+        |> SELECT o_orderpriority, o_orderstatus, n, total_price
+        |> ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+@register(
+    "hinted_shuffle_hash_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="physical-strategy control: SHUFFLE_HASH join hint forces "
+    "a shuffled hash join over the default sort-merge for the "
+    "lineitem x orders fact join (skips both sorts; right side builds "
+    "the hash map) — identical results, different physical operator, "
+    "asserted in tests/test_join_hints.py",
+)
+def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join under an explicit SHUFFLE_HASH hint.
+
+    Sort-merge is Spark's safe default for two large sides, but when
+    one side's per-partition build set fits executor memory a shuffled
+    hash join skips both O(n log n) sorts — at 100 TB that is the
+    difference between 2 sorted shuffles and 2 plain shuffles. The
+    hint keeps that choice explicit and testable; AQE may still
+    override per-partition on skew.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            as_double(F.sum(money("l_extendedprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
