@@ -247,3 +247,81 @@ def multimodal_arrow_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_e").alias("total_e_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_FRAME = 256
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS bytes
+        FROM documents),
+    frames AS (
+        SELECT doc_id, st // {_FRAME} AS frame_idx,
+               bytes[st + 1 : st + {_FRAME}] AS fr
+        FROM b, LATERAL (
+            SELECT unnest(generate_series(0, len(bytes) - 1, {_FRAME})) AS st))
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(len(fr) AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(fr, x -> (x - 128) * (x - 128)))
+                AS BIGINT) AS energy
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+    description="G17 multimodal audio framing: payload bytes treated as "
+    "8-bit PCM, split into 256-byte frames with per-frame energy "
+    "sum((b-128)^2) — real mapInPandas/Arrow plumbing over the binary "
+    "column, integer-exact (the fake PCM is the utf-8 payload, so the "
+    "oracle reproduces the bytes from text)",
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame energy over the opaque audio payload column.
+
+    The frame loop is the real thing a feature extractor does (librosa
+    frame/hop); here it runs in numpy over Arrow batches inside
+    mapInPandas — one Python worker pass per partition, emitting
+    |bytes|/256 bounded rows per doc, nothing shuffled until the final
+    presentation sort. A real PCM decoder slots into the same batch
+    loop (see `decode_features(real_decoder=True)` gate).
+    """
+    import numpy as np
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for i in range(0, len(arr), _FRAME):
+                    fr = arr[i : i + _FRAME]
+                    d = fr - 128
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // _FRAME)
+                    out["frame_bytes"].append(len(fr))
+                    out["energy"].append(int((d * d).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(_frames, schema=_FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )

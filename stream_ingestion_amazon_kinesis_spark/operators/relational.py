@@ -1564,3 +1564,70 @@ def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "value_band_self_join_suppliers",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey, s_nationkey,
+               CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM supplier)
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           a.s_nationkey AS nationkey,
+           abs(a.cents - b.cents) AS diff_cents
+    FROM s a JOIN s b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND abs(a.cents - b.cents) <= 50000
+    """,
+    description="G4 value-band self-join via bucketization: supplier "
+    "pairs in the same nation within $500 of account balance — "
+    "candidates come from $500-wide balance buckets (own + adjacent), "
+    "so the join is EQUI on (nation, bucket) instead of a non-equi "
+    "band predicate; the band filter then verifies candidates only",
+)
+def value_band_self_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join on a value axis, the bucketize-then-verify shape.
+
+    A naive |balance diff| <= eps self-join is non-equi (nested loop or
+    per-nation cartesian). Bucketizing the value axis at the band width
+    turns it into an exact equi-join: any qualifying pair differs by at
+    most one bucket, so probing own+adjacent buckets (a 3x explode of
+    the probe side — bounded, predictable) finds every candidate
+    exactly once (the equi-join on the probe's distinct bucket list
+    can't duplicate a pair). Same trick as the interval-overlap
+    bucketization, applied to value space; scales as sum of squared
+    bucket occupancies, not squared nation sizes.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    s = supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        (money("s_acctbal") * 100).cast("bigint").alias("cents"),
+    ).withColumn("bucket", F.expr("floor(cents / 50000)").cast("bigint"))
+    probe = s.withColumn(
+        "jb",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ),
+    ).select(
+        F.col("s_suppkey").alias("p_suppkey"),
+        F.col("s_nationkey").alias("p_nationkey"),
+        F.col("cents").alias("p_cents"),
+        "jb",
+    )
+    pairs = s.join(
+        probe,
+        (F.col("s_nationkey") == F.col("p_nationkey"))
+        & (F.col("bucket") == F.col("jb"))
+        & (F.col("s_suppkey") < F.col("p_suppkey")),
+    )
+    return pairs.filter(
+        F.abs(F.col("cents") - F.col("p_cents")) <= 50000
+    ).select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("p_suppkey").alias("supp_b"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.abs(F.col("cents") - F.col("p_cents")).alias("diff_cents"),
+    )
