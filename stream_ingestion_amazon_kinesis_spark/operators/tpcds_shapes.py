@@ -737,3 +737,59 @@ def quantity_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band", "disc_band")
     )
+
+
+@register(
+    "tpcds_return_ratio_top_parts",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS qty_returned,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+        FROM lineitem GROUP BY 1),
+    scored AS (
+        SELECT l_partkey, qty_returned, qty_total,
+               (1000000 * qty_returned) // qty_total AS return_ppm
+        FROM pr WHERE qty_total >= 50),
+    ranked AS (
+        SELECT *, RANK() OVER (ORDER BY return_ppm DESC, l_partkey) AS rnk
+        FROM scored)
+    SELECT l_partkey, qty_returned, qty_total, return_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    description="TPC-DS q49-style worst-return-ratio ranking: per-part "
+    "returned/shipped quantity ratio in truncated ppm, volume floor "
+    "qty_total >= 50, top 10 by RANK with partkey tiebreak",
+)
+def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst return-ratio parts (q49 shape on the TPC-H-ish fixture).
+
+    One map-side-combinable conditional aggregate on l_partkey, a
+    volume floor to kill small-denominator noise, then a global top-10
+    rank over the |parts|-sized score relation — Catalyst plans the
+    final rank as a single-partition window over an already-tiny input
+    (never the raw fact table). Integer ppm division keeps ranking
+    bit-stable across engines.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", qty).otherwise(0))
+        .cast("bigint")
+        .alias("qty_returned"),
+        F.sum(qty).cast("bigint").alias("qty_total"),
+    )
+    scored = pr.filter(F.col("qty_total") >= 50).withColumn(
+        "return_ppm", F.expr("(1000000 * qty_returned) div qty_total")
+    )
+    w = W.orderBy(F.desc("return_ppm"), "l_partkey")
+    return (
+        scored.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("l_partkey", "qty_returned", "qty_total", "return_ppm", "rnk")
+    )

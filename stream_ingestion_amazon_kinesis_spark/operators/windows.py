@@ -562,16 +562,16 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cents) OVER w AS BIGINT) AS sum_near_cents
     FROM o
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
-                 RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)
+                 RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
     ORDER BY o_orderkey
     """,
     description="G8 value-based RANGE window frame: for every order, the "
     "count and exact-cents sum of same-priority orders priced within "
-    "±$5000 — a sliding-value-band density profile (RANGE frames over a "
+    "±$500 — a sliding-value-band density profile (RANGE frames over a "
     "numeric ORDER BY, not time and not ROWS)",
 )
 def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric RANGE frame: ±5000-dollar neighborhood per order.
+    """Numeric RANGE frame: ±500-dollar neighborhood per order.
 
     RANGE frames bound by VALUE distance (not row count) are the one
     frame type the ROWS family can't emulate; Spark evaluates them with
@@ -589,7 +589,7 @@ def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("o_orderpriority")
         .orderBy("cents")
-        .rangeBetween(-500000, 500000)
+        .rangeBetween(-50000, 50000)
     )
     return o.select(
         "o_orderkey",
