@@ -1136,3 +1136,91 @@ def streaming_foreachbatch_topk_live(spark: SparkSession, sf_dir: str) -> DataFr
     query.processAllAvailable()
     query.stop()
     return spark.createDataFrame(holder["rows"], holder["schema"])
+
+
+@register(
+    "streaming_restart_resume_live",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="G15 exactly-once restart executed live: half the events "
+    "are drained under a checkpoint, the query STOPS, the second half "
+    "arrives, and a NEW query resumes from the same checkpoint — final "
+    "complete-mode state must equal the one-shot batch aggregate over "
+    "everything (file-source offsets + aggregate state both recovered)",
+)
+def streaming_restart_resume_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume drill as an oracle-checked query.
+
+    Phase 1 stages the even-event_id half as JSON, drains it into a
+    checkpointed complete-mode daily aggregate, and stops the query.
+    Phase 2 drops the odd half into the same source directory and
+    starts a FRESH query object on the SAME checkpoint: the file
+    source's processed-file log skips phase-1 files, the state store
+    restores the phase-1 aggregate, and the final emitted state covers
+    both halves exactly once. Staging is per-invocation tempdir — the
+    drill must actually run both phases every time, so nothing is
+    cached. This is the reference's TRIM_HORIZON weakness (SURVEY §2.3
+    G15: restart rereads everything, at-least-once) solved the Spark
+    way.
+    """
+    import os
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="spark_graft_restart_")
+    data_dir = os.path.join(base, "data")
+    ckpt_dir = os.path.join(base, "ckpt")
+    os.makedirs(data_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(half: int, name: str) -> None:
+        part = events.filter(F.col("event_id") % 2 == half)
+        tmp_out = os.path.join(base, f"stage_{name}")
+        part.select(F.to_json(F.struct(*events.columns)).alias("value")).coalesce(
+            1
+        ).write.mode("overwrite").text(tmp_out)
+        i = 0
+        for f in sorted(os.listdir(tmp_out)):
+            if f.startswith("part-"):
+                shutil.copy(
+                    os.path.join(tmp_out, f),
+                    os.path.join(data_dir, f"{name}_{i}.json"),
+                )
+                i += 1
+
+    agg_of = lambda stream: (  # noqa: E731
+        stream.groupBy(
+            F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+        ).agg(F.count("*").alias("n"))
+    )
+
+    stage(0, "half_a")
+    sink1 = f"restart_a_{uuid.uuid4().hex[:10]}"
+    q1 = (
+        agg_of(read_event_stream(spark, data_dir))
+        .writeStream.format("memory")
+        .queryName(sink1)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    stage(1, "half_b")
+    sink2 = f"restart_b_{uuid.uuid4().hex[:10]}"
+    q2 = (
+        agg_of(read_event_stream(spark, data_dir))
+        .writeStream.format("memory")
+        .queryName(sink2)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    out = spark.table(sink2)
+    return out

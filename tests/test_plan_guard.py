@@ -37,6 +37,7 @@ SIDE_EFFECT = {
     "streaming_rest_pages_live",
     "streaming_union_sources_live",
     "streaming_foreachbatch_topk_live",
+    "streaming_restart_resume_live",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
     "kinesis_sim_roundtrip",
