@@ -149,3 +149,63 @@ def recursive_cte_monthly_scaffold(spark: SparkSession, sf_dir: str) -> DataFram
         FROM months LEFT JOIN rev ON months.m = rev.m
         """
     )
+
+
+@register(
+    "not_in_vs_not_exists_null_semantics",
+    oracle="""
+    WITH keys AS (
+        SELECT CASE WHEN o_totalprice < 1000 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_orderstatus = 'F'),
+    not_in_count AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM keys)),
+    not_exists_count AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey)),
+    has_null AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE k IS NULL) > 0 AS BOOLEAN) AS v
+        FROM keys)
+    SELECT (SELECT n FROM not_in_count) AS n_not_in,
+           (SELECT n FROM not_exists_count) AS n_not_exists,
+           (SELECT v FROM has_null) AS subquery_has_null
+    """,
+    description="SQL three-valued-logic contrast: NOT IN against a "
+    "subquery containing NULL returns zero rows (UNKNOWN != TRUE for "
+    "every candidate), while NOT EXISTS ignores the NULLs — both "
+    "semantics evaluated in one row so the engines' ANSI null handling "
+    "is pinned against each other",
+)
+def not_in_vs_not_exists_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic NOT IN / NULL trap, as a regression-pinned query.
+
+    The NULL-bearing key set makes `x NOT IN (...)` evaluate to UNKNOWN
+    for every x (x <> NULL is UNKNOWN, AND-folded across the list), so
+    the NOT IN count is 0 while NOT EXISTS — which tests row existence,
+    not value comparison — counts real non-buyers. Catalyst plans NOT
+    IN as NullAware anti join and NOT EXISTS as a plain left-anti; both
+    are single-shuffle joins at scale. An engine that 'fixes' NOT IN to
+    mean NOT EXISTS silently changes answers — this row pins the ANSI
+    behavior.
+    """
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH keys AS (
+            SELECT CASE WHEN o_totalprice < 1000 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders WHERE o_orderstatus = 'F'),
+        not_in_count AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM keys)),
+        not_exists_count AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey)),
+        has_null AS (
+            SELECT COUNT(CASE WHEN k IS NULL THEN 1 END) > 0 AS v FROM keys)
+        SELECT (SELECT n FROM not_in_count) AS n_not_in,
+               (SELECT n FROM not_exists_count) AS n_not_exists,
+               (SELECT v FROM has_null) AS subquery_has_null
+        """
+    )

@@ -1104,3 +1104,80 @@ def from_csv_inline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total_cents"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "fulfillment_latency_histogram",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ranked AS (
+        SELECT o_orderpriority, days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY days) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM lat)
+    SELECT o_orderpriority,
+           CAST(ANY_VALUE(cnt) AS BIGINT) AS n_lines,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN days END) AS BIGINT)
+               AS p50_days,
+           CAST(MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN days END)
+                AS BIGINT) AS p90_days
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="G5/G8 fulfillment-latency SLA profile: order-date to "
+    "ship-date lag per priority class with exact integer p50/p90 "
+    "(row_number-selected discrete quantiles) — the ops dashboard for "
+    "'does URGENT actually ship faster?'",
+)
+def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-lag distribution per order priority, integer-exact.
+
+    (Window imported locally — this module is otherwise window-free.)
+
+    The fact join is the only |data|-sized step (orderkey equi-join,
+    AQE decides broadcast vs shuffle); latency is whole days via
+    datediff (both engines count calendar-day boundaries on pure
+    dates). Discrete p50/p90 come from the row_number selection used
+    across the median family — no interpolation, no float.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("days")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = lat.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count("*").over(wc)
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.first("cnt").cast("bigint").alias("n_lines"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("days"))
+            )
+            .cast("bigint")
+            .alias("p50_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * cnt + 9) div 10"), F.col("days")
+                )
+            )
+            .cast("bigint")
+            .alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
