@@ -1631,3 +1631,61 @@ def value_band_self_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s_nationkey").alias("nationkey"),
         F.abs(F.col("cents") - F.col("p_cents")).alias("diff_cents"),
     )
+
+
+@register(
+    "sql_ddl_ctas_insert_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="SQL DDL surface: CREATE TABLE ... USING PARQUET AS "
+    "SELECT (CTAS) of the pre-1996 half + INSERT INTO of the rest, read "
+    "back through the catalog table — the managed-table write path; "
+    "aggregate over the round-tripped table equals the source oracle",
+)
+def sql_ddl_ctas_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + INSERT INTO + catalog read-back as one verified row.
+
+    Exercises the DDL/DML SQL surface the DataFrame API queries don't:
+    an explicit-location parquet table created by CTAS, appended by
+    INSERT INTO ... SELECT, then queried through the catalog name.
+    Locations/table names are per-invocation (uuid) so reruns never
+    collide; the table is parquet-at-a-path, i.e. exactly what a
+    warehouse table is at 100 TB — the split CTAS/INSERT proves append
+    semantics, and the final aggregate proves nothing was lost or
+    doubled.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    register_views(spark, sf_dir, ("orders",))
+    tag = _uuid.uuid4().hex[:12]
+    tbl = f"orders_ddl_{tag}"
+    loc = f"{tempfile.mkdtemp(prefix='spark_graft_ddl_')}/t"
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}' AS
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl}
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM {tbl}
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

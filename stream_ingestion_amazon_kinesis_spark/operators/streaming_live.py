@@ -1224,3 +1224,47 @@ def streaming_restart_resume_live(spark: SparkSession, sf_dir: str) -> DataFrame
     q2.stop()
     out = spark.table(sink2)
     return out
+
+
+@register(
+    "streaming_availablenow_live",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    description="G12/G15 Trigger.AvailableNow executed live: the query "
+    "drains everything available in rate-limited micro-batches and "
+    "STOPS ITSELF (no processAllAvailable nudge) — the scheduled-batch "
+    "ingestion mode; final complete-mode state equals the batch "
+    "aggregate",
+)
+def streaming_availablenow_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AvailableNow trigger: stream semantics, batch lifecycle.
+
+    Unlike the default micro-batch trigger (runs forever, needs an
+    external stop), AvailableNow snapshots the source's current end
+    offset at start, drains up to it under normal rate limits
+    (maxFilesPerTrigger still applies, so state stays bounded per
+    batch), then terminates — the mode a 100 TB nightly catch-up job
+    runs under, with the same checkpoint it will reuse tomorrow.
+    awaitTermination() here is the real self-stop, not a drain+stop
+    from the driver.
+    """
+    staging = _staged_events_json(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        as_double(F.sum(money("value"))).alias("sum_value"),
+    )
+    sink = f"avnow_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("maxFilesPerTrigger", "8")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

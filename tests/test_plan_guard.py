@@ -38,6 +38,8 @@ SIDE_EFFECT = {
     "streaming_union_sources_live",
     "streaming_foreachbatch_topk_live",
     "streaming_restart_resume_live",
+    "streaming_availablenow_live",
+    "sql_ddl_ctas_insert_roundtrip",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
     "kinesis_sim_roundtrip",
