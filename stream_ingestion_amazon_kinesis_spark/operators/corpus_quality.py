@@ -248,3 +248,76 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "rag_chunk_dedup_rate",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, source,
+               md5(substr(text, CAST(g * 100 + 1 AS INT), 100)) AS chunk_md5
+        FROM documents,
+             UNNEST(generate_series(0, (length(text) - 1) // 100)) AS u(g)),
+    freq AS (
+        SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY 1),
+    per_source AS (
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE f.n > 1) AS BIGINT) AS n_dup_chunks
+        FROM chunks c JOIN freq f USING (chunk_md5)
+        GROUP BY 1)
+    SELECT source, n_chunks, n_dup_chunks,
+           (1000000 * n_dup_chunks) // n_chunks AS dup_ppm
+    FROM per_source
+    ORDER BY source
+    """,
+    description="G17 RAG-chunk dedup rate: documents split into the same "
+    "100-char chunks the UDTF query emits, content-hashed; per source, "
+    "the share of chunks whose hash appears more than once corpus-wide "
+    "— the index-bloat metric a retrieval pipeline tracks before "
+    "embedding",
+)
+def rag_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chunk share per source at the RAG chunk grain.
+
+    Chunking is pure projection fan-out (posexplode of a substring
+    sequence — no shuffle); dedup state is the |distinct chunks| hash
+    relation, joined back by hash. At 100 TB the freq relation IS the
+    dedup index a retrieval store maintains; everything here map-side
+    combines before the hash shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks_col = F.floor((F.length("text") - 1) / 100).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks_col)).alias("g"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(
+                F.expr("substr(text, CAST(g * 100 + 1 AS INT), 100)"), "UTF-8"
+            )
+        ).alias("chunk_md5"),
+    )
+    freq = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n"))
+    per_source = (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_chunks",
+        "n_dup_chunks",
+        F.expr("(1000000 * n_dup_chunks) div n_chunks").alias("dup_ppm"),
+    ).orderBy("source")

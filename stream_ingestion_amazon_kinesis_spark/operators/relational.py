@@ -1689,3 +1689,49 @@ def sql_ddl_ctas_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "relational_division_all_priorities",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    cover AS (
+        SELECT o_custkey,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_covered
+        FROM orders GROUP BY 1)
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_full_coverage_customers
+    FROM cover v
+    JOIN customer c ON c.c_custkey = v.o_custkey
+    WHERE v.n_covered = (SELECT COUNT(*) FROM pr)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    description="G5 relational division (Codd's ÷): customers whose "
+    "orders cover EVERY priority class, implemented as "
+    "count-distinct-equals-universe (one aggregate + scalar compare), "
+    "rolled up per nation — no double-negation NOT EXISTS nesting",
+)
+def relational_division_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division via covered-count == |universe|.
+
+    The textbook formulation is doubly-nested NOT EXISTS (for-all as
+    not-exists-a-missing-one); the scalable plan is a distinct-count
+    per candidate compared to the universe cardinality — one shuffle
+    on the candidate key, one broadcast scalar, then the nation rollup
+    against the broadcast customer dim. Equivalent results, linear
+    cost.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    n_universe = orders.select("o_orderpriority").distinct().count()
+    cover = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_covered")
+    )
+    full = cover.filter(F.col("n_covered") == n_universe)
+    return (
+        full.join(customer, full.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_full_coverage_customers"))
+        .orderBy("c_nationkey")
+    )
