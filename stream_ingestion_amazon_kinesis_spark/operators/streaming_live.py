@@ -1268,3 +1268,71 @@ def streaming_availablenow_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "streaming_custom_session_timeout_live",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid),
+    flagged AS (
+        SELECT a.*,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid,
+               (SELECT epoch_ms(MAX(ts)) - 600000 FROM events) AS wm_ms
+        FROM agg a)
+    SELECT user_id, session_start, session_end, n_events
+    FROM flagged
+    WHERE sid < max_sid
+       OR epoch_ms(session_end) + 1800000 < wm_ms
+    """,
+    description="G14 custom stateful sessionizer with EVENT-TIME TIMERS "
+    "executed live (applyInPandasWithState + EventTimeTimeout): sessions "
+    "closed by a later event emit immediately; the open session flushes "
+    "when the watermark passes end+30min (hasTimedOut path) — oracle is "
+    "gap-islands sessionization plus the engine's exact ms-floor "
+    "watermark emission rule",
+)
+def streaming_custom_session_timeout_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The operator `session_window` can't express: custom per-session
+    state with explicit timer control.
+
+    Everything arrives in one micro-batch (watermark still 0), so the
+    update path emits each user's earlier gap-split sessions and parks
+    the last one with a timer at end+30min (ms floor, matching Spark's
+    internal watermark truncation); the trailing no-data batch advances
+    the watermark to max(ts)-10min and fires the timers whose deadline
+    it passed strictly. State is (start, end, n) per user — O(keys),
+    never O(events).
+    """
+    from ..streaming.stateful import custom_sessionize
+
+    staging = _staged_events_json(spark, sf_dir, micros=True)
+    stream = read_event_stream(spark, staging)
+    sessions = custom_sessionize(stream.select("user_id", "ts"))
+    sink = f"csess_{uuid.uuid4().hex[:12]}"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)

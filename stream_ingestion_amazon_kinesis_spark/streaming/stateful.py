@@ -72,3 +72,109 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_micros", T.LongType()),
+        T.StructField("end_micros", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_GAP_MS = 30 * 60 * 1000
+
+
+def _ts_to_micros(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def _micros_to_ts(us: int) -> pd.Timestamp:
+    return pd.Timestamp(us, unit="us")
+
+
+def _update_session(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Custom sessionizer with an event-time timer.
+
+    New events merge into the open session or split it on a > 30 min
+    gap; every session closed BY A LATER EVENT is emitted immediately,
+    and the still-open last session is parked in state with an
+    event-time timeout at end + 30 min — when the watermark passes it,
+    the timer fires (hasTimedOut) and the session flushes with no new
+    data. Gap arithmetic is integer microseconds; the timer is set in
+    the engine's millisecond domain (floor), mirroring Spark's
+    watermark truncation.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [_micros_to_ts(start_us)],
+                "session_end": [_micros_to_ts(end_us)],
+                "n_events": [n],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    ts_us = _ts_to_micros(rows["ts"]).sort_values().to_numpy()
+    sessions: list[tuple[int, int, int]] = []
+    if state.exists:
+        start_us, end_us, n = state.get
+        cur = [start_us, end_us, int(n)]
+    else:
+        cur = [int(ts_us[0]), int(ts_us[0]), 0]
+        # n=0: the first event below extends cur
+    for t in ts_us:
+        t = int(t)
+        if cur[2] > 0 and t - cur[1] > _GAP_US:
+            sessions.append(tuple(cur))
+            cur = [t, t, 0]
+        cur[1] = max(cur[1], t)
+        cur[2] += 1
+    closed = pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [_micros_to_ts(s[0]) for s in sessions],
+            "session_end": [_micros_to_ts(s[1]) for s in sessions],
+            "n_events": [s[2] for s in sessions],
+        }
+    )
+    state.update((cur[0], cur[1], cur[2]))
+    state.setTimeoutTimestamp(cur[1] // 1000 + _GAP_MS)
+    if len(closed):
+        yield closed
+
+
+def custom_sessionize(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """G14: arbitrary stateful sessionization with event-time timers —
+    the semantics `session_window` can't customize (per-session payload,
+    explicit timer control, incremental emission of closed sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

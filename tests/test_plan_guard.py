@@ -39,6 +39,7 @@ SIDE_EFFECT = {
     "streaming_foreachbatch_topk_live",
     "streaming_restart_resume_live",
     "streaming_availablenow_live",
+    "streaming_custom_session_timeout_live",
     "sql_ddl_ctas_insert_roundtrip",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
