@@ -1044,3 +1044,97 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_tol, F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("staleness_us"),
     )
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s, ts + INTERVAL 15 MINUTE AS e
+        FROM events),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) IS NULL
+                         OR s > MAX(e) OVER (PARTITION BY user_id
+                                             ORDER BY s, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS m_start, MAX(e) AS m_end,
+               CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM islands GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(n_raw) AS BIGINT) AS n_intervals_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(epoch_us(m_end) - epoch_us(m_start)) AS BIGINT)
+               AS covered_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="G8 interval merge (union of overlapping intervals): each "
+    "event opens a 15-minute activity interval; per user, overlapping "
+    "intervals merge via the running-max-end island trick and the query "
+    "reports merged-interval count + exact covered time — the coverage/"
+    "uptime calculation, one window pass, no self-join",
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user in one sort.
+
+    The classic O(n log n) sweep: order intervals by start, a new
+    island begins exactly when this start exceeds the max end seen so
+    far (frame ROWS ... 1 PRECEDING keeps the test against *prior*
+    intervals only, so equal-boundary touching intervals merge).
+    Everything is one user-keyed window sort + two bounded aggregates;
+    covered time is exact integer microseconds.
+    """
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count("*").alias("n_raw"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n_raw").cast("bigint").alias("n_intervals_raw"),
+            F.count("*").alias("n_merged"),
+            F.sum(
+                F.unix_micros("m_end") - F.unix_micros("m_start")
+            )
+            .cast("bigint")
+            .alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
