@@ -22,6 +22,13 @@ REPRESENTATIVES = [
     "hierarchy_share_of_parent",
     "tpcds_window_channel_crossover",
     "timeseries_comovement_pairs",
+    # round-3 continuation families: island-merge windows over tied
+    # timestamps, mean-centered integer autocorrelation, decimal(38,0)
+    # power-iteration ranking, min_by/max_by struct-ordered OHLC
+    "interval_merge_coverage",
+    "autocorr_hourly_counts",
+    "pca_power_iteration_topdims",
+    "ohlc_hourly_bars",
 ]
 
 
