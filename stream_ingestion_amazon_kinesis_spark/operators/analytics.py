@@ -1201,3 +1201,106 @@ def power_user_curve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("month", "active_days")
     )
+
+
+@register(
+    "cumulative_unique_users_hourly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('hour', ts)) AS hour
+        FROM events GROUP BY 1),
+    per_day AS (
+        SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY 1)
+    SELECT hour, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_unique_users
+    FROM per_day
+    ORDER BY hour
+    """,
+    description="G8 cumulative-unique curve without running COUNT(DISTINCT): "
+    "each user counts once at their first-seen hour, so the running total "
+    "of first-seen counts IS the exact cumulative distinct-user curve — "
+    "one aggregate + one tiny ordered window",
+)
+def cumulative_unique_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users per hour, the first-seen trick.
+
+    A naive running COUNT(DISTINCT) re-deduplicates an ever-growing
+    prefix per day (quadratic state); attributing each user to their
+    min-day turns it into one |users| aggregate plus a |days| window.
+    This identity is exact, not approximate — the go-to rewrite at
+    100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("hour")
+    )
+    per_day = first_seen.groupBy("hour").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "hour",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_unique_users"),
+    ).orderBy("hour")
+
+
+@register(
+    "pareto_cutpoint_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+               SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(cents) OVER () AS total_cents,
+               COUNT(*) OVER () AS n_cust
+        FROM rev)
+    SELECT CAST(MIN(rn) AS BIGINT) AS k_customers,
+           CAST(ANY_VALUE(n_cust) AS BIGINT) AS n_customers,
+           (1000000 * CAST(MIN(rn) AS BIGINT)) // ANY_VALUE(n_cust)
+               AS k_share_ppm,
+           CAST(ANY_VALUE(total_cents) AS BIGINT) AS total_cents
+    FROM ranked
+    WHERE 5 * cum_cents >= 4 * total_cents
+    """,
+    description="G8/G9 Pareto cutpoint: the minimal number of top "
+    "customers covering 80% of revenue — ranked exact-cents cumulative "
+    "sum against the 5*cum >= 4*total integer inequality (no float "
+    "threshold), reported with the customer-share in ppm",
+)
+def pareto_cutpoint_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is revenue, answered as a single exact row.
+
+    The per-customer revenue relation is |customers|-sized; the global
+    ordered window is the only single-partition step (already tiny).
+    The 80% threshold is the cross-multiplied integer inequality, so
+    the cutpoint is identical on every engine and partitioning.
+    """
+    from ..functions.numeric import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    wr = Window.orderBy(F.desc("cents"), "o_custkey")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        F.row_number().over(wr).alias("rn"),
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("total_cents"),
+        F.count("*").over(wall).alias("n_cust"),
+    )
+    hit = ranked.filter(5 * F.col("cum_cents") >= 4 * F.col("total_cents"))
+    return hit.agg(
+        F.min("rn").cast("bigint").alias("k_customers"),
+        F.first("n_cust").cast("bigint").alias("n_customers"),
+        F.expr("(1000000 * min(rn)) div first(n_cust)").alias("k_share_ppm"),
+        F.first("total_cents").cast("bigint").alias("total_cents"),
+    )
