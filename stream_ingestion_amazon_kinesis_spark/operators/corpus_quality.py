@@ -321,3 +321,81 @@ def rag_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_chunks",
         F.expr("(1000000 * n_dup_chunks) div n_chunks").alias("dup_ppm"),
     ).orderBy("source")
+
+
+@register(
+    "bigram_surprise_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2),
+    bfreq AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bf
+        FROM bg GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bf) AS BIGINT) AS sum_bf,
+           (1000 * CAST(SUM(bf) AS BIGINT)) // COUNT(*) AS mean_bf_milli,
+           CAST(COUNT(*) FILTER (WHERE bf = 1) AS BIGINT) AS n_unique_bigrams,
+           (1000000 * CAST(COUNT(*) FILTER (WHERE bf = 1) AS BIGINT))
+               // COUNT(*) AS unique_ppm
+    FROM bg JOIN bfreq USING (bigram)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="G17 bigram-surprise scoring: per-doc mean corpus "
+    "frequency of its adjacent token PAIRS plus the share of "
+    "corpus-unique bigrams — the sequence-level fluency proxy "
+    "(token-rarity's unigram signal misses scrambled word salad whose "
+    "unigrams are all common)",
+)
+def bigram_surprise_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level novelty against the corpus bigram table.
+
+    Token positions pair via a transform over the split array (1->n-1
+    fan-out inside the task, no shuffle); the bigram-frequency
+    dictionary is |bigram vocab|-sized and joined back by bigram. A
+    doc whose every unigram is common but whose bigrams are mostly
+    corpus-unique is scrambled/generated text — the exact case unigram
+    rarity cannot flag. Integers end to end.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens("text")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(split(trim(text), '\\\\s+'), 1, "
+                "size(split(trim(text), '\\\\s+')) - 1), "
+                "(x, i) -> concat(x, ' ', element_at(split(trim(text), '\\\\s+'), i + 2)))"
+            )
+        ).alias("bigram"),
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("bf"))
+    joined = bg.join(bfreq, "bigram")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("bf").alias("sum_bf"),
+            F.sum(F.when(F.col("bf") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bf",
+            F.expr("(1000 * sum_bf) div n_bigrams").alias("mean_bf_milli"),
+            "n_unique_bigrams",
+            F.expr("(1000000 * n_unique_bigrams) div n_bigrams").alias(
+                "unique_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
