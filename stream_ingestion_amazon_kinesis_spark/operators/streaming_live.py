@@ -1336,3 +1336,123 @@ def streaming_custom_session_timeout_live(
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+@register(
+    "streaming_scd2_pointintime_live",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT user_id, day,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM daily),
+    tiers AS (
+        SELECT user_id, day, CAST(LEAST(cum_cents // 50000, 10) AS BIGINT) AS tier
+        FROM cum),
+    changes AS (
+        SELECT user_id, day AS valid_from, tier,
+               LAG(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+        FROM tiers),
+    versions AS (
+        SELECT user_id, valid_from, tier,
+               COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                               ORDER BY valid_from),
+                        TIMESTAMP '9999-01-01') AS valid_to
+        FROM changes
+        WHERE prev_tier IS NULL OR tier <> prev_tier)
+    SELECT v.tier, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events e JOIN versions v
+      ON e.user_id = v.user_id
+     AND e.ts >= v.valid_from AND e.ts < v.valid_to
+    GROUP BY 1, 2
+    ORDER BY tier, event_type
+    """,
+    description="G4+G14 stream-static SCD2 point-in-time join executed "
+    "live: an SCD2 spend-tier dimension (compressed to change rows with "
+    "[valid_from, valid_to) intervals) enriches the event STREAM by "
+    "user + event-time validity interval; complete-mode rollup per "
+    "(tier, event_type) equals the batch point-in-time join",
+)
+def streaming_scd2_pointintime_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of dimension enrichment inside the streaming engine.
+
+    The dim is the batch-derived SCD2 tier history (cumulative exact
+    cents bucketed to tiers, runs compressed to change rows, validity
+    closed by the next version's start). The stream joins it with an
+    interval predicate — a stream-STATIC join, so no watermark is
+    needed and the static side is simply re-probed per micro-batch;
+    every event lands in exactly one validity interval by
+    construction. This is how a 100 TB pipeline does point-in-time
+    feature lookup without leaking future dimension state into past
+    events.
+    """
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    cents = (money("value") * 100).cast("bigint")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    wcum = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tiers = (
+        daily.withColumn("cum_cents", F.sum("cents").over(wcum))
+        .select(
+            "user_id",
+            "day",
+            F.least(F.expr("cum_cents div 50000"), F.lit(10)).alias("tier"),
+        )
+    )
+    wlag = W.partitionBy("user_id").orderBy("day")
+    changes = tiers.withColumn("prev_tier", F.lag("tier").over(wlag)).filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    versions = (
+        changes.select(
+            "user_id", F.col("day").alias("valid_from"), "tier"
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(
+                    W.partitionBy("user_id").orderBy("valid_from")
+                ),
+                F.lit("9999-01-01").cast("timestamp"),
+            ),
+        )
+        .localCheckpoint()  # static dim: materialize once, re-probed per batch
+    )
+    staging = _staged_events_json(spark, sf_dir, micros=True)
+    stream = read_event_stream(spark, staging)
+    joined = stream.join(
+        versions,
+        (stream.user_id == versions.user_id)
+        & (stream.ts >= versions.valid_from)
+        & (stream.ts < versions.valid_to),
+    )
+    agg = (
+        joined.groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((money("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
+    sink = f"scd2pit_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink).orderBy("tier", "event_type")
