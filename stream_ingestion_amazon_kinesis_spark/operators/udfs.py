@@ -340,3 +340,50 @@ def udtf_table_arg_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang
         """
     )
+
+
+@register(
+    "pandas_api_on_spark_priority_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="pandas API on Spark (pyspark.pandas): the dataframe-"
+    "idiom surface (groupby/agg/sort_index) compiling to the same "
+    "Catalyst plan — exact integer cents so the pandas-style path is "
+    "held to the same bit-exact oracle as the native API",
+)
+def pandas_api_on_spark_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-dialect API, verified against the SQL oracle.
+
+    `DataFrame.pandas_api()` wraps the distributed frame in the pandas
+    API on Spark; groupby/agg lower to the identical HashAggregate a
+    native groupBy produces (no data leaves the JVM), and `.to_spark()`
+    returns to the native API for the contract-stable result. Money is
+    converted to exact integer cents BEFORE entering the pandas-style
+    aggregation so the result is partition-order-free.
+    """
+    from ..functions.numeric import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    with_cents = orders.select(
+        "o_orderpriority", (money("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    psdf = with_cents.pandas_api()
+    agg = psdf.groupby("o_orderpriority").agg(
+        n=("cents", "count"), total_cents=("cents", "sum"), max_cents=("cents", "max")
+    )
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    ).orderBy("o_orderpriority")
