@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -324,4 +324,125 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         media.select("doc_id", "payload")
         .mapInPandas(_frames, schema=_FRAME_SCHEMA)
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+_PHASH_BITS = 60
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 15
+_PHASH_MAX_HAMMING = 8
+
+
+@register(
+    "multimodal_phash_hamming_neardup",
+    oracle=f"""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS cs
+        FROM documents),
+    stats AS (
+        SELECT doc_id, cs, CAST(len(cs) AS BIGINT) AS n,
+               CAST(list_sum(cs) AS BIGINT) AS total
+        FROM codes WHERE len(cs) >= 2),
+    bits AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cs[CAST(1 + (k * (n - 1)) // {_PHASH_BITS - 1}
+                                        AS INT)] * n > total
+                        THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS phash
+        FROM stats, UNNEST(generate_series(0, {_PHASH_BITS - 1})) AS u(k)
+        GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, j,
+               (phash >> CAST({_PHASH_BAND_BITS} * j AS INT)) & 32767 AS band
+        FROM bits, UNNEST(generate_series(0, {_PHASH_BANDS - 1})) AS v(j)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bits ha ON ha.doc_id = c.doc_a
+    JOIN bits hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_MAX_HAMMING}
+    """,
+    description="G17 perceptual-hash media near-dup: a 60-bit "
+    "brightness-profile pHash per payload (byte at 60 evenly spaced "
+    "positions vs global mean, integer cross-multiplied), candidates "
+    "from 4x15-bit Hamming bands (multi-index blocking), exact "
+    "bit_count(xor) <= 8 verification — the image-dedup shape run "
+    "entirely in JVM expressions",
+)
+def multimodal_phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash + banded Hamming join over the opaque media payloads.
+
+    The hash is a pure projection (no shuffle): sample 60 evenly-spaced
+    bytes, compare each against the payload mean via the integer
+    cross-multiplication byte*n > total (no division), pack into a
+    60-bit long. Candidate generation is the multi-index trick
+    (Norouzi et al., multi-index hashing): with 4 disjoint 15-bit
+    bands, any pair within Hamming distance 3 MUST agree exactly on
+    some band (pigeonhole), so that range is lossless; for distances
+    4-8 the band screen is the standard high-recall (not lossless)
+    index. The oracle implements the identical screen, so both engines
+    see exactly the same candidate set and the comparison stays exact.
+    Verification joins the |docs|-sized hash relation
+    twice by key — nothing quadratic materializes beyond same-band
+    collisions.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 2
+    )
+    codes = docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))").alias(
+            "cs"
+        ),
+    )
+    stats = codes.select(
+        "doc_id",
+        "cs",
+        F.size("cs").cast("bigint").alias("n"),
+        F.expr("aggregate(cs, 0L, (acc, x) -> acc + x)").alias("total"),
+    )
+    k_max = _PHASH_BITS - 1
+    phash = F.expr(
+        f"""aggregate(sequence(0, {k_max}), 0L, (acc, k) ->
+            acc + IF(element_at(cs, CAST(1 + (k * (n - 1)) div {k_max} AS INT))
+                     * n > total, shiftleft(1L, k), 0L))"""
+    )
+    bits = stats.select("doc_id", phash.alias("phash"))
+    bands = bits.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.expr(f"shiftright(phash, CAST({_PHASH_BAND_BITS} * j AS INT)) & 32767").alias(
+            "band"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = bits.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+    hb = bits.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"))
+    ham = F.expr("CAST(bit_count(pa ^ pb) AS BIGINT)")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
