@@ -399,3 +399,86 @@ def bigram_surprise_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "length_dist_drift_by_source",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               LEAST(len(string_split_regex(trim(text), '\\s+')) // 50, 9)
+                   AS bucket
+        FROM documents),
+    per_source AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2),
+    src_tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM per_source GROUP BY 1),
+    corpus AS (
+        SELECT bucket, CAST(SUM(c) AS BIGINT) AS a FROM per_source GROUP BY 1),
+    n_all AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per_source),
+    grid AS (
+        SELECT st.source, co.bucket, st.ns, co.a, n_all.n,
+               COALESCE(ps.c, 0) AS c
+        FROM src_tot st CROSS JOIN corpus co CROSS JOIN n_all
+        LEFT JOIN per_source ps
+          ON ps.source = st.source AND ps.bucket = co.bucket)
+    SELECT source, ANY_VALUE(ns) AS n_docs,
+           CAST(SUM(abs(c * n - a * ns)) AS BIGINT) AS tv_num,
+           (1000000 * CAST(SUM(abs(c * n - a * ns)) AS BIGINT))
+               // (2 * ANY_VALUE(ns) * ANY_VALUE(n)) AS tv_ppm
+    FROM grid
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="G17 distribution drift screen: total-variation distance "
+    "between each source's token-length-bucket distribution and the "
+    "corpus distribution, in exact cross-multiplied integers (the "
+    "log-free alternative to KL that survives exact cross-engine "
+    "comparison) — high TV flags sources whose length profile diverges "
+    "from the mix",
+)
+def length_dist_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TV(source_dist, corpus_dist) per source, integers end to end.
+
+    TV = 1/2 * sum_b |c_b/ns - a_b/n| is scaled by ns*n so every term
+    is the integer |c_b*n - a_b*ns|; the ppm division at the end is
+    truncating on non-negative operands. The bucket grid is
+    |sources| x 10 — drift math runs on the tiny histogram relation,
+    never on documents (one pass builds the histogram; the grid fills
+    missing buckets with zeros so absent mass still counts).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.least(
+        F.floor(F.size(tokens("text")) / 50).cast("bigint"), F.lit(9)
+    )
+    per_source = docs.select("source", bucket.alias("bucket")).groupBy(
+        "source", "bucket"
+    ).agg(F.count("*").alias("c"))
+    src_tot = per_source.groupBy("source").agg(F.sum("c").alias("ns"))
+    corpus = per_source.groupBy("bucket").agg(F.sum("c").alias("a"))
+    n_all = per_source.agg(F.sum("c").alias("n"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(n_all))
+        .join(per_source, ["source", "bucket"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.first("ns").alias("n_docs"),
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("a") * F.col("ns")))
+            .cast("bigint")
+            .alias("tv_num"),
+        )
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(n_all.withColumnRenamed("n", "n2")))
+        .select(
+            "source",
+            "n_docs",
+            "tv_num",
+            F.expr("(1000000 * tv_num) div (2 * ns * n2)").alias("tv_ppm"),
+        )
+        .orderBy("source")
+    )

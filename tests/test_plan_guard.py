@@ -89,6 +89,7 @@ BNLJ_OK = {
     "training_shard_assignment",  # bounded shard stats relation
     "autocorr_hourly_counts",  # hour spine x broadcast 5-type relation
     "seasonal_naive_backtest",  # hour spine x broadcast 5-type relation
+    "length_dist_drift_by_source",  # sources x 10-bucket broadcast grid
 }
 
 
