@@ -1304,3 +1304,68 @@ def pareto_cutpoint_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * min(rn)) div first(n_cust)").alias("k_share_ppm"),
         F.first("total_cents").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "leave_one_out_peer_outliers",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    g AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM o GROUP BY 1)
+    SELECT o.o_orderpriority,
+           ANY_VALUE(g.n) AS n_orders,
+           CAST(COUNT(*) FILTER (
+               WHERE o.cents * (g.n - 1) > 2 * (g.s - o.cents)) AS BIGINT)
+               AS n_above_2x_peer_avg,
+           (1000000 * CAST(COUNT(*) FILTER (
+               WHERE o.cents * (g.n - 1) > 2 * (g.s - o.cents)) AS BIGINT))
+               // ANY_VALUE(g.n) AS outlier_ppm
+    FROM o JOIN g USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    description="G5 leave-one-out peer comparison: orders priced at more "
+    "than 2x the average of their OWN group excluding themselves — the "
+    "self-exclusion that a plain group average gets wrong for small "
+    "groups, as the integer cross-inequality cents*(n-1) > 2*(S-cents)",
+)
+def leave_one_out_peer_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO peer-average outlier counts, division-free.
+
+    x > 2 * (S - x)/(n - 1) cross-multiplies to x*(n-1) > 2*(S-x): no
+    rational, no window EXCLUDE CURRENT ROW (which Spark lacks) — the
+    per-group (n, S) relation is 5 rows, broadcast back onto the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.numeric import money
+
+    o = orders.select(
+        "o_orderpriority",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    flagged = o.join(F.broadcast(g), "o_orderpriority").withColumn(
+        "is_out",
+        F.col("cents") * (F.col("n") - 1) > 2 * (F.col("s") - F.col("cents")),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.first("n").alias("n_orders"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_2x_peer_avg"),
+        )
+        .withColumn(
+            "outlier_ppm", F.expr("(1000000 * n_above_2x_peer_avg) div n_orders")
+        )
+        .orderBy("o_orderpriority")
+    )
