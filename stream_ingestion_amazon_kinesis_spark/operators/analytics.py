@@ -1369,3 +1369,144 @@ def leave_one_out_peer_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "price_depth_ladder",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   // 3000000 AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+    SELECT lvl * 3000000 AS level_cents, n AS n_at_level,
+           CAST(SUM(n) OVER (ORDER BY lvl DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_at_or_above,
+           CAST(SUM(cents) OVER (ORDER BY lvl DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cents_at_or_above
+    FROM b
+    ORDER BY level_cents
+    """,
+    description="G8 depth-ladder readout: per $30k price level, how many "
+    "orders (and how much exact-cents value) sit at or above it — the "
+    "order-book depth chart built as one histogram aggregate plus a "
+    "REVERSE cumulative window, never a per-level rescan",
+)
+def price_depth_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative >=-level depth from a single histogram pass.
+
+    The naive form runs one COUNT(WHERE price >= L) per level (L scans);
+    bucketing once and reverse-cumsumming the |levels|-sized histogram
+    gives every level simultaneously. The window is descending-ordered
+    ROWS-cumulative over ~20 rows.
+    """
+    from ..functions.numeric import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("bigint")
+    b = orders.groupBy(F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) div 3000000").alias("lvl")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy(F.desc("lvl")).rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        (F.col("lvl") * 3000000).alias("level_cents"),
+        F.col("n").alias("n_at_level"),
+        F.sum("n").over(w).cast("bigint").alias("n_at_or_above"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_at_or_above"),
+    ).orderBy("level_cents")
+
+
+@register(
+    "linear_attribution_clicks",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'),
+    pc AS (
+        SELECT p.pid, p.cents, c.cid, c.cts,
+               CAST(COUNT(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n_clicks,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY c.cts DESC, c.cid DESC) AS rn
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 2 HOUR),
+    credited AS (
+        SELECT cid, cts,
+               (cents * 1000000) // n_clicks
+                   + CASE WHEN rn = 1
+                          THEN (cents * 1000000) % n_clicks ELSE 0 END
+                   AS credit_micro_cents
+        FROM pc)
+    SELECT CAST(hour(cts) AS BIGINT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+           CAST(SUM(credit_micro_cents) AS BIGINT) AS credit_micro_cents
+    FROM credited
+    GROUP BY 1
+    ORDER BY click_hour
+    """,
+    description="G4/G8 linear marketing attribution: each purchase's "
+    "exact-cents value split equally (integer micro-cents, remainder to "
+    "the most-recent click so total credit is conserved to the unit) "
+    "across the user's clicks in the prior 2 hours, rolled up by click "
+    "hour-of-day",
+)
+def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-split attribution with exact credit conservation.
+
+    The purchase-click pairing is a user-keyed join with a time-band
+    predicate (user equi-key bounds the fanout; at scale the band
+    bucketization from `value_band_self_join_suppliers` applies the
+    same way on time). Credit math is integer micro-cents with the
+    division remainder assigned to the rank-1 (most recent) click, so
+    SUM(credit) == SUM(purchase value) exactly — auditable end to end.
+    """
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    pc = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOUR")),
+    )
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy(F.desc("cts"), F.desc("cid"))
+    credited = (
+        pc.withColumn("n_clicks", F.count("*").over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "cid",
+            "cts",
+            (
+                F.expr("(cents * 1000000) div n_clicks")
+                + F.when(
+                    F.col("rn") == 1, F.expr("(cents * 1000000) % n_clicks")
+                ).otherwise(0)
+            ).alias("credit_micro_cents"),
+        )
+    )
+    return (
+        credited.groupBy(F.hour("cts").cast("bigint").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_credited_clicks"),
+            F.sum("credit_micro_cents").cast("bigint").alias("credit_micro_cents"),
+        )
+        .orderBy("click_hour")
+    )
