@@ -1510,3 +1510,70 @@ def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+@register(
+    "duplicate_charge_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    lagged AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, cents, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE gap_us <= 300000000) AS BIGINT)
+               AS n_suspect_dups,
+           (1000000 * CAST(COUNT(*) FILTER (WHERE gap_us <= 300000000)
+                           AS BIGINT)) // COUNT(*) AS suspect_ppm
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="G8 duplicate-charge / double-fire audit: events repeating "
+    "the SAME user + amount + type within 5 minutes, found with one "
+    "window lag over the (user, cents, type) partition — the "
+    "idempotency-failure screen an at-least-once pipeline (the "
+    "reference's TRIM_HORIZON replay, consumer.py:76) makes necessary",
+)
+def duplicate_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-key repeat events within a 5-minute idempotency window.
+
+    Partitioning the window by (user, amount, type) makes 'suspiciously
+    identical' a single LAG comparison instead of a self-join; gap
+    arithmetic is integer microseconds. The partition key is
+    high-cardinality (user x cents), so the window sort distributes
+    evenly — no skew hotspot at scale.
+    """
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "cents", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    lagged = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    )
+    sus = F.sum(
+        F.when(F.col("gap_us") <= 300_000_000, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        lagged.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), sus.alias("n_suspect_dups"))
+        .withColumn(
+            "suspect_ppm", F.expr("(1000000 * n_suspect_dups) div n_events")
+        )
+        .orderBy("event_type")
+    )
