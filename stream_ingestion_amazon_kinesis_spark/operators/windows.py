@@ -677,3 +677,82 @@ def revenue_concentration_topdecile(spark: SparkSession, sf_dir: str) -> DataFra
         "total_cents",
         F.expr("(1000000 * top_cents) div total_cents").alias("top_share_ppm"),
     ).orderBy("n_name")
+
+
+@register(
+    "monotone_run_lengths",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    flagged AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CASE WHEN LAG(cents) OVER w IS NULL
+                         OR cents <= LAG(cents) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+        SELECT o_custkey,
+               SUM(brk) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged),
+    run_sizes AS (
+        SELECT o_custkey, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY 1, 2),
+    best AS (
+        SELECT o_custkey, MAX(run_len) AS max_streak
+        FROM run_sizes GROUP BY 1)
+    SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM best
+    GROUP BY max_streak
+    ORDER BY max_streak
+    """,
+    description="G8 monotone-streak islands: per customer, the longest "
+    "run of strictly increasing order totals over their order history "
+    "(a break starts whenever cents <= previous), rolled into a "
+    "streak-length histogram — the islands variant where the boundary "
+    "condition is a comparison, not equality or a time gap",
+)
+def monotone_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing spend streak per customer.
+
+    One keyed window computes break flags (LAG comparison on exact
+    cents with the (date, orderkey) total order), a cumulative sum
+    converts flags to run ids — both windows share one partition sort —
+    then two tiny aggregates produce the histogram. |customers| rows
+    after the first aggregate; nothing rescans orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "brk",
+        F.when(
+            F.lag("cents").over(w).isNull()
+            | (F.col("cents") <= F.lag("cents").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = flagged.withColumn("run_id", F.sum("brk").over(wc))
+    run_sizes = runs.groupBy("o_custkey", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    best = run_sizes.groupBy("o_custkey").agg(
+        F.max("run_len").alias("max_streak")
+    )
+    return (
+        best.groupBy("max_streak")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("max_streak")
+    )
