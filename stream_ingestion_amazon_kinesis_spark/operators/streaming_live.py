@@ -1456,3 +1456,83 @@ def streaming_scd2_pointintime_live(spark: SparkSession, sf_dir: str) -> DataFra
     query.processAllAvailable()
     query.stop()
     return spark.table(sink).orderBy("tier", "event_type")
+
+
+@register(
+    "streaming_observe_quality_live",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_keys,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    """,
+    description="S10 observability as an oracle row: Dataset.observe "
+    "quality counters (row count, null-key count, exact-cents sum) ride "
+    "the live streaming job as accumulators, are collected per "
+    "micro-batch from StreamingQueryProgress.observedMetrics, summed "
+    "across batches, and must equal the batch SQL totals — per-record "
+    "logging (consumer.py:119-121) replaced by constant-overhead "
+    "counters that are provably complete",
+)
+def streaming_observe_quality_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics == ground truth, end to end through the engine.
+
+    The observe() aggregates are accumulator-backed — no second pass,
+    no extra shuffle — and each micro-batch reports its slice in
+    progress.observedMetrics; summing slices across batches must
+    reconstruct the exact batch totals (counts and exact-decimal cents
+    are both self-additive). maxFilesPerTrigger=1 forces MULTIPLE
+    micro-batches so the cross-batch additivity is actually exercised.
+    """
+    import json as _json
+
+    import os
+
+    staging = _staged_events_json(spark, sf_dir)
+    # Multi-file restage (6 splits) so maxFilesPerTrigger=1 yields real
+    # multi-batch execution; cached per fixture fingerprint like the
+    # primary stage.
+    split_dir = staging.rstrip("/") + "_split6"
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.text(staging).repartition(6).write.mode("overwrite").text(
+            split_dir
+        )
+    stream = spark.readStream.option("maxFilesPerTrigger", "1").schema(
+        read_event_stream(spark, staging).schema
+    ).json(split_dir)
+    observed = stream.observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("n_null_keys"),
+        F.sum((money("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+    sink = f"obsq_{uuid.uuid4().hex[:12]}"
+    query = (
+        observed.writeStream.format("noop")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    totals = {"n_rows": 0, "n_null_keys": 0, "sum_cents": 0}
+    n_batches = 0
+    for progress_json in query.recentProgress:
+        p = (
+            progress_json
+            if isinstance(progress_json, dict)
+            else _json.loads(progress_json.json)
+        )
+        om = (p.get("observedMetrics") or {}).get("quality")
+        if om:
+            n_batches += 1
+            totals["n_rows"] += int(om["n_rows"])
+            totals["n_null_keys"] += int(om["n_null_keys"] or 0)
+            totals["sum_cents"] += int(om["sum_cents"] or 0)
+    query.stop()
+    assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["n_null_keys"], totals["sum_cents"])],
+        "n_rows bigint, n_null_keys bigint, sum_cents bigint",
+    )

@@ -41,6 +41,7 @@ SIDE_EFFECT = {
     "streaming_availablenow_live",
     "streaming_custom_session_timeout_live",
     "streaming_scd2_pointintime_live",
+    "streaming_observe_quality_live",
     "sql_ddl_ctas_insert_roundtrip",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
