@@ -1577,3 +1577,90 @@ def duplicate_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "attribution_model_compare",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'),
+    pc AS (
+        SELECT p.pid, p.cents, c.cid, c.cts,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY c.cts, c.cid) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY c.cts DESC, c.cid DESC) AS rn_last
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 2 HOUR),
+    credited AS (
+        SELECT 'first_touch' AS model, cts, cents FROM pc WHERE rn_first = 1
+        UNION ALL
+        SELECT 'last_touch' AS model, cts, cents FROM pc WHERE rn_last = 1)
+    SELECT model, CAST(hour(cts) AS BIGINT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS credited_cents
+    FROM credited
+    GROUP BY 1, 2
+    ORDER BY model, click_hour
+    """,
+    description="G4/G8 attribution model comparison: the SAME "
+    "purchase-click pairing credited under first-touch vs last-touch "
+    "(both as rank-1 selections over one join result), rolled up by "
+    "click hour — shows how much the model choice moves credit, exact "
+    "cents conserved per model",
+)
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch credit from ONE pairing relation.
+
+    Both models are row_number selections over the same user-keyed
+    time-band join (built once); credit per model sums to total
+    attributed purchase value exactly. The complement of
+    `linear_attribution_clicks` — together the three standard models,
+    all on one join shape.
+    """
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    pc = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOUR")),
+    )
+    w_first = Window.partitionBy("pid").orderBy("cts", "cid")
+    w_last = Window.partitionBy("pid").orderBy(F.desc("cts"), F.desc("cid"))
+    ranked = pc.withColumn("rn_first", F.row_number().over(w_first)).withColumn(
+        "rn_last", F.row_number().over(w_last)
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "cts", "cents"
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "cts", "cents"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", F.hour("cts").cast("bigint").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("credited_cents"),
+        )
+        .orderBy("model", "click_hour")
+    )

@@ -446,3 +446,66 @@ def multimodal_phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+@register(
+    "binaryfile_scan_media",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    description="G1 binaryFile source format: per-document payload files "
+    "staged on disk and ingested via spark.read.format('binaryFile') — "
+    "path/length/content columns; doc_id parsed from the file name, "
+    "length and md5(content) proven byte-identical to the source text",
+)
+def binaryfile_scan_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-lake ingestion path: one opaque file per asset.
+
+    Staging writes each payload EXECUTOR-side (foreachPartition — no
+    driver collect), capped at 200 assets by construction (a format
+    demo, not a bulk export; bulk media lives in the binary COLUMN
+    path, see synthesize_media). binaryFile then lists the directory
+    and yields (path, modificationTime, length, content) with content
+    read lazily per row — at 100 TB this is the entry point that turns
+    an object-store prefix of images into a DataFrame without a
+    custom reader.
+    """
+    import os
+    import tempfile
+
+    from ..sources.catalog import fixture_fingerprint
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_binfiles",
+        f"docs_{fixture_fingerprint(sf_dir)}",
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        media = synthesize_media(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        ).select("doc_id", "payload")
+
+        def write_part(rows):
+            for r in rows:
+                with open(os.path.join(base, f"{r.doc_id:08d}.bin"), "wb") as f:
+                    f.write(bytes(r.payload))
+
+        media.foreachPartition(write_part)
+        open(marker, "w").close()
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(
+        base
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d{8})\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")

@@ -43,6 +43,7 @@ SIDE_EFFECT = {
     "streaming_scd2_pointintime_live",
     "streaming_observe_quality_live",
     "sql_ddl_ctas_insert_roundtrip",
+    "binaryfile_scan_media",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
     "kinesis_sim_roundtrip",
