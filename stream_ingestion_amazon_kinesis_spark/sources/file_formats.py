@@ -343,3 +343,83 @@ def _register_bucketed_query() -> None:
 
 
 _register_bucketed_query()
+
+
+@register(
+    "csv_corrupt_quarantine_scan",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT) END) AS BIGINT) AS good_cents
+    FROM orders
+    """,
+    description="S3/T8 per-record error isolation on the CSV path as an "
+    "oracle row: a staged export corrupts every 10th row's price field, "
+    "the PERMISSIVE reader quarantines them into _corrupt_record "
+    "without failing the scan, and the good/corrupt counts + exact "
+    "good-row cents must equal the corruption rule applied to the "
+    "source table",
+)
+def csv_corrupt_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE + _corrupt_record, the reference's try/except loop
+    (consumer.py:125,177-185) as engine semantics.
+
+    The stage deterministically mangles o_totalprice to a non-numeric
+    token for o_orderkey % 10 == 0 (executor-side export, fingerprint-
+    cached); the typed read then proves: (a) bad rows never kill the
+    scan, (b) they are COUNTABLE and inspectable via _corrupt_record,
+    (c) good rows parse to the exact same cents as the clean source.
+    At 100 TB this is the difference between a nightly load failing at
+    row 80 billion and a quarantine directory to triage.
+    """
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_exports",
+        f"orders_corrupt_csv_{fixture_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        staged = orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.when(
+                    F.col("o_orderkey") % 10 == 0, F.lit("NOT_A_PRICE")
+                ).otherwise(F.col("o_totalprice").cast("string")),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        staged.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    good_cents = F.sum(
+        F.when(
+            F.col("_corrupt_record").isNull(),
+            (money("o_totalprice") * 100).cast("bigint"),
+        )
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        good_cents.cast("bigint").alias("good_cents"),
+    )

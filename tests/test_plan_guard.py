@@ -44,6 +44,7 @@ SIDE_EFFECT = {
     "streaming_observe_quality_live",
     "sql_ddl_ctas_insert_roundtrip",
     "binaryfile_scan_media",
+    "csv_corrupt_quarantine_scan",
     "rest_page_scan_documents",
     "orc_scan_order_priorities",
     "kinesis_sim_roundtrip",
