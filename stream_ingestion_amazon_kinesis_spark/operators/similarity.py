@@ -932,3 +932,155 @@ def pca_power_iteration_topdims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.signum("v").cast("bigint").alias("direction"),
         )
     )
+
+
+RANGE_SIM_T = 0.3
+
+
+@register(
+    "ann_range_search_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim
+    FROM q JOIN c ON q.vec_id <> c.vec_id
+    WHERE ROUND(list_cosine_similarity(q.e, c.e), 6) >= {RANGE_SIM_T}
+    """,
+    description=f"G17 range similarity search: ALL neighbors with cosine "
+    f">= {RANGE_SIM_T} per query (radius query, not top-k) — the recall-"
+    "complete retrieval mode dedup and contamination sweeps need, where "
+    "top-k would silently truncate dense neighborhoods",
+)
+def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every neighbor above a similarity floor.
+
+    Top-k caps output per query; range search returns the whole
+    epsilon-neighborhood — the correct primitive when downstream logic
+    is 'treat ALL near-enough pairs as candidates' (near-dup,
+    contamination), since a dense cluster would blow past any fixed k.
+    Same broadcast-queries x corpus scan as the top-k baseline; the
+    filter replaces the rank window, so this plan has NO shuffle at
+    all after the scan. At scale the IVF cell-probe path supplies the
+    same semantics per cell.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = F.round(
+        cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= RANGE_SIM_T)
+    )
+
+
+KNN_K = 5
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS qid, a.label AS true_label,
+               b.label AS n_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                            b.vec_id) AS rnk
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    votes AS (
+        SELECT qid, true_label, n_label,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sims WHERE rnk <= {KNN_K}
+        GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT qid, true_label, n_label AS pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY c DESC, n_label) AS vr
+              FROM votes)
+        WHERE vr = 1)
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+               AS n_correct,
+           (1000000 * CAST(COUNT(*) FILTER (WHERE pred_label = true_label)
+                           AS BIGINT)) // COUNT(*) AS accuracy_ppm
+    FROM pred
+    GROUP BY true_label
+    ORDER BY true_label
+    """,
+    description="G17 kNN classifier evaluation ON the engine: every "
+    "vector classified by majority label of its 5 nearest neighbors "
+    "(cosine, self excluded; vote ties to the smallest label), "
+    "per-class accuracy in ppm — embedding-space label-coherence audit "
+    "for the training corpus",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN accuracy per label class.
+
+    All-pairs similarity here is the oracle-exact evaluation harness
+    (|corpus|^2 at fixture scale); the production path swaps the pair
+    generator for the IVF cell join and keeps the identical vote/rank
+    algebra. Ranking and voting are deterministic: cosine rounded to 6
+    before the neighbor rank (vec_id tiebreak), votes tie to the
+    smallest label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    sim = F.round(cosine_pre(F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")), 6)
+    w_rank = W.partitionBy("qid").orderBy(F.desc("s"), "nid")
+    sims = (
+        b.join(F.broadcast(a), F.col("qid") != F.col("nid"))
+        .select("qid", "true_label", "n_label", "nid", sim.alias("s"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+    votes = sims.groupBy("qid", "true_label", "n_label").agg(
+        F.count("*").alias("c")
+    )
+    w_vote = W.partitionBy("qid").orderBy(F.desc("c"), "n_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn("accuracy_ppm", F.expr("(1000000 * n_correct) div n"))
+        .orderBy("true_label")
+    )

@@ -62,6 +62,9 @@ BNLJ_OK = {
     "range_join_price_bands",  # non-equi join vs broadcast band dims
     "ann_topk_cosine",  # corpus x broadcast 8-query set (by design O(N*Q))
     "ann_hard_negatives",  # corpus x broadcast 8-query set, label non-equi
+    "ann_range_search_cosine",  # corpus x broadcast 8-query set (radius)
+    "knn_label_accuracy",  # all-pairs eval harness by design; production
+    # path is the IVF cell join (see docstring)
     "ann_ivf_topk",  # corpus x broadcast centroid/probe sets
     "ann_srp_topk",  # candidates x broadcast query embeddings
     "embedding_neardup_ivf",  # corpus x broadcast centroids (assignment)
