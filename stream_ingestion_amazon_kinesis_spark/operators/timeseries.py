@@ -453,3 +453,64 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * mae1_num) div n1").alias("mae1_milli"),
         F.expr("(1000 * mae24_num) div n24").alias("mae24_milli"),
     ).orderBy("event_type")
+
+
+@register(
+    "seasonality_index_monthly",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority, month(o_orderdate) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+    with_mean AS (
+        SELECT o_orderpriority, m, n, cents,
+               (1000 * cents) // n AS mean_milli
+        FROM monthly),
+    overall AS (
+        SELECT o_orderpriority,
+               (1000 * CAST(SUM(cents) AS BIGINT)) // CAST(SUM(n) AS BIGINT)
+                   AS overall_milli
+        FROM monthly GROUP BY 1)
+    SELECT w.o_orderpriority, CAST(w.m AS BIGINT) AS month_of_year,
+           w.n AS n_orders, w.mean_milli,
+           (1000000 * w.mean_milli) // o.overall_milli AS index_ppm
+    FROM with_mean w JOIN overall o USING (o_orderpriority)
+    ORDER BY o_orderpriority, month_of_year
+    """,
+    description="G5/G8 month-of-year seasonality index: each priority's "
+    "per-calendar-month mean order value relative to its overall mean, "
+    "as truncating milli/ppm fixed-point (the classic seasonal index "
+    "table, 1e6 = at-trend)",
+)
+def seasonality_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index per (priority, calendar month), integer-staged.
+
+    Both means are truncating integer divisions and the index divides
+    the two staged integers again — deterministic on both engines (all
+    operands non-negative). The heavy table reduces to a 5x12 grid in
+    the first aggregate; everything after is broadcast-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority", F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("o_totalprice")).alias("cents"),
+    )
+    with_mean = monthly.withColumn("mean_milli", F.expr("(1000 * cents) div n"))
+    overall = monthly.groupBy("o_orderpriority").agg(
+        F.expr("(1000 * sum(cents)) div sum(n)").alias("overall_milli")
+    )
+    return (
+        with_mean.join(F.broadcast(overall), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("m").cast("bigint").alias("month_of_year"),
+            F.col("n").alias("n_orders"),
+            "mean_milli",
+            F.expr("(1000000 * mean_milli) div overall_milli").alias("index_ppm"),
+        )
+        .orderBy("o_orderpriority", "month_of_year")
+    )
