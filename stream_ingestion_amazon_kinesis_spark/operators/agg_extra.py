@@ -442,3 +442,96 @@ def orders_above_group_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "winsorized_mean_order_price",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY cents, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM o),
+    fences AS (
+        SELECT o_orderpriority,
+               MAX(CASE WHEN rn = GREATEST((5 * cnt) // 100, 1)
+                   THEN cents END) AS p05,
+               MAX(CASE WHEN rn = GREATEST((95 * cnt) // 100, 1)
+                   THEN cents END) AS p95
+        FROM ranked GROUP BY 1)
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           f.p05 AS p05_cents, f.p95 AS p95_cents,
+           CAST(SUM(LEAST(GREATEST(o.cents, f.p05), f.p95)) AS BIGINT)
+               AS winsorized_sum_cents,
+           CAST(SUM(LEAST(GREATEST(o.cents, f.p05), f.p95)) AS BIGINT)
+               // COUNT(*) AS winsorized_mean_cents
+    FROM o JOIN fences f USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, f.p05, f.p95
+    ORDER BY o.o_orderpriority
+    """,
+    description="G5 winsorized mean: order prices clamped to the exact "
+    "discrete [p5, p95] fences (row_number selection, orderkey "
+    "tiebreak) before averaging — the robust mean in exact integer "
+    "cents with truncating final division",
+)
+def winsorized_mean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) mean per priority, all-integer.
+
+    Discrete p5/p95 come from the same row_number selection as the
+    median family (no interpolation); clamping + summing are exact
+    integer ops, so the robust mean is bit-stable. One ranked window
+    pass + a broadcast 5-row fence join.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wc = W.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count("*").over(wc)
+    )
+    fences = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(5 * cnt) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(95 * cnt) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "winsorized_sum_cents",
+            F.expr("winsorized_sum_cents div n").alias("winsorized_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -920,3 +920,57 @@ def digit_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "zipf_conformity_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT term, f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk
+        FROM freq)
+    SELECT CAST(rnk AS BIGINT) AS rnk, term, f,
+           CAST(rnk * f AS BIGINT) AS rank_freq_product
+    FROM ranked
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+    description="G17 Zipf conformity readout: for the top-20 corpus "
+    "terms, rank x frequency — under Zipf's law the product is roughly "
+    "constant, and deviations (without ever taking a log) expose "
+    "template-skewed or synthetic vocabularies; exact integers so the "
+    "readout is bit-stable",
+)
+def zipf_conformity_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank*freq for the head of the term distribution.
+
+    The log-log Zipf slope needs floats; the head-constancy form
+    rank*f ~ C needs none — it is the k=1 slope check evaluated in
+    integers. One token aggregate (|vocab| rows), one global top-20
+    rank over the tiny frequency relation.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.desc("f"), "term")
+    return (
+        freq.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "term",
+            "f",
+            (F.col("rnk") * F.col("f")).cast("bigint").alias(
+                "rank_freq_product"
+            ),
+        )
+        .orderBy("rnk")
+    )
