@@ -387,3 +387,91 @@ def pandas_api_on_spark_priority_stats(spark: SparkSession, sf_dir: str) -> Data
         F.col("total_cents").cast("bigint").alias("total_cents"),
         F.col("max_cents").cast("bigint").alias("max_cents"),
     ).orderBy("o_orderpriority")
+
+
+def _unpivot_numeric_udtf():
+    """Polymorphic UDTF: output schema COMPUTED from the input table's
+    schema by the Spark 4 `analyze()` static hook — the key column is
+    carried through under its own name and every integral/floating
+    column melts to (column_name, value_cents) rows. No schema is
+    hardcoded: point it at a different table and analyze() re-derives
+    the plan-time schema."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class UnpivotNumeric:
+        @staticmethod
+        def analyze(table: AnalyzeArgument) -> AnalyzeResult:
+            fields = table.dataType.fields
+            key = fields[0]
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(key.name, key.dataType),
+                        StructField("column_name", StringType()),
+                        StructField("value_cents", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            d = row.asDict()
+            items = list(d.items())
+            key_val = items[0][1]
+            for name, v in items[1:]:
+                if isinstance(v, bool) or v is None:
+                    continue
+                if isinstance(v, int):
+                    yield key_val, name, int(v) * 100
+                elif isinstance(v, float):
+                    # <=2dp money-style doubles -> exact cents
+                    yield key_val, name, int(round(v * 100))
+
+    return udtf(UnpivotNumeric)
+
+
+@register(
+    "udtf_analyze_unpivot_orders",
+    oracle="""
+    SELECT o_orderkey, 'o_custkey' AS column_name,
+           CAST(o_custkey * 100 AS BIGINT) AS value_cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_totalprice' AS column_name,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+    FROM orders
+    ORDER BY o_orderkey, column_name
+    """,
+    description="G16 polymorphic UDTF via the Spark 4 analyze() hook: "
+    "the output schema is derived at PLAN time from the input table's "
+    "schema (key column kept under its own name, numeric columns melted "
+    "to rows) — schema-computing table functions, one step beyond the "
+    "fixed-schema TABLE(...) UDTF",
+)
+def udtf_analyze_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-polymorphic melt driven by analyze().
+
+    The same registered function works on ANY keyed table — analyze()
+    inspects the TABLE argument's StructType during planning and
+    returns the derived output schema, so Catalyst sees concrete types
+    (no runtime surprises, full pushdown below the UDTF). Fan-out
+    happens row-local in the task; the ORDER BY is presentation only.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spark.udtf.register("unpivot_numeric", _unpivot_numeric_udtf())
+    orders.createOrReplaceTempView("udtf_unpivot_input")
+    return spark.sql(
+        """
+        SELECT * FROM unpivot_numeric(TABLE(udtf_unpivot_input))
+        ORDER BY o_orderkey, column_name
+        """
+    )
