@@ -1735,3 +1735,63 @@ def relational_division_all_priorities(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count("*").alias("n_full_coverage_customers"))
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "sql_scripting_threshold_probe",
+    oracle="""
+    WITH RECURSIVE t(th) AS (
+      SELECT CAST(100000 AS BIGINT)
+      UNION ALL
+      SELECT th * 2 FROM t
+      WHERE (SELECT COUNT(*) FROM orders
+             WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   >= th) > 100
+    )
+    SELECT MAX(th) AS final_threshold_cents,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) >= (SELECT MAX(th) FROM t))
+                AS BIGINT) AS n_at_final,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) >= (SELECT MAX(th) FROM t) / 2)
+                AS BIGINT) AS n_at_half
+    FROM t
+    """,
+    description="SQL scripting surface (Spark 4 BEGIN/DECLARE/WHILE): "
+    "data-driven control flow — double a price threshold until at most "
+    "100 orders clear it; the DuckDB oracle is the identical loop "
+    "expressed as a recursive CTE, so the procedural and recursive "
+    "forms are pinned equal",
+)
+def sql_scripting_threshold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL (WHILE over live aggregates) vs recursive CTE.
+
+    Each loop iteration runs a real aggregate on the data and feeds the
+    result back into script-local state — the control-flow pattern ETL
+    teams write as driver-side Python, executed here inside the SQL
+    engine. Iteration count is O(log(max/start)): bounded regardless of
+    data volume, each probe a full pushdown-optimized scan.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE th BIGINT DEFAULT 100000;
+          WHILE (SELECT COUNT(*) FROM orders
+                 WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) >= th) > 100 DO
+            SET th = th * 2;
+          END WHILE;
+          SELECT th AS final_threshold_cents,
+                 (SELECT COUNT(*) FROM orders
+                  WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) >= th) AS n_at_final,
+                 (SELECT COUNT(*) FROM orders
+                  WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) >= th / 2) AS n_at_half;
+        END
+        """
+    )
