@@ -1664,3 +1664,77 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "click_hour")
     )
+
+
+@register(
+    "spend_tier_transition_matrix",
+    oracle="""
+    WITH weekly AS (
+        SELECT user_id, date_trunc('week', ts) AS week,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+    tiers AS (
+        SELECT user_id, week,
+               CAST(CASE WHEN cents < 100000 THEN 0
+                         WHEN cents < 300000 THEN 1
+                         WHEN cents < 600000 THEN 2
+                         ELSE 3 END AS BIGINT) AS tier
+        FROM weekly),
+    paired AS (
+        SELECT tier AS tier_to,
+               LAG(tier) OVER (PARTITION BY user_id ORDER BY week)
+                   AS tier_from,
+               week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week
+        FROM tiers)
+    SELECT tier_from, tier_to, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paired
+    WHERE prev_week = week - INTERVAL 7 DAY
+    GROUP BY 1, 2
+    ORDER BY tier_from, tier_to
+    """,
+    description="G8 customer-state Markov matrix: weekly spend tiers "
+    "(fixed exact-cents bands) paired week-over-week per user via LAG, "
+    "consecutive weeks only — the segment-migration matrix behind "
+    "upgrade/downgrade dashboards",
+)
+def spend_tier_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week spend-tier transitions per user.
+
+    The raw stream reduces to |users| x |weeks| first; tiering is a
+    pure projection on exact cents; the pairing is one user-keyed LAG
+    with the consecutive-week guard (week arithmetic on the truncated
+    week start — no calendar table). Output is a bounded tiers^2
+    matrix.
+    """
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.sum((money("value") * 100).cast("bigint")).alias("cents"))
+    tier = (
+        F.when(F.col("cents") < 100000, 0)
+        .when(F.col("cents") < 300000, 1)
+        .when(F.col("cents") < 600000, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    tiers = weekly.select("user_id", "week", tier.alias("tier"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    paired = tiers.select(
+        F.col("tier").alias("tier_to"),
+        F.lag("tier").over(w).alias("tier_from"),
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    return (
+        paired.filter(
+            F.col("prev_week") == F.col("week") - F.expr("INTERVAL 7 DAY")
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("tier_from", "tier_to")
+    )

@@ -656,3 +656,141 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    it = """
+        pr{n} AS (
+            SELECT nd.node,
+                   CASE WHEN sd.node IS NOT NULL THEN (SELECT ps FROM consts)
+                        ELSE 0 END
+                   + (85 * COALESCE(inf.m, 0)) // 100 AS r
+            FROM nodes nd
+            LEFT JOIN seeds sd ON sd.node = nd.node
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM((p.r * e.w) // o.ow) AS BIGINT) AS m
+                FROM pr{p} p
+                JOIN e0 e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst
+            ) inf ON inf.node = nd.node
+        )
+    """
+    parts = [
+        """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY 1),
+    seeds AS (
+        SELECT n.node FROM nodes n
+        JOIN part p ON p.p_partkey = n.node
+        WHERE p.p_size <= 5),
+    consts AS (
+        SELECT ((SELECT COUNT(*) FROM nodes) * 1000000000000 * 15 // 100)
+               // (SELECT COUNT(*) FROM seeds) AS ps),
+    pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)
+    """
+    ]
+    for n in range(1, _PPR_ITERS + 1):
+        parts.append("," + it.format(n=n, p=n - 1))
+    parts.append(
+        f"""
+        SELECT node AS part, CAST(r AS BIGINT) AS rank_micro
+        FROM pr{_PPR_ITERS}
+        ORDER BY rank_micro DESC, part
+        LIMIT 50
+        """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "personalized_pagerank_parts",
+    oracle=_ppr_oracle(),
+    description="iterative graph analytics: 3 iterations of PERSONALIZED "
+    "PageRank over the support-floored part co-occurrence graph — "
+    "teleport mass flows only to the small-part seed set (p_size <= 5), "
+    "so ranks measure proximity TO THE SEEDS, not global centrality; "
+    "same integer micro-unit / truncating-division determinism as the "
+    "global PageRank, oracle = identical unrolled iterations",
+)
+def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank: recommendations 'near' a seed set.
+
+    Identical distributed shape to `pagerank_supplier_cooccurrence`
+    (localCheckpointed edges, one join + keyed shuffle per round, only
+    the |nodes| rank relation carried), with the teleport term
+    restricted to seed nodes. The two scalar constants (node and seed
+    counts) are bounded single-value actions folded into literals —
+    the quantizer-collect pattern. Top-50 readout bounds the compared
+    surface.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    seeds = nodes.join(
+        part.filter(F.col("p_size") <= 5),
+        nodes.node == part.p_partkey,
+        "left_semi",
+    ).localCheckpoint()
+    n_nodes = nodes.count()
+    n_seeds = seeds.count()
+    scale = 1_000_000_000_000
+    per_seed = (n_nodes * scale * 15 // 100) // n_seeds
+    srcw = edges.join(outw, "src")
+    seeds_flag = seeds.withColumn("is_seed", F.lit(True))
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(_PPR_ITERS):
+        inflow = (
+            ranks.join(srcw, ranks.node == srcw.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div ow").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("long").alias("m"))
+        )
+        ranks = (
+            nodes.join(seeds_flag, "node", "left")
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(per_seed)).otherwise(0)
+                    + F.expr("(85 * coalesce(m, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    w = W.orderBy(F.desc("r"), "node")
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select(F.col("node").alias("part"), F.col("r").cast("bigint").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "part")
+    )
