@@ -1738,3 +1738,120 @@ def spend_tier_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("tier_from", "tier_to")
     )
+
+
+@register(
+    "session_event_affinity",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    n_sessions AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ns
+        FROM (SELECT DISTINCT user_id, sid FROM st)),
+    singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1
+        FROM st GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           sa.n1 AS n_a, sb.n1 AS n_b,
+           (SELECT ns FROM n_sessions) AS n_sessions,
+           (1000000 * p.n_ab * (SELECT ns FROM n_sessions))
+               // (sa.n1 * sb.n1) AS lift_ppm
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+    description="G8/G17 session-level basket affinity: event-type pairs "
+    "co-occurring within the same 30-min-gap session, with lift vs "
+    "independence in truncated ppm — market-basket analysis where the "
+    "basket is the behavioral session, not the order",
+)
+def session_event_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types travel together within a session.
+
+    Sessionization is the gap-islands window (same > 30 min convention
+    as the session_window family, pinned by the boundary property
+    test); the pair join runs on the DEDUPED (user, session, type)
+    relation — bounded at 5 types per session, so pair fanout is <= 10
+    rows per session regardless of event volume. Lift is integer
+    cross-multiplied (n_ab * N vs n_a * n_b).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTE")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marks.withColumn("sid", F.sum("new_s").over(wc))
+    st = sess.select("user_id", "sid", "event_type").distinct()
+    n_sessions = st.select("user_id", "sid").distinct().count()
+    singles = st.groupBy("event_type").agg(F.count("*").alias("n1"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n1").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n1").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+            F.expr(f"(1000000 * n_ab * {n_sessions}) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
