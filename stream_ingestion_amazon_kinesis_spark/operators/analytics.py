@@ -1292,7 +1292,7 @@ def pareto_cutpoint_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     ranked = rev.select(
-        F.row_number().over(wr).alias("rn"),
+        F.row_number().over(wr).cast("bigint").alias("rn"),
         F.sum("cents").over(wcum).alias("cum_cents"),
         F.sum("cents").over(wall).alias("total_cents"),
         F.count("*").over(wall).alias("n_cust"),
@@ -1854,4 +1854,95 @@ def session_event_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "attribution_window_sensitivity",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+    windows AS (SELECT unnest([30, 60, 120]) AS w_minutes),
+    attributed AS (
+        SELECT w.w_minutes, p.pid
+        FROM p CROSS JOIN windows w
+        WHERE EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.cts <= p.pts
+              AND c.cts >= p.pts - to_minutes(CAST(w.w_minutes AS BIGINT)))),
+    totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p)
+    SELECT CAST(w.w_minutes AS BIGINT) AS w_minutes,
+           CAST(COUNT(a.pid) AS BIGINT) AS n_attributed,
+           (SELECT n_purchases FROM totals) AS n_purchases,
+           (1000000 * CAST(COUNT(a.pid) AS BIGINT))
+               // (SELECT n_purchases FROM totals) AS attributed_ppm
+    FROM windows w LEFT JOIN attributed a ON a.w_minutes = w.w_minutes
+    GROUP BY w.w_minutes
+    ORDER BY w_minutes
+    """,
+    description="G4/G8 attribution-window sensitivity sweep: the share "
+    "of purchases with >= 1 prior click inside a 30/60/120-minute "
+    "lookback, all three windows answered from ONE pass (per-purchase "
+    "nearest-click staleness compared against the exploded window dim) "
+    "— the robustness analysis behind choosing a lookback",
+)
+def attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookback-window sweep from one staleness computation.
+
+    The engine computes each purchase's nearest-click staleness ONCE
+    (the union+running-max as-of plan — single shuffle), then every
+    window size is a pure comparison against the broadcast 3-row
+    window dim: sweeping parameters costs projections, not rescans.
+    The oracle's EXISTS-per-window form is the semantic spec; both
+    reduce to the same counts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.lit(0).alias("kind"), F.col("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"), F.col("event_id")
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click_ts = F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w)
+    staleness = (
+        unioned.withColumn("lc_ts", last_click_ts)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("pid"),
+            (F.unix_micros("ts") - F.unix_micros("lc_ts")).alias("stale_us"),
+        )
+    )
+    n_purchases = staleness.count()
+    windows = spark.createDataFrame([(30,), (60,), (120,)], "w_minutes bigint")
+    return (
+        staleness.crossJoin(F.broadcast(windows))
+        .groupBy("w_minutes")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("stale_us") <= F.col("w_minutes") * 60_000_000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_attributed")
+        )
+        .select(
+            "w_minutes",
+            "n_attributed",
+            F.lit(n_purchases).cast("bigint").alias("n_purchases"),
+            F.expr(f"(1000000 * n_attributed) div {n_purchases}").alias(
+                "attributed_ppm"
+            ),
+        )
+        .orderBy("w_minutes")
     )

@@ -58,7 +58,10 @@ _KNUTH = 2654435761
         FROM ranked GROUP BY 1)
     SELECT n_name AS nation, CAST(n AS BIGINT) AS n_customers,
            CAST(s AS BIGINT) AS total_cents,
-           CAST(((2 * si - (n + 1) * s) * 1000000) // (n * s) AS BIGINT)
+           CAST(((CAST(2 * si - (n + 1) * s AS BIGINT) * 1000) // (n * s))
+                    * 1000
+                + ((CAST(2 * si - (n + 1) * s AS BIGINT) * 1000) % (n * s))
+                    * 1000 // (n * s) AS BIGINT)
                AS gini_ppm
     FROM agg JOIN nation ON nationkey = n_nationkey
     ORDER BY nation
@@ -74,9 +77,10 @@ def gini_concentration_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending rank within its nation — a window PARTITIONED by nation
     over the per-customer aggregate (|customers| rows, grouped into 25
     independent partitions; no global sort). All arithmetic is integer
-    cents; at key domains where sum(i*cents)*1e6 could pass 9.2e18
-    (per-nation customer counts beyond ~1e5 at these prices), promote
-    the two sums to DECIMAL(38,0) — the chi2_priority_status lane.
+    cents; the ppm scaling is staged as two x1000 long-division steps
+    (quotient*1000 + scaled remainder) so the intermediate never
+    exceeds num*1000 — exact floor(num*1e6/den) without ever forming
+    num*1e6 (which overflowed int64 at sf0.1).
     Truncating `div` on a non-negative numerator (Gini >= 0 by
     construction) floors identically on both engines."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
@@ -105,7 +109,11 @@ def gini_concentration_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("n").alias("n_customers"),
             F.col("s").alias("total_cents"),
-            F.expr("((2 * si - (n + 1) * s) * 1000000) div (n * s)")
+            F.expr(
+                "((2 * si - (n + 1) * s) * 1000 div (n * s)) * 1000"
+                " + ((2 * si - (n + 1) * s) * 1000 % (n * s)) * 1000"
+                " div (n * s)"
+            )
             .cast("bigint")
             .alias("gini_ppm"),
         )

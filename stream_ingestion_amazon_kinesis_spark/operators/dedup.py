@@ -834,3 +834,110 @@ def incremental_neardup_new_vs_old(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("new_doc", "old_doc")
     )
+
+
+def _register_threshold_sweep() -> None:
+    @register(
+        "jaccard_threshold_sweep",
+        oracle="""
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+                       AS token
+            FROM documents),
+        hot AS (SELECT source, token FROM tok0
+                GROUP BY source, token HAVING COUNT(*) > 1000),
+        tok AS (SELECT t.* FROM tok0 t
+                LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
+                WHERE h.token IS NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM tok a JOIN tok b
+              ON a.source = b.source AND a.token = b.token
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        jac AS (
+            SELECT 100 * n_shared AS num,
+                   sa.n_tok + sb.n_tok - n_shared AS den
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b),
+        thresholds AS (SELECT unnest([70, 80, 90]) AS t_pct)
+        SELECT CAST(t.t_pct AS BIGINT) AS t_pct,
+               CAST(COUNT(CASE WHEN j.num >= t.t_pct * j.den THEN 1 END)
+                    AS BIGINT) AS n_pairs
+        FROM thresholds t CROSS JOIN jac j
+        GROUP BY t.t_pct
+        ORDER BY t_pct
+        """,
+        description="G17 dedup-threshold sensitivity: near-dup pair counts "
+        "at Jaccard >= 0.7/0.8/0.9 from ONE shared-token-count relation "
+        "(the integer cross-inequality 100*shared >= t*(union)), the "
+        "calibration curve run before fixing a production threshold",
+    )
+    def jaccard_threshold_sweep(spark, sf_dir):
+        """Threshold calibration without recomputing the join.
+
+        The expensive part of near-dup — the blocked token self-join —
+        runs once; each threshold is then an integer comparison against
+        the same (num, den) pairs (100*n_shared >= t*(|a|+|b|-shared):
+        no division, no float). The per-threshold counts are what you
+        plot to pick t. Candidate volume is bounded exactly as in
+        `jaccard_neardup_pairs` (same df cap, same blocking).
+        """
+        from pyspark.sql import functions as F
+
+        tok = _doc_tokens(load_table(spark, sf_dir, "documents"))
+        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+        a, b = tok.alias("a"), tok.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        jac = (
+            shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                (100 * F.col("n_shared")).alias("num"),
+                (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared")).alias(
+                    "den"
+                ),
+            )
+        )
+        return (
+            jac.select(
+                F.explode(
+                    F.array(
+                        F.lit(70).cast("bigint"),
+                        F.lit(80).cast("bigint"),
+                        F.lit(90).cast("bigint"),
+                    )
+                ).alias("t_pct"),
+                "num",
+                "den",
+            )
+            .groupBy("t_pct")
+            .agg(
+                F.sum(
+                    F.when(F.col("num") >= F.col("t_pct") * F.col("den"), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_pairs")
+            )
+            .orderBy("t_pct")
+        )
+
+
+_register_threshold_sweep()

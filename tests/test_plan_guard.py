@@ -96,6 +96,7 @@ BNLJ_OK = {
     "autocorr_hourly_counts",  # hour spine x broadcast 5-type relation
     "seasonal_naive_backtest",  # hour spine x broadcast 5-type relation
     "length_dist_drift_by_source",  # sources x 10-bucket broadcast grid
+    "attribution_window_sensitivity",  # staleness x broadcast 3-row window dim
 }
 
 
