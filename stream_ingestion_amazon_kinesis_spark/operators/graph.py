@@ -794,3 +794,102 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), F.col("r").cast("bigint").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "part")
     )
+
+
+@register(
+    "two_hop_reach_centrality",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    hop1 AS (SELECT DISTINCT src AS node, dst AS r FROM e0),
+    hop2 AS (
+        SELECT DISTINCT h.node, e.dst AS r
+        FROM hop1 h JOIN e0 e ON e.src = h.r
+        WHERE e.dst <> h.node),
+    n1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d1 FROM hop1 GROUP BY 1),
+    new2 AS (
+        SELECT h2.node, CAST(COUNT(*) AS BIGINT) AS d2
+        FROM hop2 h2
+        LEFT JOIN hop1 h1 ON h1.node = h2.node AND h1.r = h2.r
+        WHERE h1.r IS NULL
+        GROUP BY 1),
+    scored AS (
+        SELECT n1.node, n1.d1, COALESCE(new2.d2, 0) AS d2,
+               2 * n1.d1 + COALESCE(new2.d2, 0) AS harmonic_half
+        FROM n1 LEFT JOIN new2 USING (node))
+    SELECT node AS part, d1, d2, harmonic_half,
+           CAST(ROW_NUMBER() OVER (ORDER BY harmonic_half DESC, node)
+                AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 30
+    ORDER BY rnk
+    """,
+    description="graph centrality: 2-hop harmonic reach per part "
+    "(2*|dist-1 neighbors| + |new dist-2 neighbors|, the truncated "
+    "harmonic centrality in half-units — no floats), top-30 over the "
+    "support-floored co-occurrence graph",
+)
+def two_hop_reach_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (radius 2), exact integers.
+
+    hop2 is the one expensive relation — edges joined to edges, kept
+    DISTINCT per (node, reached) so it never exceeds |nodes|^2 and in
+    sparse graphs stays near sum-of-squared-degrees; the support floor
+    is the lever that keeps degrees bounded (STATE.md graph lesson).
+    Distance-2-only neighbors come from an anti-join against hop1 —
+    no shortest-path machinery needed at radius 2. Harmonic weights
+    1 + 1/2 are doubled into integers (2, 1).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    hop1 = edges.select(F.col("src").alias("node"), F.col("dst").alias("r")).distinct()
+    e2 = edges.select(F.col("src").alias("r"), F.col("dst").alias("r2"))
+    hop2 = (
+        hop1.join(e2, "r")
+        .filter(F.col("r2") != F.col("node"))
+        .select("node", F.col("r2").alias("r"))
+        .distinct()
+    )
+    n1 = hop1.groupBy("node").agg(F.count("*").alias("d1"))
+    new2 = (
+        hop2.join(hop1, ["node", "r"], "left_anti")
+        .groupBy("node")
+        .agg(F.count("*").alias("d2"))
+    )
+    scored = (
+        n1.join(new2, "node", "left")
+        .withColumn("d2", F.coalesce("d2", F.lit(0)).cast("bigint"))
+        .withColumn("harmonic_half", 2 * F.col("d1") + F.col("d2"))
+    )
+    w = W.orderBy(F.desc("harmonic_half"), "node")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 30)
+        .select(
+            F.col("node").alias("part"),
+            F.col("d1").cast("bigint").alias("d1"),
+            "d2",
+            F.col("harmonic_half").cast("bigint").alias("harmonic_half"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
