@@ -1046,6 +1046,37 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_intervals(iv: DataFrame, key: str = "user_id") -> DataFrame:
+    """Union of possibly-overlapping intervals per key (running-max
+    island sweep). Input: (key, event_id, s, e) with e >= s and a
+    unique event_id per row; output one row per merged interval:
+    (key, island, m_start, m_end, n_raw). Touching intervals
+    (next.s == prior max e) merge; the island test runs against PRIOR
+    rows only (frame ... 1 PRECEDING) under the (s, event_id) total
+    order, so results are partitioning- and tie-independent."""
+    w_prev = (
+        W.partitionBy(key)
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    w_cum = (
+        W.partitionBy(key)
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    return islands.groupBy(key, "island").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count("*").alias("n_raw"),
+    )
+
+
 @register(
     "interval_merge_coverage",
     oracle="""
@@ -1104,27 +1135,7 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("e"),
     )
-    w_prev = (
-        W.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    prev_max_e = F.max("e").over(w_prev)
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
-    )
-    w_cum = (
-        W.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
-    merged = islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("m_start"),
-        F.max("e").alias("m_end"),
-        F.count("*").alias("n_raw"),
-    )
+    merged = merge_intervals(iv, key="user_id")
     return (
         merged.groupBy("user_id")
         .agg(
