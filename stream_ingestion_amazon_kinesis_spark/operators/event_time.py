@@ -1149,3 +1149,67 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "peak_concurrency_sessions",
+    oracle="""
+    WITH pts AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 15 MINUTE AS t, -1 AS delta, event_id
+        FROM events),
+    swept AS (
+        SELECT t, delta,
+               CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS active
+        FROM pts),
+    peak AS (
+        SELECT active, t,
+               ROW_NUMBER() OVER (ORDER BY active DESC, t) AS rn
+        FROM swept)
+    SELECT active AS peak_concurrency, t AS peak_at
+    FROM peak WHERE rn = 1
+    """,
+    description="G8 sweep-line peak concurrency: each event opens a "
+    "15-minute activity interval; +1/-1 deltas sorted on the global "
+    "(t, delta, event_id) total order and cumulative-summed give the "
+    "exact maximum simultaneous-activity level and its first timestamp "
+    "— ends sort before starts at equal t (delta -1 < +1), so touching "
+    "intervals don't double-count",
+)
+def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous active intervals, one global sweep.
+
+    The sweep-line rewrite turns pairwise overlap counting (quadratic)
+    into 2n deltas + one ordered cumulative sum. The global window is
+    the deliberate cost: a single range-partitioned sort at scale —
+    still O(n log n) total, and the only operation that sees all rows.
+    Tie order is pinned: at equal t the -1 rows apply first, matching
+    half-open [t, t+15m) interval semantics; event_id completes the
+    total order so partitioning can never flip equal rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    starts = events.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), F.col("event_id")
+    )
+    ends = events.select(
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.col("event_id"),
+    )
+    pts = starts.unionByName(ends)
+    w_cum = W.orderBy("t", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    swept = pts.withColumn("active", F.sum("delta").over(w_cum).cast("bigint"))
+    w_peak = W.orderBy(F.desc("active"), "t")
+    return (
+        swept.withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("active").alias("peak_concurrency"),
+            F.col("t").alias("peak_at"),
+        )
+    )
