@@ -514,3 +514,78 @@ def seasonality_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "month_of_year")
     )
+
+
+@register(
+    "max_drawdown_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    dd AS (
+        SELECT event_type, day, x,
+               CAST(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS run_max
+        FROM daily),
+    scored AS (
+        SELECT event_type, day, run_max - x AS drawdown
+        FROM dd),
+    peak AS (
+        SELECT event_type, day, drawdown,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY drawdown DESC, day) AS rn
+        FROM scored)
+    SELECT s.event_type,
+           CAST(MAX(s.drawdown) AS BIGINT) AS max_drawdown_cents,
+           ANY_VALUE(p.day) AS worst_day,
+           CAST(MAX(d.x) AS BIGINT) AS peak_daily_cents
+    FROM scored s
+    JOIN (SELECT * FROM peak WHERE rn = 1) p USING (event_type)
+    JOIN daily d ON d.event_type = s.event_type
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+    description="G8 maximum drawdown of the daily revenue series per "
+    "event type: running-max minus current (exact cents), the worst "
+    "peak-to-trough day identified with a (drawdown, day) tiebreak — "
+    "the revenue-stability KPI computed the streaming-safe way "
+    "(prefix-max window, no self-join)",
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drop of daily revenue, one window pass.
+
+    Drawdown(t) = max(x[0..t]) - x[t] over the calendar-bounded daily
+    series; a prefix-max window gives every day's drawdown in one
+    sort, argmax is the usual row_number selection. All integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).alias("x"))
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    scored = daily.withColumn(
+        "drawdown", F.max("x").over(w_run) - F.col("x")
+    )
+    w_peak = W.partitionBy("event_type").orderBy(F.desc("drawdown"), "day")
+    peak = (
+        scored.withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("worst_day"))
+    )
+    return (
+        scored.join(F.broadcast(peak), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+            F.first("worst_day").alias("worst_day"),
+            F.max("x").cast("bigint").alias("peak_daily_cents"),
+        )
+        .orderBy("event_type")
+    )

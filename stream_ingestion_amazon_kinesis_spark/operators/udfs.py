@@ -475,3 +475,65 @@ def udtf_analyze_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey, column_name
         """
     )
+
+
+@register(
+    "arrow_grouped_extremes_profile",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(MAX(cents) - MIN(cents) AS BIGINT) AS range_cents
+    FROM e GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="G16 applyInArrow grouped map: per-group extremes "
+    "computed in raw pyarrow (RecordBatch in, Table out — no pandas "
+    "conversion layer), the zero-copy grouped-map entry point next to "
+    "applyInPandas; exact integer cents so the Arrow path is held to "
+    "the same oracle",
+)
+def arrow_grouped_extremes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyarrow-native grouped map (applyInArrow).
+
+    applyInPandas pays the Arrow->pandas conversion both ways;
+    applyInArrow hands the group over as a pyarrow.Table and takes one
+    back — the right entry point when the UDF body is itself
+    Arrow/numpy-native (compute kernels here). Group key cardinality
+    (5 types) bounds Python invocations; per-group work is vectorized
+    pyarrow.compute.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (money("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def extremes(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        mn = pc.min(cents).as_py()
+        mx = pc.max(cents).as_py()
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "min_cents": [mn],
+                "max_cents": [mx],
+                "range_cents": [mx - mn],
+            }
+        )
+
+    out = events.groupBy("event_type").applyInArrow(
+        extremes,
+        schema="event_type string, n bigint, min_cents bigint, "
+        "max_cents bigint, range_cents bigint",
+    )
+    return out.orderBy("event_type")
