@@ -10,6 +10,8 @@ under the correctness gate; the engine's real operators stay JVM-side.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -537,3 +539,64 @@ def arrow_grouped_extremes_profile(spark: SparkSession, sf_dir: str) -> DataFram
         "max_cents bigint, range_cents bigint",
     )
     return out.orderBy("event_type")
+
+
+@register(
+    "pandas_iter_udf_value_buckets",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    b AS (
+        SELECT CASE WHEN cents < 1000 THEN 0
+                    WHEN cents < 5000 THEN 1
+                    WHEN cents < 20000 THEN 2
+                    WHEN cents < 50000 THEN 3
+                    ELSE 4 END AS bucket
+        FROM e)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="G16 iterator pandas UDF (SCALAR_ITER): the once-per-"
+    "worker-initialization variant — the bucketing table is 'loaded' "
+    "once before the batch loop (the slot where a real pipeline loads "
+    "a model/tokenizer), then every Arrow batch streams through it; "
+    "completes the pandas-UDF matrix (scalar, scalar-iter, grouped-agg, "
+    "grouped-map, cogrouped, mapInPandas, mapInArrow, applyInArrow)",
+)
+def pandas_iter_udf_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF: amortized per-worker setup.
+
+    A plain scalar pandas UDF re-enters Python per batch with no place
+    to hang expensive initialization; the iterator form runs ONCE per
+    task, does its setup (here: build the bucket edges — stand-in for
+    loading a tokenizer/model), then iterates the batch stream. Exact
+    integer cents in, integer buckets out, so the Python path is
+    oracle-checked like everything else.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.numeric import money
+
+    @pandas_udf("long")
+    def bucketize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # once-per-task setup (the model-load slot)
+        import numpy as np
+
+        edges = np.array([1000, 5000, 20000, 50000], dtype="int64")
+        for cents in batches:
+            yield pd.Series(
+                np.searchsorted(edges, cents.to_numpy(), side="right")
+            )
+
+    events = load_table(spark, sf_dir, "events").select(
+        (money("value") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        events.select(bucketize("cents").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
