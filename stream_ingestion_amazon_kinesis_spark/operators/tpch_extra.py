@@ -1181,3 +1181,112 @@ def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "order_backlog_aging",
+    oracle="""
+    WITH asofd AS (SELECT MAX(o_orderdate) AS a FROM orders),
+    open_orders AS (
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, (SELECT a FROM asofd)) AS age_days
+        FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_orderpriority,
+           CAST(age_days // 30 AS BIGINT) AS age_bucket_months,
+           CAST(COUNT(*) AS BIGINT) AS n_open
+    FROM open_orders
+    GROUP BY 1, 2
+    ORDER BY o_orderpriority, age_bucket_months
+    """,
+    description="G5 backlog aging report: open orders bucketed by "
+    "30-day age bands relative to the dataset's own as-of date (max "
+    "order date — no wall-clock in compared output), per priority — "
+    "the ops queue-health readout",
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order age distribution against a data-derived as-of.
+
+    Using max(o_orderdate) as 'now' keeps the query deterministic and
+    replayable (a wall-clock now() would change answers per run — the
+    engine's determinism rule). The as-of is a bounded scalar folded
+    into the plan; aging is integer day arithmetic on pure dates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("a")).collect()[0].a
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority",
+        F.datediff(F.lit(asof), F.col("o_orderdate")).alias("age_days"),
+    )
+    return (
+        open_orders.groupBy(
+            "o_orderpriority",
+            F.expr("age_days div 30").cast("bigint").alias("age_bucket_months"),
+        )
+        .agg(F.count("*").alias("n_open"))
+        .orderBy("o_orderpriority", "age_bucket_months")
+    )
+
+
+@register(
+    "revenue_waterfall_decomposition",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)) AS BIGINT)
+               AS gross_cents,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2)) * 100)) AS BIGINT)
+               AS discount_cents,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(3,2))) * 100))
+                AS BIGINT) AS net_cents,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))
+                    * CAST(l_tax AS DECIMAL(3,2)) * 100)) AS BIGINT)
+               AS tax_cents,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))
+                    * ({_ONE} + CAST(l_tax AS DECIMAL(3,2))) * 100))
+                AS BIGINT) AS charged_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="G5 revenue waterfall: gross -> discount -> net -> tax "
+    "-> charged, every stage an exact DECIMAL product summed then "
+    "floored to integer cents — the stage identities hold exactly in "
+    "the pre-floor decimals (each floored readout can differ by < 1 "
+    "cent from the identity), the finance reconciliation q1 implies "
+    "but never exposes",
+)
+def revenue_waterfall_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag revenue decomposition with cent-exact stage identities.
+
+    Each stage is its own exact-decimal product (scales 12,2 x 3,2 ->
+    16,4 -> 20,6 stay inside 38 digits — functions/numeric.py). The
+    decimal sums satisfy gross - discount == net and net + tax ==
+    charged EXACTLY; the floor to integer cents happens once per
+    readout column (both engines floor, never round), so each floored
+    column sits within 1 cent of the identity.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    price = money("l_extendedprice")
+    disc = frac(F.col("l_discount"))
+    tax = frac(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.floor(F.sum(price * 100)).cast("bigint").alias("gross_cents"),
+            F.floor(F.sum(price * disc * 100)).cast("bigint").alias("discount_cents"),
+            F.floor(F.sum(price * (one - disc) * 100)).cast("bigint").alias("net_cents"),
+            F.floor(F.sum(price * (one - disc) * tax * 100))
+            .cast("bigint")
+            .alias("tax_cents"),
+            F.floor(F.sum(price * (one - disc) * (one + tax) * 100))
+            .cast("bigint")
+            .alias("charged_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
