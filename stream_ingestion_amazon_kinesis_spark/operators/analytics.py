@@ -1946,3 +1946,120 @@ def attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("w_minutes")
     )
+
+
+@register(
+    "weekly_mix_drift",
+    oracle="""
+    WITH wk AS (
+        SELECT date_trunc('week', ts) AS week, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    wk_tot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS nw FROM wk GROUP BY 1),
+    overall AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS a FROM wk GROUP BY 1),
+    n_all AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wk),
+    grid AS (
+        SELECT wt.week, o.event_type, wt.nw, o.a, n_all.n,
+               COALESCE(w.c, 0) AS c
+        FROM wk_tot wt CROSS JOIN overall o CROSS JOIN n_all
+        LEFT JOIN wk w ON w.week = wt.week AND w.event_type = o.event_type)
+    SELECT week, ANY_VALUE(nw) AS n_events,
+           CAST(SUM(abs(c * n - a * nw)) AS BIGINT) AS tv_num,
+           (1000000 * CAST(SUM(abs(c * n - a * nw)) AS BIGINT))
+               // (2 * ANY_VALUE(nw) * ANY_VALUE(n)) AS tv_ppm
+    FROM grid
+    GROUP BY week
+    ORDER BY week
+    """,
+    description="G5 temporal mix-drift monitor: per week, the total-"
+    "variation distance between that week's event-type mix and the "
+    "overall mix, exact cross-multiplied integers — the alert metric a "
+    "pipeline owner tracks for upstream behavior changes",
+)
+def weekly_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TV(week mix, overall mix) per week, the drift alarm series.
+
+    Same integer TV construction as `length_dist_drift_by_source`,
+    applied along time: all math runs on the |weeks| x |types|
+    histogram; zero-filled grid so a type disappearing entirely still
+    contributes its missing mass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wk = events.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    wk_tot = wk.groupBy("week").agg(F.sum("c").alias("nw"))
+    overall = wk.groupBy("event_type").agg(F.sum("c").alias("a"))
+    n_all = wk.agg(F.sum("c").alias("n"))
+    grid = (
+        wk_tot.crossJoin(F.broadcast(overall))
+        .crossJoin(F.broadcast(n_all))
+        .join(wk, ["week", "event_type"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    return (
+        grid.groupBy("week")
+        .agg(
+            F.first("nw").alias("n_events"),
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("a") * F.col("nw")))
+            .cast("bigint")
+            .alias("tv_num"),
+            F.first("n").alias("_n"),
+        )
+        .select(
+            "week",
+            "n_events",
+            "tv_num",
+            F.expr("(1000000 * tv_num) div (2 * n_events * _n)").alias("tv_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "language_purity_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    ranked AS (
+        SELECT source, lang, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        FROM counts)
+    SELECT source, lang AS dominant_lang, n_docs, c AS n_dominant,
+           (1000000 * c) // n_docs AS purity_ppm
+    FROM ranked WHERE rn = 1
+    ORDER BY source
+    """,
+    description="G5/G17 corpus governance: each source's dominant "
+    "language and its share (argmax by count with lang tiebreak) — low "
+    "purity flags mixed or mislabeled feeds before they pollute "
+    "per-language training mixes",
+)
+def language_purity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-language share per source.
+
+    One histogram aggregate + a per-source argmax window over the tiny
+    (source, lang) relation. Purity is truncating ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    wt = Window.partitionBy("source")
+    ranked = counts.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_docs", F.sum("c").over(wt).cast("bigint")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang"),
+            "n_docs",
+            F.col("c").alias("n_dominant"),
+            F.expr("(1000000 * c) div n_docs").alias("purity_ppm"),
+        )
+        .orderBy("source")
+    )

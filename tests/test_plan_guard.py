@@ -97,6 +97,7 @@ BNLJ_OK = {
     "seasonal_naive_backtest",  # hour spine x broadcast 5-type relation
     "length_dist_drift_by_source",  # sources x 10-bucket broadcast grid
     "attribution_window_sensitivity",  # staleness x broadcast 3-row window dim
+    "weekly_mix_drift",  # weeks x broadcast 5-type histogram grid
 }
 
 
