@@ -1290,3 +1290,57 @@ def revenue_waterfall_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "order_fill_rate_sla",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS worst_lag
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE worst_lag <= 30) AS BIGINT)
+               AS n_within_30d,
+           (1000000 * CAST(COUNT(*) FILTER (WHERE worst_lag <= 30) AS BIGINT))
+               // COUNT(*) AS sla_ppm
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="G5 order fill-rate SLA: an order meets SLA only when "
+    "its SLOWEST line ships within 30 days (per-order MAX lag, then the "
+    "compliance share per priority in ppm) — the all-lines-complete "
+    "semantics a per-line average hides",
+)
+def order_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-order SLA compliance per priority.
+
+    The per-order MAX over lines is the map-side-combinable reduction
+    (never a window); the priority rollup runs on the |orders|-sized
+    relation. Day arithmetic on pure dates, integer ppm.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("worst_lag")
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("worst_lag") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_30d"),
+        )
+        .withColumn("sla_ppm", F.expr("(1000000 * n_within_30d) div n_orders"))
+        .orderBy("o_orderpriority")
+    )
