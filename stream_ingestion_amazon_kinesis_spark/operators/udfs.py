@@ -444,11 +444,11 @@ def _unpivot_numeric_udtf():
     oracle="""
     SELECT o_orderkey, 'o_custkey' AS column_name,
            CAST(o_custkey * 100 AS BIGINT) AS value_cents
-    FROM orders
+    FROM orders WHERE o_orderkey % 10 = 0
     UNION ALL
     SELECT o_orderkey, 'o_totalprice' AS column_name,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-    FROM orders
+    FROM orders WHERE o_orderkey % 10 = 0
     ORDER BY o_orderkey, column_name
     """,
     description="G16 polymorphic UDTF via the Spark 4 analyze() hook: "
@@ -466,8 +466,12 @@ def udtf_analyze_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no runtime surprises, full pushdown below the UDTF). Fan-out
     happens row-local in the task; the ORDER BY is presentation only.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # 10% systematic sample: the row is about the analyze() surface —
+    # per-row Python eval over the full fact table adds nothing.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     )
     spark.udtf.register("unpivot_numeric", _unpivot_numeric_udtf())
     orders.createOrReplaceTempView("udtf_unpivot_input")
