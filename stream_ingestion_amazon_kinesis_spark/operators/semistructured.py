@@ -152,3 +152,82 @@ def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prop_key")
     )
+
+
+def _register_explode_outer_pin() -> None:
+    from ..functions.text import tokens as _tokens
+
+    @register(
+        "explode_outer_semantics_pin",
+        oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> length(x) > 8) AS longs
+            FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(longs)) AS BIGINT) AS n_inner_rows,
+               CAST(SUM(GREATEST(len(longs), 1)) AS BIGINT) AS n_outer_rows,
+               CAST(COUNT(CASE WHEN len(longs) = 0 THEN 1 END) AS BIGINT)
+                   AS n_docs_dropped_by_inner
+        FROM t GROUP BY source
+        ORDER BY source
+        """,
+        description="G11 generator-semantics pin: explode drops rows whose "
+        "array is empty while explode_outer keeps them as NULL — the "
+        "silent-row-loss trap in token pipelines, counted per source "
+        "(inner rows = sum of lengths; outer rows = max(length, 1))",
+    )
+    def explode_outer_semantics_pin(spark, sf_dir):
+        """explode vs explode_outer row accounting, pinned.
+
+        A doc whose filtered token array is empty vanishes under
+        `explode` — in a quality pipeline that silently deletes
+        documents rather than scoring them zero. The engine counts both
+        behaviors from the REAL generators (not arithmetic identities):
+        an inner explode count and an outer explode count, which must
+        reconcile with the closed-form sums the oracle computes. Both
+        generators run in the same narrow projection — no shuffle until
+        the rollup.
+        """
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        longs = F.filter(_tokens("text"), lambda x: F.length(x) > 8)
+        base = docs.select("doc_id", "source", longs.alias("longs"))
+        inner = (
+            base.select("doc_id", "source", F.explode("longs").alias("tok"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_inner_rows"))
+        )
+        outer = (
+            base.select(
+                "doc_id", "source", F.explode_outer("longs").alias("tok")
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_outer_rows"),
+                F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_docs_dropped_by_inner"),
+            )
+        )
+        n_docs = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+        return (
+            n_docs.join(inner, "source", "left")
+            .join(outer, "source")
+            .select(
+                "source",
+                "n_docs",
+                F.coalesce("n_inner_rows", F.lit(0))
+                .cast("bigint")
+                .alias("n_inner_rows"),
+                F.col("n_outer_rows").cast("bigint").alias("n_outer_rows"),
+                "n_docs_dropped_by_inner",
+            )
+            .orderBy("source")
+        )
+
+
+_register_explode_outer_pin()
