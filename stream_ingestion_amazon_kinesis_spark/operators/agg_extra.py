@@ -535,3 +535,75 @@ def winsorized_mean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "percentile_grid_priority_year",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority, year(o_orderdate) AS yr, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority, yr
+                                     ORDER BY cents, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority, yr) AS cnt
+        FROM o)
+    SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr,
+           CAST(ANY_VALUE(cnt) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = GREATEST(cnt // 4, 1) THEN cents END)
+                AS BIGINT) AS p25_cents,
+           CAST(MAX(CASE WHEN rn = GREATEST(cnt // 2, 1) THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN rn = GREATEST((3 * cnt) // 4, 1) THEN cents END)
+                AS BIGINT) AS p75_cents
+    FROM ranked
+    GROUP BY o_orderpriority, yr
+    ORDER BY o_orderpriority, yr
+    """,
+    description="G5/G8 quartile grid: exact discrete p25/p50/p75 of order "
+    "value on the (priority x year) grid from ONE ranked window pass — "
+    "the multi-cell percentile report that would otherwise be |cells| "
+    "separate quantile queries",
+)
+def percentile_grid_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three quartiles for every (priority, year) cell, one sort.
+
+    One composite-key ranked window; each quartile is a rank-selection
+    inside the same conditional aggregate, so adding quantiles costs
+    expressions, not passes. Discrete selection (no interpolation),
+    total (cents, orderkey) tiebreak — bit-stable everywhere.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        "o_orderkey",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = W.partitionBy("o_orderpriority", "yr").orderBy("cents", "o_orderkey")
+    wc = W.partitionBy("o_orderpriority", "yr")
+    ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count("*").over(wc)
+    )
+
+    def pick(expr: str) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.expr(expr), F.col("cents"))
+        ).cast("bigint")
+
+    return (
+        ranked.groupBy("o_orderpriority", F.col("yr").cast("bigint").alias("yr"))
+        .agg(
+            F.first("cnt").cast("bigint").alias("n"),
+            pick("greatest(cnt div 4, 1)").alias("p25_cents"),
+            pick("greatest(cnt div 2, 1)").alias("p50_cents"),
+            pick("greatest((3 * cnt) div 4, 1)").alias("p75_cents"),
+        )
+        .orderBy("o_orderpriority", "yr")
+    )

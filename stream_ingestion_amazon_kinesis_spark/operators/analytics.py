@@ -2063,3 +2063,76 @@ def language_purity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "early_value_retention_curve",
+    oracle="""
+    WITH fw AS (SELECT MIN(date_trunc('week', ts)) AS w0 FROM events),
+    user_first AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN date_trunc('week', ts) = (SELECT w0 FROM fw)
+                        THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS w0_cents,
+               CAST(COUNT(DISTINCT date_trunc('week', ts)) AS BIGINT)
+                   AS weeks_active
+        FROM events GROUP BY user_id),
+    cohort AS (SELECT * FROM user_first WHERE w0_cents > 0),
+    ranked AS (
+        SELECT *, NTILE(5) OVER (ORDER BY w0_cents, user_id) AS quintile
+        FROM cohort)
+    SELECT CAST(quintile AS BIGINT) AS quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(weeks_active) AS BIGINT) AS sum_weeks,
+           (1000 * CAST(SUM(weeks_active) AS BIGINT)) // COUNT(*)
+               AS mean_weeks_milli
+    FROM ranked
+    GROUP BY quintile
+    ORDER BY quintile
+    """,
+    description="G8 early-value -> retention curve: users active in the "
+    "first calendar week, bucketed into first-week-spend quintiles "
+    "(NTILE with total tiebreak), against their eventual distinct-weeks-"
+    "active — does week-1 spend predict staying?",
+)
+def early_value_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-1 spend quintile vs lifetime weeks active.
+
+    The per-user rollup happens once (first-week cents + distinct
+    active weeks in the same aggregate); the quintile is NTILE over the
+    |cohort| relation with a (cents, user_id) total order so bucket
+    edges are deterministic. Mean weeks in truncating milli.
+    """
+    from ..functions.numeric import money
+
+    events = load_table(spark, sf_dir, "events")
+    w0 = (
+        events.agg(F.min(F.date_trunc("week", "ts")).alias("w0"))
+        .collect()[0]
+        .w0
+    )
+    user_first = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.date_trunc("week", "ts") == F.lit(w0),
+                (money("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("w0_cents"),
+        F.countDistinct(F.date_trunc("week", "ts")).alias("weeks_active"),
+    )
+    cohort = user_first.filter(F.col("w0_cents") > 0)
+    wq = Window.orderBy("w0_cents", "user_id")
+    ranked = cohort.withColumn("quintile", F.ntile(5).over(wq).cast("bigint"))
+    return (
+        ranked.groupBy("quintile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("weeks_active").cast("bigint").alias("sum_weeks"),
+        )
+        .withColumn(
+            "mean_weeks_milli", F.expr("(1000 * sum_weeks) div n_users")
+        )
+        .orderBy("quintile")
+    )
