@@ -2136,3 +2136,130 @@ def early_value_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quintile")
     )
+
+
+@register(
+    "calendar_iso_week_pin",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt, o_totalprice
+        FROM orders),
+    k AS (
+        SELECT dt,
+               CAST(date_trunc('week', dt) AS DATE) AS wk_start,
+               CAST(EXTRACT(year FROM CAST(date_trunc('week', dt) AS DATE)
+                            + INTERVAL 3 DAY) AS INT) AS iso_year,
+               CAST(weekofyear(dt) AS INT) AS iso_week,
+               CAST(isodow(dt) - 1 AS INT) AS wd,
+               last_day(dt) AS month_end,
+               o_totalprice
+        FROM d)
+    SELECT iso_year, iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(wk_start) AS TIMESTAMP) AS wk_start,
+           CAST(COUNT(DISTINCT wd) AS BIGINT) AS n_weekdays,
+           CAST(MIN(wd) AS INT) AS first_wd,
+           CAST(MAX(month_end) AS TIMESTAMP) AS month_end_max,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM k
+    GROUP BY iso_year, iso_week
+    ORDER BY iso_year, iso_week
+    """,
+    description="G11 calendar-convention pin: ISO week numbering, "
+    "Monday-start date_trunc('week'), ISO year via the Thursday rule, "
+    "Monday=0 weekday, and last_day must all agree between Spark and "
+    "DuckDB — grouped over every (iso_year, iso_week) in orders, "
+    "including the year-boundary weeks where ISO year != calendar year",
+)
+def calendar_iso_week_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine calendar semantics, pinned over real data.
+
+    Every derived field is computed with the engine's native calendar
+    functions (weekofyear/date_trunc/weekday/last_day), not re-derived
+    arithmetic — the whole point is to pin that both engines implement
+    the same ISO-8601 conventions, especially the Thursday-rule ISO
+    year at December/January boundaries. One scan, one hash agg on a
+    (years x 53)-bounded key space.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderdate").cast("date").alias("dt"), "o_totalprice"
+    )
+    wk_start = F.date_trunc("week", F.col("dt")).cast("date")
+    k = d.select(
+        wk_start.alias("wk_start"),
+        F.year(F.date_add(wk_start, 3)).cast("int").alias("iso_year"),
+        F.weekofyear("dt").cast("int").alias("iso_week"),
+        F.weekday("dt").cast("int").alias("wd"),
+        F.last_day("dt").alias("month_end"),
+        "o_totalprice",
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        k.groupBy("iso_year", "iso_week")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("wk_start").cast("timestamp").alias("wk_start"),
+            F.countDistinct("wd").alias("n_weekdays"),
+            F.min("wd").cast("int").alias("first_wd"),
+            F.max("month_end").cast("timestamp").alias("month_end_max"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@register(
+    "equi_depth_deciles_price",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+        FROM orders)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS lo_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS hi_cents,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM ranked
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="G8 equi-depth decile histogram of order prices via "
+    "ntile(10) over a total order (price, orderkey): per-bucket row "
+    "count, exact cent boundaries, and bucket mass — both engines "
+    "distribute the n mod 10 remainder rows to the first buckets, so "
+    "the split is identical",
+)
+def equi_depth_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram (the oracle-checkable form).
+
+    ntile over an unpartitioned window is a global sort — fine as the
+    exact/audit form at fixture scale; the 100-TB production path for
+    equi-depth boundaries is approx_percentile (covered by
+    `approx_percentile_order_price`), with this query as its exact
+    twin. The tiebreak on o_orderkey makes bucket assignment a total
+    order, so every engine and partitioning yields the same buckets.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    ranked = orders.select(
+        cents.alias("cents_v"),
+        F.ntile(10).over(w).cast("int").alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents_v").alias("lo_cents"),
+            F.max("cents_v").alias("hi_cents"),
+            F.sum("cents_v").cast("bigint").alias("cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -634,3 +634,108 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "delete_cascade_audit",
+    oracle="""
+    WITH del AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    oflag AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN del.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM orders LEFT JOIN del ON orders.o_custkey = del.c_custkey),
+    cust_row AS (
+        SELECT 'customer' AS entity,
+               CAST(COUNT(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(COUNT(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS BIGINT)
+                   AS n_remaining,
+               CAST(COALESCE(SUM(CASE WHEN c_custkey % 97 = 0 THEN
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   END), 0) AS BIGINT) AS deleted_cents
+        FROM customer),
+    ord_row AS (
+        SELECT 'orders' AS entity,
+               CAST(COUNT(CASE WHEN hit = 1 THEN 1 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(COUNT(CASE WHEN hit = 0 THEN 1 END) AS BIGINT)
+                   AS n_remaining,
+               CAST(COALESCE(SUM(CASE WHEN hit = 1 THEN
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   END), 0) AS BIGINT) AS deleted_cents
+        FROM oflag),
+    li_row AS (
+        SELECT 'lineitem' AS entity,
+               CAST(COUNT(CASE WHEN hit = 1 THEN 1 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(COUNT(CASE WHEN hit = 0 THEN 1 END) AS BIGINT)
+                   AS n_remaining,
+               CAST(COALESCE(SUM(CASE WHEN hit = 1 THEN
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) END), 0) AS BIGINT) AS deleted_cents
+        FROM lineitem JOIN oflag ON lineitem.l_orderkey = oflag.o_orderkey)
+    SELECT * FROM cust_row
+    UNION ALL SELECT * FROM ord_row
+    UNION ALL SELECT * FROM li_row
+    ORDER BY entity
+    """,
+    description="G3/G17 GDPR-style delete-cascade audit: a deterministic "
+    "deletion cohort (c_custkey % 97 = 0) is propagated customer -> "
+    "orders -> lineitem, reporting per entity how many rows the cascade "
+    "removes, how many remain, and the exact cents of value leaving "
+    "each table — the pre-flight report a right-to-erasure batch job "
+    "emits before committing deletes",
+)
+def delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade impact in ONE pass per table.
+
+    Instead of semi + anti joins (two probes per table), each child
+    table is LEFT-joined once against the deletion cohort and both the
+    deleted and remaining counts come out of the same conditional
+    aggregation — at 100 TB that is one shuffle join per fact table
+    (AQE free to pick broadcast while the cohort is small) and one
+    map-side-combined agg, nothing else. The cohort key is plain
+    modulus, never rand()/hash(), so the cascade set is identical on
+    every engine and rerun.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: (F.col(c).cast("decimal(12,2)") * 100).cast("bigint")  # noqa: E731
+
+    delk = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("dk"))
+        .withColumn("mark", F.lit(1))
+    )
+    oflag = orders.join(
+        delk, orders.o_custkey == delk.dk, "left"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("mark", F.lit(0)).alias("hit"),
+    )
+
+    def row(df: DataFrame, entity: str, hit: F.Column, cent: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(entity).alias("entity"),
+            F.count(F.when(hit, 1)).alias("n_deleted"),
+            F.count(F.when(~hit, 1)).alias("n_remaining"),
+            F.coalesce(F.sum(F.when(hit, cent)), F.lit(0))
+            .cast("bigint")
+            .alias("deleted_cents"),
+        )
+
+    cust_row = row(
+        cust, "customer", F.col("c_custkey") % 97 == 0, cents("c_acctbal")
+    )
+    ord_row = row(oflag, "orders", F.col("hit") == 1, cents("o_totalprice"))
+    oslim = oflag.select(F.col("o_orderkey").alias("ok"), "hit")
+    li_row = row(
+        li.join(oslim, li.l_orderkey == oslim.ok),
+        "lineitem",
+        F.col("hit") == 1,
+        cents("l_extendedprice"),
+    )
+    return cust_row.unionByName(ord_row).unionByName(li_row).orderBy("entity")

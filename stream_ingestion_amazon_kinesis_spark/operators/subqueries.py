@@ -209,3 +209,64 @@ def not_in_vs_not_exists_null_semantics(spark: SparkSession, sf_dir: str) -> Dat
                (SELECT v FROM has_null) AS subquery_has_null
         """
     )
+
+
+@register(
+    "recursive_cte_part_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree(pk, root, depth) AS (
+        SELECT p_partkey, p_partkey, 0
+        FROM part WHERE p_partkey < 8
+        UNION ALL
+        SELECT p.p_partkey, t.root, t.depth + 1
+        FROM part p JOIN tree t ON p.p_partkey // 8 = t.pk
+        WHERE p.p_partkey >= 8
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS retail_cents
+    FROM tree JOIN part ON part.p_partkey = tree.pk
+    GROUP BY 1
+    ORDER BY depth
+    """,
+    description="G11 WITH RECURSIVE with a JOIN inside the recursive "
+    "term (Spark 4): walk a derived parent-child hierarchy over part "
+    "(parent = p_partkey div 8, roots are partkey 0..7), carrying root "
+    "and depth through the fixpoint, then roll up node count, root "
+    "count, and exact retail cents per depth level",
+)
+def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-depth hierarchy traversal as a recursive CTE.
+
+    Unlike `recursive_cte_monthly_scaffold` (a linear counter), the
+    recursive term here JOINs the full `part` relation against the
+    previous level — each iteration is one shuffle join whose output is
+    the next tree level, so total work is O(levels) joins and the depth
+    is log_8(|part|) (~5 at sf0.1, ~10 at 100 TB — far under the
+    recursion-level limit). The reference has no hierarchy surface at
+    all (its only traversal is the shard poll loop,
+    consumer.py:111-117).
+    """
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(pk, root, depth) AS (
+            SELECT p_partkey, p_partkey, 0
+            FROM part WHERE p_partkey < 8
+            UNION ALL
+            SELECT p.p_partkey, t.root, t.depth + 1
+            FROM part p JOIN tree t ON p.p_partkey DIV 8 = t.pk
+            WHERE p.p_partkey >= 8
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+               CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS retail_cents
+        FROM tree JOIN part ON part.p_partkey = tree.pk
+        GROUP BY 1
+        ORDER BY depth
+        """
+    )
