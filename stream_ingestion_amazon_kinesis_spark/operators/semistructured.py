@@ -231,3 +231,53 @@ def _register_explode_outer_pin() -> None:
 
 
 _register_explode_outer_pin()
+
+
+@register(
+    "posexplode_ordinality_pin",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''),
+    pos AS (
+        SELECT l[i] AS token, i - 1 AS pos
+        FROM toks, generate_series(1, 3) g(i)
+        WHERE i <= len(l))
+    SELECT CAST(pos AS INT) AS pos, token,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos
+    GROUP BY pos, token
+    HAVING COUNT(*) >= 5
+    ORDER BY pos, n DESC, token
+    """,
+    description="G11/G16 posexplode ordinality pin: the first three "
+    "token positions of every document, exploded WITH position — "
+    "Spark's 0-based posexplode is aligned against DuckDB's 1-based "
+    "list indexing (no WITH ORDINALITY in this build), rolled up to a "
+    "positional token histogram",
+)
+def posexplode_ordinality_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode semantics, pinned.
+
+    `posexplode(slice(tokens, 1, 3))` keeps the generator bounded (3
+    rows per document, never |tokens|), so the exploded relation is
+    3x|documents| regardless of document length — the safe shape for
+    positional n-gram features at corpus scale. DuckDB lacks WITH
+    ORDINALITY; the oracle cross-joins a constant generate_series and
+    filters by list length, which is the same bounded expansion.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        tokens(F.col("text")).alias("l")
+    )
+    pos = toks.select(
+        F.posexplode(F.slice("l", 1, 3)).alias("pos", "token")
+    )
+    return (
+        pos.groupBy(F.col("pos").cast("int").alias("pos"), "token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy("pos", F.desc("n"), "token")
+    )

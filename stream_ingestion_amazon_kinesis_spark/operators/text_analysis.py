@@ -974,3 +974,86 @@ def zipf_conformity_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "syllable_complexity_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[aeiouy]+')) AS syllables,
+               len(string_split_regex(trim(text), '\\s+')) AS words,
+               len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+                   AS poly_words
+        FROM documents
+        WHERE trim(text) <> ''),
+    agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(syllables) AS BIGINT) AS total_syllables,
+               CAST(SUM(words) AS BIGINT) AS total_words,
+               CAST(SUM(poly_words) AS BIGINT) AS total_poly
+        FROM per_doc GROUP BY lang)
+    SELECT lang, n_docs, total_syllables, total_words, total_poly,
+           CAST(total_syllables * 1000 // total_words AS BIGINT)
+               AS syll_per_word_milli,
+           CAST(total_poly * 1000000 // total_words AS BIGINT)
+               AS poly_ppm
+    FROM agg
+    ORDER BY lang
+    """,
+    description="G17 readability-style complexity profile: syllables "
+    "approximated as vowel-group runs (the standard heuristic), "
+    "polysyllabic words (>=3 vowel groups, the SMOG ingredient), per "
+    "language — fixed-point milli/ppm ratios so the profile is exact "
+    "cross-engine",
+)
+def syllable_complexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vowel-group syllable counting, aggregated per language.
+
+    Whole-text vowel-group counting equals the per-word sum (the
+    `\\s` word separators break vowel runs), so the syllable total is
+    one regexp_extract_all per document — no explode. Only the
+    polysyllable count needs the per-word lambda, still inside JVM
+    higher-order functions; the doc-level relation then collapses to a
+    |langs|-row hash agg. At 100 TB this is a single scan with
+    map-side combine and zero shuffles beyond the final tiny agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.filter(F.trim("text") != "").select(
+        "lang",
+        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")).alias(
+            "syllables"
+        ),
+        F.size(tokens(F.col("text"))).alias("words"),
+        F.size(
+            F.filter(
+                tokens(F.col("text")),
+                lambda w: F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+                )
+                >= 3,
+            )
+        ).alias("poly_words"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("syllables").cast("bigint").alias("total_syllables"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("poly_words").cast("bigint").alias("total_poly"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_syllables",
+        "total_words",
+        "total_poly",
+        F.expr("CAST(total_syllables * 1000 DIV total_words AS BIGINT)").alias(
+            "syll_per_word_milli"
+        ),
+        F.expr("CAST(total_poly * 1000000 DIV total_words AS BIGINT)").alias(
+            "poly_ppm"
+        ),
+    ).orderBy("lang")

@@ -1344,3 +1344,138 @@ def order_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sla_ppm", F.expr("(1000000 * n_within_30d) div n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "null_propagation_pin",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice END AS a,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice END AS b,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderpriority END AS p,
+               o_orderstatus AS s
+        FROM orders),
+    x AS (
+        SELECT greatest(a, b) AS g,
+               least(a, b) AS l,
+               (p || '/' || s) AS cat,
+               coalesce(p, s, 'none') AS co,
+               nullif(s, 'O') AS nf
+        FROM src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(g) AS BIGINT) AS n_greatest,
+           CAST(COUNT(l) AS BIGINT) AS n_least,
+           CAST(COUNT(cat) AS BIGINT) AS n_concat,
+           CAST(COUNT(co) AS BIGINT) AS n_coalesce,
+           CAST(COUNT(nf) AS BIGINT) AS n_nullif,
+           CAST(SUM(CAST(CAST(g AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS greatest_cents
+    FROM x
+    """,
+    description="G11 NULL-propagation pin: greatest/least skip NULL "
+    "arguments (both engines), Spark concat propagates NULL exactly "
+    "like SQL || (the oracle uses ||, the divergent DuckDB concat() "
+    "ignores NULLs and is deliberately avoided), coalesce/nullif "
+    "3-valued behavior — counted over injected-NULL derivations of "
+    "orders so every path is exercised at volume",
+)
+def null_propagation_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function NULL semantics, pinned at row volume.
+
+    The one genuine cross-engine divergence found while writing this
+    pin: DuckDB `concat()` SKIPS NULL arguments while Spark `concat()`
+    propagates them; ANSI `||` propagates on both engines, so Spark
+    concat is mirrored by `||` in the oracle and the row counts prove
+    the propagation rule on every row of orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_totalprice")).alias("a"),
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")).alias("b"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")).alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    x = src.select(
+        F.greatest("a", "b").alias("g"),
+        F.least("a", "b").alias("l"),
+        F.concat(F.col("p"), F.lit("/"), F.col("s")).alias("cat"),
+        F.coalesce("p", "s", F.lit("none")).alias("co"),
+        F.nullif(F.col("s"), F.lit("O")).alias("nf"),
+    )
+    g_cents = (F.col("g").cast("decimal(12,2)") * 100).cast("bigint")
+    return x.agg(
+        F.count("*").alias("n_rows"),
+        F.count("g").alias("n_greatest"),
+        F.count("l").alias("n_least"),
+        F.count("cat").alias("n_concat"),
+        F.count("co").alias("n_coalesce"),
+        F.count("nf").alias("n_nullif"),
+        F.sum(g_cents).cast("bigint").alias("greatest_cents"),
+    )
+
+
+@register(
+    "date_arithmetic_clamp_pin",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
+    x AS (
+        SELECT EXTRACT(month FROM dt) AS m,
+               CASE WHEN EXTRACT(day FROM CAST(dt + INTERVAL 1 MONTH AS DATE))
+                         < EXTRACT(day FROM dt) THEN 1 ELSE 0 END AS clamped,
+               datediff('day', dt,
+                        CAST(last_day(dt) AS DATE)) AS to_month_end,
+               CAST(CAST(date_trunc('quarter', dt) AS DATE)
+                    + INTERVAL 3 MONTH AS TIMESTAMP) AS next_q
+        FROM d)
+    SELECT CAST(m AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+           CAST(MIN(to_month_end) AS INT) AS min_to_month_end,
+           CAST(MAX(to_month_end) AS INT) AS max_to_month_end,
+           MAX(next_q) AS next_quarter_max
+    FROM x
+    GROUP BY m
+    ORDER BY month
+    """,
+    description="G11 date-arithmetic pin: add_months end-of-month "
+    "clamping (Jan 31 + 1 month = Feb 28 on both engines), day-count "
+    "to last_day, and quarter-boundary arithmetic, grouped by calendar "
+    "month so the clamp shows up exactly in the 29/30/31-day months",
+)
+def date_arithmetic_clamp_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-arithmetic clamping pinned across engines.
+
+    Spark `add_months` and DuckDB `+ INTERVAL 1 MONTH` both clamp to
+    the target month's last day; the `clamped` flag counts exactly the
+    rows where that rule fired. Everything else is integer day math —
+    one scan, a 12-row hash agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.col("o_orderdate").cast("date").alias("dt"))
+    x = d.select(
+        F.month("dt").alias("m"),
+        F.when(
+            F.dayofmonth(F.add_months("dt", 1)) < F.dayofmonth("dt"), 1
+        )
+        .otherwise(0)
+        .alias("clamped"),
+        F.datediff(F.last_day("dt"), F.col("dt")).alias("to_month_end"),
+        F.add_months(F.date_trunc("quarter", "dt").cast("date"), 3)
+        .cast("timestamp")
+        .alias("next_q"),
+    )
+    return (
+        x.groupBy(F.col("m").cast("int").alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("clamped").cast("bigint").alias("n_clamped"),
+            F.min("to_month_end").cast("int").alias("min_to_month_end"),
+            F.max("to_month_end").cast("int").alias("max_to_month_end"),
+            F.max("next_q").alias("next_quarter_max"),
+        )
+        .orderBy("month")
+    )
