@@ -213,3 +213,107 @@ def _register_incremental_agg() -> None:
 
 
 _register_incremental_agg()
+
+
+def _register_incremental_join() -> None:
+    from pyspark.sql import functions as F
+
+    from ..plans.registry import register
+    from ..sources.catalog import load_table
+
+    @register(
+        "incremental_join_maintenance",
+        oracle="""
+        WITH delta AS (
+            SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        base AS (
+            SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        joined_base AS (
+            SELECT c_nationkey,
+                   COUNT(*) AS n,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS cents
+            FROM base JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1),
+        joined_delta AS (
+            SELECT c_nationkey,
+                   COUNT(*) AS n,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS cents
+            FROM delta JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1),
+        merged AS (
+            SELECT c_nationkey,
+                   SUM(n) AS n, SUM(cents) AS cents
+            FROM (SELECT * FROM joined_base
+                  UNION ALL SELECT * FROM joined_delta)
+            GROUP BY 1),
+        recomputed AS (
+            SELECT c_nationkey,
+                   COUNT(*) AS n,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1)
+        SELECT m.c_nationkey AS c_nationkey,
+               CAST(m.n AS BIGINT) AS n_orders,
+               CAST(m.cents AS BIGINT) AS cents,
+               (m.n = f.n AND m.cents = f.cents) AS matches_recompute
+        FROM merged m JOIN recomputed f ON m.c_nationkey = f.c_nationkey
+        ORDER BY c_nationkey
+        """,
+        description="G15-adjacent incremental JOIN maintenance: a "
+        "delta batch of orders is joined and aggregated alone, merged "
+        "with the maintained base aggregate, and proven equal to the "
+        "full recompute per nation — the delta-processing identity "
+        "(join distributes over union) that makes incremental "
+        "pipelines correct",
+    )
+    def incremental_join_maintenance(spark, sf_dir):
+        """Join-then-aggregate maintained incrementally.
+
+        The delta path joins ONLY the new batch against the dimension
+        (work proportional to the delta, not the base), then merges
+        partial aggregates — the exact identity streaming/foreachBatch
+        pipelines rely on. The matches_recompute flag makes the proof
+        part of the compared output.
+        """
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+            "bigint"
+        )
+
+        def agg_of(df):
+            return (
+                df.join(cust, df.o_custkey == cust.c_custkey)
+                .groupBy("c_nationkey")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(cents).alias("cents"),
+                )
+            )
+
+        base = agg_of(orders.filter(F.col("o_orderkey") % 10 != 0))
+        delta = agg_of(orders.filter(F.col("o_orderkey") % 10 == 0))
+        merged = (
+            base.unionByName(delta)
+            .groupBy("c_nationkey")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+        full = agg_of(orders).withColumnRenamed("n", "fn").withColumnRenamed(
+            "cents", "fcents"
+        )
+        out = merged.join(full, "c_nationkey").select(
+            "c_nationkey",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("cents").cast("bigint").alias("cents"),
+            (
+                (F.col("n") == F.col("fn"))
+                & (F.col("cents") == F.col("fcents"))
+            ).alias("matches_recompute"),
+        )
+        return out.orderBy("c_nationkey")
+
+
+_register_incremental_join()

@@ -941,3 +941,78 @@ def _register_threshold_sweep() -> None:
 
 
 _register_threshold_sweep()
+
+
+@register(
+    "dedup_source_flow_matrix",
+    oracle="""
+    WITH ks AS (
+        SELECT md5(array_to_string(
+                   string_split_regex(trim(lower(text)), '\\s+')[1:16],
+                   ' ')) AS k,
+               source,
+               COUNT(*) AS n_src
+        FROM documents
+        GROUP BY 1, 2),
+    tot AS (
+        SELECT k, SUM(n_src) AS n_tot FROM ks GROUP BY k),
+    dup AS (
+        SELECT ks.k, ks.source, ks.n_src
+        FROM ks JOIN tot ON ks.k = tot.k
+        WHERE tot.n_tot >= 2),
+    pairs AS (
+        SELECT a.k, a.source AS src_a, b.source AS src_b
+        FROM dup a JOIN dup b ON a.k = b.k AND a.source < b.source
+        UNION ALL
+        SELECT k, source, source FROM dup WHERE n_src >= 2)
+    SELECT src_a, src_b, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_clusters
+    FROM pairs
+    GROUP BY src_a, src_b
+    ORDER BY n_clusters DESC, src_a, src_b
+    """,
+    description="G17 duplicate-flow provenance matrix: for every "
+    "16-token-prefix duplicate cluster, which source pairs share the "
+    "duplicated prefix — tells a corpus curator whether dup mass is "
+    "intra-source (crawler re-fetch) or cross-source (syndication), "
+    "per unordered source pair including the same-source diagonal",
+)
+def dedup_source_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate provenance.
+
+    The per-(cluster, source) relation is the unit of work — it is at
+    most |sources| rows per cluster, so the self-join within a cluster
+    is bounded by |sources|^2 (a few hundred), never by cluster size.
+    At 100 TB the heavy step stays the one hash groupBy on the text
+    key; everything after operates on the collapsed relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.encode(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 16),
+            ),
+            "UTF-8",
+        )
+    )
+    ks = docs.groupBy(key.alias("k"), "source").agg(
+        F.count("*").alias("n_src")
+    )
+    tot = ks.groupBy("k").agg(F.sum("n_src").alias("n_tot"))
+    dup = (
+        ks.join(tot, "k")
+        .filter(F.col("n_tot") >= 2)
+        .select("k", "source", "n_src")
+    )
+    a = dup.select("k", F.col("source").alias("src_a"))
+    b = dup.select("k", F.col("source").alias("src_b"))
+    cross = a.join(b, "k").filter(F.col("src_a") < F.col("src_b"))
+    diag = dup.filter(F.col("n_src") >= 2).select(
+        "k", F.col("source").alias("src_a"), F.col("source").alias("src_b")
+    )
+    pairs = cross.select("k", "src_a", "src_b").unionByName(diag)
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.countDistinct("k").alias("n_clusters"))
+        .orderBy(F.desc("n_clusters"), "src_a", "src_b")
+    )

@@ -1795,3 +1795,37 @@ def sql_scripting_threshold_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         END
         """
     )
+
+
+@register(
+    "crosstab_priority_status",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS "F",
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS "O",
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS "P"
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="G5 DataFrame stat surface: df.stat.crosstab contingency "
+    "table of order priority x status — the pairwise-frequency API a "
+    "notebook user reaches for first; pinned against explicit "
+    "conditional counts (the column names crosstab generates, "
+    "key-column 'a_b' plus one column per distinct value, are part of "
+    "the pinned contract)",
+)
+def crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.stat.crosstab` — the contingency-table convenience API.
+
+    crosstab shuffles once on the pair key and pivots the (at most
+    |statuses|) columns driver-side from the collected distinct value
+    set — fine while the value domain is bounded (3 statuses); the
+    unbounded-domain form is the plain groupBy the oracle spells out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.orderBy("o_orderpriority_o_orderstatus")
