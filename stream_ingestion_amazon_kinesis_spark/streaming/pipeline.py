@@ -286,19 +286,52 @@ def kinesis_sim_sink(dest_streams: dict[str, str], num_shards: int = 4):
     return write_batch
 
 
+def read_session_stream_kinesis_sim(
+    spark: SparkSession, stream_dir: str
+) -> DataFrame:
+    """Session records from a kinesis_sim SOURCE stream: the custom
+    DataSource yields (shard_id, sequence_number, partition_key, data);
+    the JSON payload is parsed PERMISSIVE into the session schema with
+    the corrupt column, so downstream sinks see the exact same shape as
+    the file-source path (S3 JSON decode, consumer.py:118)."""
+    from ..sources.kinesis_sim import register_format
+
+    register_format(spark)
+    schema_with_corrupt = T.StructType(
+        list(SESSION_SCHEMA.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.readStream.format("kinesis_sim").option("path", stream_dir).load()
+    )
+    return raw.select(
+        F.from_json(
+            "data",
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r")
+    ).select("r.*")
+
+
 def run_kinesis_sim_pipeline(
     spark: SparkSession,
     input_dir: str,
     dest_streams: dict[str, str],
     checkpoint_dir: str,
     await_all_available: bool = False,
+    source_format: str = "json",
 ):
     """The reference's full topology — source stream -> per-record
     enrichment -> keyed demux to two destination streams — with the
-    destination side going through the kinesis_sim custom sink."""
+    destination side going through the kinesis_sim custom sink.
+    `source_format="kinesis_sim"` reads the source from a kinesis_sim
+    stream directory instead of a JSON file stream (the CLI pairing
+    with `produce`)."""
     for path in dest_streams.values():
         os.makedirs(path, exist_ok=True)
-    stream = read_session_stream(spark, input_dir)
+    if source_format == "kinesis_sim":
+        stream = read_session_stream_kinesis_sim(spark, input_dir)
+    else:
+        stream = read_session_stream(spark, input_dir)
     query = (
         stream.writeStream.foreachBatch(kinesis_sim_sink(dest_streams))
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,85 @@
+"""CLI surface (S9/§3): the reference's producer / plain-consumer /
+ETL-consumer entry points, driven through `python -m` main()."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from stream_ingestion_amazon_kinesis_spark.__main__ import main
+
+RECORD = {
+    "session_id": "s-cli-1",
+    "customer_number": 7,
+    "city": "Denver",
+    "country": "USA",
+    "credit_limit": 1000,
+    "browse_history": [
+        {"product_code": "p1", "quantity": "2", "in_shopping_cart": True},
+        {"product_code": "p2", "quantity": 3, "in_shopping_cart": False},
+    ],
+}
+RECORD_INTL = dict(RECORD, session_id="s-cli-2", country="Peru")
+
+
+def test_cli_list(capsys):
+    assert main(["list", "--grep", "recursive"]) == 0
+    out = capsys.readouterr().out
+    assert "recursive_cte_part_hierarchy  [oracle]" in out
+
+
+def test_cli_run_query(spark, capsys):
+    assert main(["run", "topk_orders_by_price", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out
+
+
+def test_cli_produce_consume_etl_roundtrip(spark, tmp_path, capsys):
+    stream = str(tmp_path / "stream")
+    for rec in (RECORD, RECORD_INTL):
+        assert (
+            main(["produce", "--stream", stream, "--json-string", json.dumps(rec)])
+            == 0
+        )
+
+    assert main(["consume", "--stream", stream]) == 0
+    out = capsys.readouterr().out
+    assert "2 records" in out
+    assert "s-cli-1" in out and "s-cli-2" in out
+
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    assert (
+        main(
+            [
+                "etl",
+                "--source-stream",
+                stream,
+                "--dest-streams",
+                json.dumps({"USA": usa, "International": intl}),
+                "--checkpoint",
+                str(tmp_path / "ckpt"),
+                "--source-format",
+                "kinesis_sim",
+            ]
+        )
+        == 0
+    )
+    # Each destination stream holds exactly its routed, enriched record.
+    for dest, sid in ((usa, "s-cli-1"), (intl, "s-cli-2")):
+        rows = (
+            spark.read.format("kinesis_sim").option("path", dest).load().collect()
+        )
+        assert len(rows) == 1
+        payload = json.loads(rows[0]["data"])
+        assert payload["session_id"] == sid
+        assert payload["overall_product_quantity"] == 5
+        assert payload["overall_in_shopping_cart"] == 2
+        assert payload["total_different_products"] == 2
+        assert rows[0]["partition_key"] == sid
+
+
+def test_cli_unknown_query(capsys):
+    assert main(["run", "no_such_query"]) == 2
