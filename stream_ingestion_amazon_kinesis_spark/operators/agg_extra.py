@@ -607,3 +607,77 @@ def percentile_grid_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority", "yr")
     )
+
+
+@register(
+    "winsorized_mean_value_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    bounds AS (
+        SELECT event_type,
+               quantile_disc(cents, 0.05) AS lo,
+               quantile_disc(cents, 0.95) AS hi
+        FROM c GROUP BY event_type),
+    w AS (
+        SELECT c.event_type,
+               CASE WHEN cents < lo THEN lo
+                    WHEN cents > hi THEN hi
+                    ELSE cents END AS wc
+        FROM c JOIN bounds ON c.event_type = bounds.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(wc) AS BIGINT) AS winsorized_cents,
+           CAST(SUM(wc) * 1000 // COUNT(*) AS BIGINT) AS w_mean_milli
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="G5 winsorized mean: per event type, values clamped to "
+    "the discrete p05/p95 before averaging — the outlier-robust mean a "
+    "metrics pipeline uses; percentile_disc selection (no interpolation) "
+    "keeps both engines exact, and the mean is a staged integer ratio",
+)
+def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean via clamp-to-discrete-quantile.
+
+    Two aggregations over the same keyed relation: the per-type bounds
+    (percentile_disc inside the aggregate — per-group sort, one
+    shuffle) and the clamped sum. The bounds relation is |types| rows,
+    so the join back is a broadcast at any scale; nothing beyond the
+    two hash aggs moves data.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c.createOrReplaceTempView("wins_events")
+    return load_table(spark, sf_dir, "events").sparkSession.sql(
+        """
+        WITH bounds AS (
+            SELECT event_type,
+                   CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+                        AS BIGINT) AS lo,
+                   CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                        AS BIGINT) AS hi
+            FROM wins_events GROUP BY event_type),
+        w AS (
+            SELECT e.event_type,
+                   CASE WHEN cents < lo THEN lo
+                        WHEN cents > hi THEN hi
+                        ELSE cents END AS wc
+            FROM wins_events e JOIN bounds ON e.event_type = bounds.event_type)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(wc) AS BIGINT) AS winsorized_cents,
+               CAST(SUM(wc) * 1000 DIV COUNT(*) AS BIGINT) AS w_mean_milli
+        FROM w
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

@@ -1213,3 +1213,77 @@ def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("peak_at"),
         )
     )
+
+
+@register(
+    "session_window_variable_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                   WHEN 'purchase' THEN INTERVAL '60 minutes'
+                   WHEN 'click' THEN INTERVAL '15 minutes'
+                   ELSE INTERVAL '30 minutes' END AS gap
+        FROM events),
+    e AS (
+        SELECT user_id, ts, event_id, ts + gap AS w_end,
+               MAX(ts + gap) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_end
+        FROM g),
+    f AS (
+        SELECT user_id, ts, event_id, w_end,
+               CASE WHEN prev_end IS NULL OR ts > prev_end
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    i AS (
+        SELECT user_id, ts, w_end,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM f)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(w_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM i
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, session_start
+    """,
+    description="G12 DYNAMIC-gap session windows: each event carries its "
+    "own inactivity gap (purchase 60m, click 15m, else 30m) and Spark "
+    "merges the per-event [ts, ts+gap) intervals — the oracle is the "
+    "gaps-and-islands form generalized to a running MAX of window ends "
+    "(a plain LAG is wrong once gaps vary), with the same "
+    "merge-on-touch boundary convention as the fixed-gap query",
+)
+def session_window_variable_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inactivity gaps via session_window(ts, gapExpr).
+
+    Dynamic-gap sessionization is interval union: an event extends the
+    current session iff its ts is <= the running max end (touching
+    merges, pinned by tests/test_session_boundary_property.py for the
+    fixed-gap case — same merge code path in Spark). The oracle's
+    cumulative MAX over (ts + gap) is order-insensitive for ties
+    because interval union only depends on the interval set. One
+    shuffle on user_id; the session merge is Spark's native state-free
+    batch implementation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type") == "click", F.lit("15 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

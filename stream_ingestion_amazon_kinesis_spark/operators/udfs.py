@@ -604,3 +604,61 @@ def pandas_iter_udf_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "sql_registered_udf_digit_census",
+    oracle="""
+    WITH ds AS (
+        SELECT (o_orderkey // 1 % 10) + (o_orderkey // 10 % 10)
+             + (o_orderkey // 100 % 10) + (o_orderkey // 1000 % 10)
+             + (o_orderkey // 10000 % 10) + (o_orderkey // 100000 % 10)
+             + (o_orderkey // 1000000 % 10) + (o_orderkey // 10000000 % 10)
+             + (o_orderkey // 100000000 % 10)
+             + (o_orderkey // 1000000000 % 10)
+             + (o_orderkey // 10000000000 % 10)
+             + (o_orderkey // 100000000000 % 10) AS digit_sum
+        FROM orders)
+    SELECT CAST(digit_sum AS INT) AS digit_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ds
+    GROUP BY 1
+    ORDER BY digit_sum
+    """,
+    description="G16 SQL-side UDF registration: a pandas_udf registered "
+    "with spark.udf.register and invoked from spark.sql text — the "
+    "digit-sum census of order keys, with the oracle spelling out the "
+    "same arithmetic natively (12-digit mod/div unroll)",
+)
+def sql_registered_udf_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.udf.register` + SQL invocation — the UDF surface a SQL
+    user (not a DataFrame user) reaches for.
+
+    The UDF body is vectorized pandas (one Arrow batch per call, no
+    per-row Python), and the query around it is plain SQL — showing
+    registered UDFs compose with the rest of the engine. The census
+    group key is bounded (max digit sum for 12 digits is 108), so the
+    aggregate is a tiny hash agg after the one projection pass.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def digit_sum(keys: pd.Series) -> pd.Series:
+        total = pd.Series(0, index=keys.index, dtype="int64")
+        k = keys.astype("int64")
+        for _ in range(12):
+            total += k % 10
+            k = k // 10
+        return total
+
+    spark.udf.register("digit_sum", digit_sum)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("udf_orders")
+    return spark.sql(
+        """
+        SELECT CAST(digit_sum(o_orderkey) AS INT) AS digit_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM udf_orders
+        GROUP BY 1
+        ORDER BY digit_sum
+        """
+    )
