@@ -1057,3 +1057,110 @@ def syllable_complexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "poly_ppm"
         ),
     ).orderBy("lang")
+
+
+@register(
+    "positional_weighted_token_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(SUM(g.i * len(l[g.i])) AS BIGINT) AS score
+        FROM toks, generate_series(1, 16) g(i)
+        WHERE g.i <= len(l)
+        GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS total_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="G11 index-aware array lambda: transform(arr, (x, i) -> "
+    "...) weighting each of the first 16 tokens by its 1-based position "
+    "x its length, folded per document then aggregated per source — the "
+    "positional-feature shape (DuckDB has no lambda index; the oracle "
+    "expands a bounded generate_series instead)",
+)
+def positional_weighted_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted token scoring via the 2-arg lambda.
+
+    The index-aware `transform` + `aggregate` fold runs entirely in
+    codegen'd JVM expressions — one projection, no explode, bounded at
+    16 terms per document regardless of length, then a |sources|-row
+    hash agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.aggregate(
+        F.transform(
+            F.slice(tokens(F.col("text")), 1, 16),
+            lambda x, i: (i + F.lit(1)) * F.length(x),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = docs.filter(F.trim("text") != "").select(
+        "source", score.alias("score")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score").cast("bigint").alias("total_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "regexp_function_family_census",
+    oracle="""
+    WITH x AS (
+        SELECT lang,
+               len(regexp_extract_all(text, 'spark')) AS n_spark,
+               NULLIF(regexp_extract(text, 's[a-z]+'), '') AS first_s_word,
+               strpos(text, 'spark') AS pos_spark
+        FROM documents)
+    SELECT lang,
+           CAST(SUM(n_spark) AS BIGINT) AS total_spark_mentions,
+           CAST(COUNT(first_s_word) AS BIGINT) AS docs_with_s_word,
+           CAST(COUNT(DISTINCT first_s_word) AS BIGINT) AS distinct_s_words,
+           CAST(SUM(pos_spark) AS BIGINT) AS sum_first_positions
+    FROM x
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="G11 Spark 4 regexp function family: regexp_count, "
+    "regexp_substr (NULL on miss — DuckDB regexp_extract returns '' "
+    "and is NULLIF'd to align), regexp_instr first-match position "
+    "(literal pattern, so strpos is the exact oracle twin), rolled up "
+    "per language",
+)
+def regexp_function_family_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / regexp_substr / regexp_instr, pinned.
+
+    All three run as JVM regex expressions in one projection pass. The
+    miss conventions are the pin: Spark regexp_substr yields NULL,
+    regexp_instr yields 0 — the oracle mirrors both exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang",
+        F.regexp_count("text", F.lit("spark")).alias("n_spark"),
+        F.regexp_substr("text", F.lit("s[a-z]+")).alias("first_s_word"),
+        F.regexp_instr("text", F.lit("spark")).alias("pos_spark"),
+    )
+    return (
+        x.groupBy("lang")
+        .agg(
+            F.sum("n_spark").cast("bigint").alias("total_spark_mentions"),
+            F.count("first_s_word").alias("docs_with_s_word"),
+            F.countDistinct("first_s_word").alias("distinct_s_words"),
+            F.sum("pos_spark").cast("bigint").alias("sum_first_positions"),
+        )
+        .orderBy("lang")
+    )

@@ -793,3 +793,60 @@ def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("l_partkey", "qty_returned", "qty_total", "return_ppm", "rnk")
     )
+
+
+@register(
+    "tpcds_order_count_bands",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_custkey),
+    banded AS (
+        SELECT p.o_custkey, p.n_orders,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS acct_cents
+        FROM per_cust p JOIN customer ON o_custkey = c_custkey
+        WHERE p.n_orders BETWEEN 2 AND 10)
+    SELECT CAST(n_orders AS BIGINT) AS orders_in_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(acct_cents) AS BIGINT) AS acct_cents
+    FROM banded
+    GROUP BY n_orders
+    ORDER BY orders_in_band
+    """,
+    description="TPC-DS q34/q73 shape: customers whose urgent-priority "
+    "order count falls in a band (HAVING-style band on a grouped count, "
+    "then join back to the dimension for attributes) — the "
+    "find-entities-by-activity-level pattern",
+)
+def tpcds_order_count_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-band selection then dimension join-back.
+
+    The per-customer count collapses the fact table before anything
+    joins — the join input is |customers-in-band|, not |orders|. AQE
+    picks broadcast for the collapsed side when small; the band filter
+    is applied before the join on the aggregated relation, exactly
+    where a 100-TB plan wants it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders").between(2, 10))
+    )
+    acct_cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    banded = per_cust.join(cust, per_cust.o_custkey == cust.c_custkey).select(
+        "n_orders", acct_cents.alias("acct_cents")
+    )
+    return (
+        banded.groupBy(F.col("n_orders").cast("bigint").alias("orders_in_band"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("acct_cents").cast("bigint").alias("acct_cents"),
+        )
+        .orderBy("orders_in_band")
+    )
