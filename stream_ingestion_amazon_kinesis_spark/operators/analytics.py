@@ -2263,3 +2263,215 @@ def equi_depth_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "repeat_purchase_interval_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               o_orderdate,
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS prev_date
+        FROM orders),
+    gaps AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               datediff('day', prev_date, o_orderdate) AS gap_days
+        FROM seq WHERE prev_date IS NOT NULL)
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS median_gap_days,
+           CAST(SUM(gap_days) * 1000 // COUNT(*) AS BIGINT)
+               AS mean_gap_milli,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    description="G8/G5 repeat-purchase cadence: per-customer consecutive "
+    "order gaps (LAG over the customer timeline), rolled up per year of "
+    "the later order — discrete median, staged-integer mean, max; the "
+    "retention-cadence metric behind replenishment forecasting",
+)
+def repeat_purchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution by year.
+
+    One window pass partitioned by customer (shuffle on o_custkey,
+    per-partition sort), then a |years|-keyed agg — the gap relation is
+    |orders| - |customers| rows, never joined. percentile_disc keeps
+    the median exact cross-engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gaps = seq.filter(F.col("prev_date").isNotNull()).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+        ).alias("gap_days"),
+    )
+    gaps.createOrReplaceTempView("purchase_gaps")
+    return spark.sql(
+        """
+        SELECT yr,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+                    AS BIGINT) AS median_gap_days,
+               CAST(SUM(gap_days) * 1000 DIV COUNT(*) AS BIGINT)
+                   AS mean_gap_milli,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+        FROM purchase_gaps
+        GROUP BY yr
+        ORDER BY yr
+        """
+    )
+
+
+@register(
+    "minmax_scaled_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    b AS (
+        SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+        FROM c GROUP BY event_type),
+    scaled AS (
+        SELECT c.event_type,
+               CASE WHEN hi = lo THEN 0
+                    ELSE (cents - lo) * 1000000 // (hi - lo) END AS ppm
+        FROM c JOIN b ON c.event_type = b.event_type),
+    bucketed AS (
+        SELECT event_type,
+               CASE WHEN ppm = 1000000 THEN 9
+                    ELSE CAST(ppm // 100000 AS INT) END AS bucket
+        FROM scaled)
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    description="G17 feature min-max scaling audit: per-type values "
+    "scaled to [0, 1e6] ppm with exact integer arithmetic, bucketed "
+    "into 10 equal-width bins (top edge closed into the last bin) — "
+    "the normalized-feature distribution check before model training",
+)
+def minmax_scaled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact min-max normalization, histogrammed.
+
+    Two tiny shuffles: the per-type bounds agg and the final histogram
+    agg; the bounds relation is |types| rows so the join back is a
+    broadcast at any scale. Integer ppm scaling makes the bucket
+    assignment identical on every engine and partitioning (no float
+    scaler drift).
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    scaled = c.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr("(cents - lo) * 1000000 DIV (hi - lo)")
+        )
+        .alias("ppm"),
+    )
+    bucketed = scaled.select(
+        "event_type",
+        F.when(F.col("ppm") == 1000000, F.lit(9))
+        .otherwise(F.expr("CAST(ppm DIV 100000 AS INT)"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "spearman_price_quantity",
+    oracle="""
+    WITH r AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rp,
+               ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS rq
+        FROM lineitem),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rp - rq) * (rp - rq)) AS BIGINT) AS sum_d2
+        FROM r)
+    SELECT n, sum_d2,
+           CAST(FLOOR(1000000 * (1 - 6.0 * sum_d2
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - 1)))) AS BIGINT) AS rho_e6
+    FROM s
+    """,
+    description="G5/G8 Spearman rank correlation between line price and "
+    "quantity, with a total tiebreak key so ranks are a permutation "
+    "(deterministic tiebreak-ranked variant); sum of squared rank "
+    "differences is exact int64 and the final rho is one mirrored "
+    "IEEE double expression floored to ppm",
+)
+def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlation from exact rank arithmetic.
+
+    The two global rankings are the audit-scale step (single-partition
+    windows — the same caveat as every exact-quantile audit row; the
+    production path samples or buckets first). sum_d2 stays int64
+    through ~sf1 (it grows as n^3); beyond that the staged-decimal
+    route applies. The closing double expression is written
+    identically on both engines, so the FLOOR sees bit-identical
+    input.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wp = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wq = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    r = li.select(
+        F.row_number().over(wp).cast("bigint").alias("rp"),
+        F.row_number().over(wq).cast("bigint").alias("rq"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return s.select(
+        "n",
+        "sum_d2",
+        F.floor(
+            1000000
+            * (
+                F.lit(1)
+                - 6.0
+                * F.col("sum_d2")
+                / (
+                    F.col("n").cast("double")
+                    * (
+                        F.col("n").cast("double") * F.col("n").cast("double")
+                        - 1
+                    )
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("rho_e6"),
+    )

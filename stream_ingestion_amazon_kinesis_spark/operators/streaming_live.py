@@ -1536,3 +1536,80 @@ def streaming_observe_quality_live(spark: SparkSession, sf_dir: str) -> DataFram
         [(totals["n_rows"], totals["n_null_keys"], totals["sum_cents"])],
         "n_rows bigint, n_null_keys bigint, sum_cents bigint",
     )
+
+
+@register(
+    "streaming_session_variable_gap_live",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                   WHEN 'purchase' THEN INTERVAL '60 minutes'
+                   WHEN 'click' THEN INTERVAL '15 minutes'
+                   ELSE INTERVAL '30 minutes' END AS gap
+        FROM events),
+    e AS (
+        SELECT user_id, ts, event_id,
+               MAX(ts + gap) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_end
+        FROM g),
+    f AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_end IS NULL OR ts > prev_end
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    i AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM f)
+    SELECT user_id,
+           date_trunc('milliseconds', MIN(ts)) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM i
+    GROUP BY user_id, sess_no
+    """,
+    description="G12/G14 DYNAMIC-gap session windows on the real "
+    "micro-batch engine: each event's inactivity gap depends on its "
+    "type (purchase 60m / click 15m / else 30m) and the state store "
+    "merges per-event intervals across micro-batches; oracle = "
+    "running-MAX gaps-and-islands with ms-truncated session starts "
+    "(state-store precision)",
+)
+def streaming_session_variable_gap_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-gap counterpart of streaming_session_window_live.
+
+    The gap expression is evaluated per event INSIDE the stateful
+    operator, so sessions merge under out-of-order arrival exactly as
+    in batch (interval union is order-insensitive) — complete mode
+    keeps all merged sessions visible for the oracle diff.
+    """
+    staging = _staged_events_json(spark, sf_dir)
+    stream = read_event_stream(spark, staging)
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type") == "click", F.lit("15 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(sink)
