@@ -29,6 +29,11 @@ REPRESENTATIVES = [
     "autocorr_hourly_counts",
     "pca_power_iteration_topdims",
     "ohlc_hourly_bars",
+    # session-6 families: dynamic-gap interval-union sessions, integer
+    # ppm min-max bucketing, global-rank Spearman arithmetic
+    "session_window_variable_gap",
+    "minmax_scaled_histogram",
+    "spearman_price_quantity",
 ]
 
 

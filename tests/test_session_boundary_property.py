@@ -94,3 +94,72 @@ def test_exact_gap_merges_single_case(spark):
         .collect()
     )
     assert len(ses) == 1 and ses[0].n == 2
+
+
+# ---- dynamic (per-event) gaps: same merge-on-touch convention --------
+
+# Each event's gap depends on its type index: 0 -> 15 min, 1 -> 30 min,
+# 2 -> 60 min. The islands oracle must use a running MAX of (ts + gap),
+# not LAG — an early long-gap event can bridge over a later short-gap
+# one.
+VAR_GAPS = {0: 15, 1: 30, 2: 60}
+
+var_events = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 300), st.integers(0, 2)),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _expected_var_sessions(rows):
+    """Interval union per user with merge-on-touch: a new session starts
+    only when ts STRICTLY exceeds the running max end so far."""
+    by_user: dict[int, list[tuple[dt.datetime, int]]] = {}
+    for uid, ts, g in rows:
+        by_user.setdefault(uid, []).append((ts, g))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = evs[0][0]
+        max_end = evs[0][0] + dt.timedelta(minutes=VAR_GAPS[evs[0][1]])
+        n = 1
+        for ts, g in evs[1:]:
+            if ts > max_end:
+                out.append((uid, start, n))
+                start, n = ts, 0
+            n += 1
+            max_end = max(max_end, ts + dt.timedelta(minutes=VAR_GAPS[g]))
+        out.append((uid, start, n))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=var_events)
+def test_dynamic_gap_session_window_interval_union(spark, data):
+    rows = [
+        (uid, BASE + dt.timedelta(minutes=m), g) for uid, m, g in data
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, g int")
+    gap = (
+        F.when(F.col("g") == 0, F.lit("15 minutes"))
+        .when(F.col("g") == 1, F.lit("30 minutes"))
+        .otherwise(F.lit("60 minutes"))
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in (
+            df.groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+            )
+            .collect()
+        )
+    )
+    assert got == _expected_var_sessions(rows)
