@@ -69,6 +69,10 @@ HEADLINE = [
     # round-3 late additions: stream downsampling, directional near-dup,
     # dense-grid time-series statistics
     "ohlc_hourly_bars",
+    # round-3 session-6 additions: recursive hierarchy fixpoint join,
+    # dynamic-gap interval-union sessionization
+    "recursive_cte_part_hierarchy",
+    "session_window_variable_gap",
     "containment_neardup_pairs",
     "autocorr_hourly_counts",
 ]

@@ -40,6 +40,7 @@ SIDE_EFFECT = {
     "streaming_restart_resume_live",
     "streaming_availablenow_live",
     "streaming_custom_session_timeout_live",
+    "streaming_session_variable_gap_live",
     "streaming_scd2_pointintime_live",
     "streaming_observe_quality_live",
     "sql_ddl_ctas_insert_roundtrip",
