@@ -1829,3 +1829,124 @@ def crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
     return ct.orderBy("o_orderpriority_o_orderstatus")
+
+
+@register(
+    "null_imputation_group_mean",
+    oracle="""
+    WITH holed AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT) END AS cents
+        FROM orders),
+    means AS (
+        SELECT o_orderstatus,
+               CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS mean_cents
+        FROM holed WHERE cents IS NOT NULL
+        GROUP BY o_orderstatus),
+    repaired AS (
+        SELECT h.o_orderstatus,
+               CASE WHEN h.cents IS NULL THEN 1 ELSE 0 END AS imputed,
+               COALESCE(h.cents, m.mean_cents) AS cents
+        FROM holed h JOIN means m ON h.o_orderstatus = m.o_orderstatus)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(imputed) AS BIGINT) AS n_imputed,
+           CAST(SUM(cents) AS BIGINT) AS repaired_cents
+    FROM repaired
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="G17 null repair by group-mean imputation: a "
+    "deterministically-holed price column is filled with its status "
+    "group's truncated integer mean — the standard feature-imputation "
+    "step, with the imputed count and repaired totals pinned exactly",
+)
+def null_imputation_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation, exactly.
+
+    The means relation is |statuses| rows (broadcast join back);
+    truncated integer division keeps the imputed value identical on
+    both engines. Holes are keyed by modulus, never rand(), so the
+    repair is reproducible.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    holed = orders.select(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 != 0, cents).alias("cents"),
+    )
+    means = (
+        holed.filter(F.col("cents").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(F.expr("CAST(SUM(cents) DIV COUNT(cents) AS BIGINT)").alias("mean_cents"))
+    )
+    repaired = holed.join(F.broadcast(means), "o_orderstatus").select(
+        "o_orderstatus",
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("imputed"),
+        F.coalesce("cents", "mean_cents").alias("cents"),
+    )
+    return (
+        repaired.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("imputed").cast("bigint").alias("n_imputed"),
+            F.sum("cents").cast("bigint").alias("repaired_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "date_parse_roundtrip_pin",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
+    f AS (
+        SELECT dt,
+               strftime(dt, '%m/%d/%Y') AS us,
+               strftime(dt, '%d.%m.%Y') AS eu
+        FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN strptime(us, '%m/%d/%Y')::DATE = dt
+                           THEN 1 END) AS BIGINT) AS n_roundtrip_us,
+           CAST(COUNT(CASE WHEN strptime(eu, '%d.%m.%Y')::DATE = dt
+                           THEN 1 END) AS BIGINT) AS n_roundtrip_eu,
+           CAST(COUNT(CASE WHEN try_strptime(us, '%Y-%m-%d') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_bad_parse_null
+    FROM f
+    """,
+    description="G11 date format/parse pin: format -> reparse roundtrips "
+    "must be identities for US (MM/dd/yyyy) and European (dd.MM.yyyy) "
+    "patterns, and parsing with the WRONG pattern must yield NULL via "
+    "try_to_date (Java patterns vs strptime codes aligned)",
+)
+def date_parse_roundtrip_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine date formatting round trips.
+
+    Java SimpleDateFormat-style patterns (MM/dd/yyyy, dd.MM.yyyy) and C
+    strptime codes (%m/%d/%Y, %d.%m.%Y) describe the same renderings —
+    this row proves it over every order date, plus the miss lane:
+    try_to_date on a mismatched pattern is NULL, never an error, even
+    under ANSI mode. One scan, one global agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(F.col("o_orderdate").cast("date").alias("dt"))
+    f = d.select(
+        "dt",
+        F.date_format("dt", "MM/dd/yyyy").alias("us"),
+        F.date_format("dt", "dd.MM.yyyy").alias("eu"),
+    )
+    return f.agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.to_date("us", "MM/dd/yyyy") == F.col("dt"), 1)
+        ).alias("n_roundtrip_us"),
+        F.count(
+            F.when(F.to_date("eu", "dd.MM.yyyy") == F.col("dt"), 1)
+        ).alias("n_roundtrip_eu"),
+        F.count(
+            F.when(F.try_to_date(F.col("us"), "yyyy-MM-dd").isNull(), 1)
+        ).alias("n_bad_parse_null"),
+    )
