@@ -657,7 +657,7 @@ def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cents"),
     )
     c.createOrReplaceTempView("wins_events")
-    return load_table(spark, sf_dir, "events").sparkSession.sql(
+    return spark.sql(
         """
         WITH bounds AS (
             SELECT event_type,
