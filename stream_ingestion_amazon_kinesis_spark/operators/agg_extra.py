@@ -681,3 +681,41 @@ def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY event_type
         """
     )
+
+
+@register(
+    "boolean_aggregate_census",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_high_value,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="G5 boolean aggregate family: bool_and / bool_or (ANSI "
+    "every/any) and count_if per priority — the predicate-rollup "
+    "surface used by data-quality dashboards, exact on both engines",
+)
+def boolean_aggregate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if — predicate rollups.
+
+    All three are plain hash aggregates with map-side partials (a
+    boolean AND/OR is associative+commutative), so the census costs one
+    scan and one tiny shuffle at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_high_value"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        )
+        .orderBy("o_orderpriority")
+    )

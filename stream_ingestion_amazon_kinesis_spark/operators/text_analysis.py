@@ -1164,3 +1164,48 @@ def regexp_function_family_census(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "crypto_hash_census",
+    oracle="""
+    WITH h AS (
+        SELECT source, sha256(text) AS d
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_distinct_digests,
+           CAST(COUNT(DISTINCT substr(d, 1, 2)) AS BIGINT)
+               AS n_prefix_buckets,
+           MIN(d) AS min_digest
+    FROM h
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="G11/G17 cryptographic hash census: SHA-256 digests per "
+    "source — distinct-digest count (content-addressable dedup proxy), "
+    "1-byte-prefix bucket diversity (the shard-balance check for "
+    "hash-partitioned storage), lexicographic min digest; Spark "
+    "sha2(x, 256) and DuckDB sha256 emit identical lowercase hex",
+)
+def crypto_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable hashing over the corpus.
+
+    SHA-256 per document is one JVM expression pass; the census
+    aggregates are tiny. The prefix-bucket count directly audits how
+    evenly a digest-prefix sharding scheme would spread this corpus —
+    the question a content-addressable store asks before picking a
+    fan-out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", F.sha2(F.col("text"), 256).alias("d"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("d").alias("n_distinct_digests"),
+            F.countDistinct(F.substring("d", 1, 2)).alias("n_prefix_buckets"),
+            F.min("d").alias("min_digest"),
+        )
+        .orderBy("source")
+    )
