@@ -58,6 +58,10 @@ def main() -> int:
             SparkSession.builder.master("local[32]")
             .appName("oracle-check-vanilla")
             .config("spark.ui.enabled", "false")
+            # UI-only setting (progress bars corrupt line-oriented
+            # output); does not alter query semantics, so the session
+            # stays representative of the driver's.
+            .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
     else:

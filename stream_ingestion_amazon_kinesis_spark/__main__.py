@@ -116,13 +116,17 @@ def cmd_consume(args: argparse.Namespace) -> int:
         .load()
         .orderBy("shard_id", "sequence_number")
     )
-    rows = df.take(args.limit) if args.limit else df.collect()
+    # toLocalIterator: one partition at a time through the driver, so
+    # logging a huge stream never materializes it driver-side.
+    rows = df.take(args.limit) if args.limit else df.toLocalIterator()
+    n = 0
     for r in rows:
         print(
             f"shard={r['shard_id']} seq={r['sequence_number']} "
             f"pk={r['partition_key']} data={r['data']}"
         )
-    print(f"{len(rows)} records")
+        n += 1
+    print(f"{n} records")
     return 0
 
 

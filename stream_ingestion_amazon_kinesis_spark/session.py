@@ -45,6 +45,9 @@ def get_spark(app_name: str = "stream_ingestion_amazon_kinesis_spark") -> SparkS
         # convert at the catalog layer (sources/catalog.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave with line-oriented tool output
+        # (check_oracle / sweep / bench parse stdout); UI-only setting.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
