@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -280,4 +281,68 @@ def posexplode_ordinality_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
         .orderBy("pos", F.desc("n"), "token")
+    )
+
+
+@register(
+    "array_set_algebra_pin",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents WHERE trim(text) <> ''),
+    x AS (
+        SELECT lang,
+               len(list_distinct(list_concat(toks,
+                   ['spark', 'data', 'zzz_never']))) AS n_union,
+               len(list_filter(toks,
+                   t -> list_contains(['spark', 'data', 'zzz_never'], t)))
+                   AS n_intersect,
+               len(list_filter(toks,
+                   t -> NOT list_contains(['spark', 'data', 'zzz_never'], t)))
+                   AS n_except
+        FROM t)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_union) AS BIGINT) AS total_union,
+           CAST(SUM(n_intersect) AS BIGINT) AS total_intersect,
+           CAST(SUM(n_except) AS BIGINT) AS total_except
+    FROM x
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="G11 array set algebra pin: array_union / "
+    "array_intersect / array_except of each document's distinct token "
+    "set against a constant keyword set — all three DEDUPLICATE their "
+    "result (set semantics, not bag), which the summed sizes prove; "
+    "DuckDB spells them as list_distinct/list_filter compositions",
+)
+def array_set_algebra_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set semantics of the array_* algebra, pinned by cardinality.
+
+    The identity checked at volume: |A ∪ K| = |A| + |K \\ A| and
+    |A ∩ K| + |A \\ K| = |A| for DISTINCT token sets A — only true
+    because Spark's array set functions dedupe. One JVM projection
+    pass, a |langs|-row agg.
+    """
+    kw = F.array(F.lit("spark"), F.lit("data"), F.lit("zzz_never"))
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.trim("text") != "").select(
+        "lang", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    x = t.select(
+        "lang",
+        F.size(F.array_union("toks", kw)).alias("n_union"),
+        F.size(F.array_intersect("toks", kw)).alias("n_intersect"),
+        F.size(F.array_except("toks", kw)).alias("n_except"),
+    )
+    return (
+        x.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_union").cast("bigint").alias("total_union"),
+            F.sum("n_intersect").cast("bigint").alias("total_intersect"),
+            F.sum("n_except").cast("bigint").alias("total_except"),
+        )
+        .orderBy("lang")
     )

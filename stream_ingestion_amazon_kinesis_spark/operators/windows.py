@@ -756,3 +756,76 @@ def monotone_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("max_streak")
     )
+
+
+@register(
+    "window_default_frame_ties_pin",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderdate, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    w AS (
+        SELECT o_orderstatus,
+               SUM(cents) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate) AS range_cum,
+               SUM(cents) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS rows_cum
+        FROM c)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN range_cum <> rows_cum THEN 1 END)
+                AS BIGINT) AS n_tied_diverging,
+           CAST(SUM(range_cum) AS BIGINT) AS sum_range_cum,
+           CAST(SUM(rows_cum) AS BIGINT) AS sum_rows_cum
+    FROM w
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="G8 default-frame pin: with ORDER BY and no frame "
+    "clause the standard (and both engines) use RANGE UNBOUNDED "
+    "PRECEDING..CURRENT ROW, so tied order dates SHARE their "
+    "cumulative value; the ROWS frame with a total tiebreak splits "
+    "them — the divergence count is exactly the tied-peer rows",
+)
+def window_default_frame_ties_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-default vs ROWS cumulative sums under ties.
+
+    The RANGE cumulative depends only on the date (peer rows share a
+    value — order-insensitive by construction); the ROWS cumulative is
+    made deterministic by the (date, orderkey) total tiebreak. Both
+    checksums and the diverging-row count are therefore exact on any
+    engine and partitioning — the pin that stops 'cumulative revenue'
+    silently changing when someone drops the frame clause.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    c = orders.select(
+        "o_orderstatus", "o_orderdate", "o_orderkey", cents.alias("cents")
+    )
+    w_range = W.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    w_rows = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w = c.select(
+        "o_orderstatus",
+        F.sum("cents").over(w_range).alias("range_cum"),
+        F.sum("cents").over(w_rows).alias("rows_cum"),
+    )
+    return (
+        w.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("range_cum") != F.col("rows_cum"), 1)).alias(
+                "n_tied_diverging"
+            ),
+            F.sum("range_cum").cast("bigint").alias("sum_range_cum"),
+            F.sum("rows_cum").cast("bigint").alias("sum_rows_cum"),
+        )
+        .orderBy("o_orderstatus")
+    )
