@@ -346,3 +346,47 @@ def array_set_algebra_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "lateral_view_explode_sql",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> '')
+    SELECT lang,
+           CAST(length(tok) AS INT) AS tok_len,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks
+    WHERE length(tok) <= 8
+    GROUP BY lang, tok_len
+    ORDER BY lang, tok_len
+    """,
+    description="G11/G16 Hive-style LATERAL VIEW explode SQL syntax "
+    "(the text twin of the DataFrame explode rows): token-length "
+    "census per language from an exploded tokenizer, capped at length "
+    "8 — the generator-in-FROM-clause surface SQL users migrate in "
+    "with",
+)
+def lateral_view_explode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode — the Hive-compat generator syntax.
+
+    Catalyst plans this identically to the DataFrame explode (one
+    Generate node feeding a partial-aggregated count), so the syntax
+    carries zero cost; the census itself is bounded by |langs| x 8
+    groups.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "lv_documents"
+    )
+    return spark.sql(
+        r"""
+        SELECT lang, CAST(length(tok) AS INT) AS tok_len,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lv_documents
+        LATERAL VIEW explode(split(trim(text), '\\s+')) t AS tok
+        WHERE trim(text) <> '' AND length(tok) <= 8
+        GROUP BY lang, length(tok)
+        ORDER BY lang, tok_len
+        """
+    )

@@ -1479,3 +1479,60 @@ def date_arithmetic_clamp_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "sql_pivot_clause_surface",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders)
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN cents END) AS BIGINT) AS p1,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                         THEN cents END) AS BIGINT) AS p2,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                         THEN cents END) AS BIGINT) AS p3,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                         THEN cents END) AS BIGINT) AS p4,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN cents END) AS BIGINT) AS p5
+    FROM c
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="G7 SQL PIVOT clause (the text-syntax twin of the "
+    "DataFrame .pivot row): revenue cents per status pivoted across "
+    "the five priorities with IN-list aliases naming the columns; "
+    "empty cells stay NULL on both engines",
+)
+def sql_pivot_clause_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text PIVOT surface.
+
+    Explicit IN-list values (never a scan-the-domain pivot), so the
+    plan is a single hash aggregate with 5 conditional sums — identical
+    to what the oracle spells out; no second pass to discover pivot
+    columns.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pvt_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, p1, p2, p3, p4, p5
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM pvt_orders
+        )
+        PIVOT (
+            CAST(SUM(cents) AS BIGINT)
+            FOR o_orderpriority IN (
+                '1-URGENT' AS p1, '2-HIGH' AS p2, '3-MEDIUM' AS p3,
+                '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5)
+        )
+        ORDER BY o_orderstatus
+        """
+    )
