@@ -589,3 +589,94 @@ def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _register_theil_sen() -> None:
+    from pyspark.sql import functions as F
+
+    from ..plans.registry import register
+    from ..sources.catalog import load_table
+
+    @register(
+        "theil_sen_revenue_trend",
+        oracle="""
+        WITH yearly AS (
+            SELECT o_orderpriority,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1, 2),
+        slopes AS (
+            SELECT a.o_orderpriority,
+                   (b.cents - a.cents) * 1000 // (b.yr - a.yr) AS slope_milli
+            FROM yearly a JOIN yearly b
+              ON a.o_orderpriority = b.o_orderpriority AND a.yr < b.yr)
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(quantile_disc(slope_milli, 0.5) AS BIGINT)
+                   AS theil_sen_slope_milli,
+               CAST(MIN(slope_milli) AS BIGINT) AS min_slope_milli,
+               CAST(MAX(slope_milli) AS BIGINT) AS max_slope_milli
+        FROM slopes
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        description="G5 Theil-Sen robust trend: the median of all "
+        "pairwise year-over-year revenue slopes per priority — the "
+        "outlier-resistant alternative to OLS for trend estimation; "
+        "slopes are truncated integer milli-cents/year and the median "
+        "is a discrete selection, so the estimate is exact on both "
+        "engines",
+    )
+    def theil_sen_revenue_trend(spark, sf_dir):
+        """Median-of-slopes trend, exactly.
+
+        The pairwise join runs on the YEARLY aggregate (|priorities| x
+        |years| rows — bounded regardless of order volume), so the
+        quadratic pair step is over ~7 points per group, never over
+        the fact table. The fact-table work is one hash aggregate.
+        """
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+            "bigint"
+        )
+        yearly = orders.groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        ).agg(F.sum(cents).cast("bigint").alias("cents"))
+        a = yearly.select(
+            "o_orderpriority",
+            F.col("yr").alias("ya"),
+            F.col("cents").alias("ca"),
+        )
+        b = yearly.select(
+            F.col("o_orderpriority").alias("pb"),
+            F.col("yr").alias("yb"),
+            F.col("cents").alias("cb"),
+        )
+        slopes = a.join(
+            b,
+            (a.o_orderpriority == b.pb) & (a.ya < b.yb),
+        ).select(
+            "o_orderpriority",
+            F.expr("(cb - ca) * 1000 DIV (yb - ya)").alias("slope_milli"),
+        )
+        slopes.createOrReplaceTempView("ts_slopes")
+        return spark.sql(
+            """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(percentile_disc(0.5)
+                        WITHIN GROUP (ORDER BY slope_milli) AS BIGINT)
+                       AS theil_sen_slope_milli,
+                   CAST(MIN(slope_milli) AS BIGINT) AS min_slope_milli,
+                   CAST(MAX(slope_milli) AS BIGINT) AS max_slope_milli
+            FROM ts_slopes
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+            """
+        )
+
+
+_register_theil_sen()
