@@ -27,6 +27,7 @@ actual Kinesis.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -86,7 +87,17 @@ def cmd_produce(args: argparse.Namespace) -> int:
     from .sources.kinesis_sim import register_format
 
     record = json.loads(args.json_string)
-    key = str(record.get(args.partition_key, ""))
+    if args.partition_key not in record:
+        # The reference producer fails loudly on a missing key
+        # (producer_from_cli...py:48 indexes data_record["session_id"]);
+        # a silent "" key would degrade shard routing.
+        print(
+            f"error: record is missing partition-key field "
+            f"{args.partition_key!r}",
+            file=sys.stderr,
+        )
+        return 2
+    key = str(record[args.partition_key])
     spark = _get_spark("cli-produce")
     register_format(spark)
     df = spark.createDataFrame(
@@ -137,7 +148,19 @@ def cmd_etl(args: argparse.Namespace) -> int:
     from .streaming.pipeline import run_kinesis_sim_pipeline
 
     dest = json.loads(args.dest_streams)
-    checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="etl-ckpt-")
+    # Exactly-once across re-runs holds only when the SAME checkpoint is
+    # reused, so the default is derived deterministically from the
+    # source+dest paths (not a fresh mkdtemp, which would reprocess the
+    # whole stream and append duplicates on every invocation).
+    if args.checkpoint:
+        checkpoint = args.checkpoint
+    else:
+        topo = hashlib.sha256(
+            json.dumps([args.source_stream, dest], sort_keys=True).encode()
+        ).hexdigest()[:16]
+        checkpoint = os.path.join(
+            tempfile.gettempdir(), f"etl-ckpt-{topo}"
+        )
     spark = _get_spark("cli-etl")
     query = run_kinesis_sim_pipeline(
         spark,

@@ -267,8 +267,6 @@ def posexplode_ordinality_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDINALITY; the oracle cross-joins a constant generate_series and
     filters by list length, which is the same bounded expansion.
     """
-    from ..functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.filter(F.trim("text") != "").select(
         tokens(F.col("text")).alias("l")

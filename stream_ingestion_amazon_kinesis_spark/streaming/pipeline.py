@@ -326,6 +326,11 @@ def run_kinesis_sim_pipeline(
     `source_format="kinesis_sim"` reads the source from a kinesis_sim
     stream directory instead of a JSON file stream (the CLI pairing
     with `produce`)."""
+    if source_format not in ("json", "kinesis_sim"):
+        raise ValueError(
+            f"source_format must be 'json' or 'kinesis_sim', "
+            f"got {source_format!r}"
+        )
     for path in dest_streams.values():
         os.makedirs(path, exist_ok=True)
     if source_format == "kinesis_sim":

@@ -83,3 +83,63 @@ def test_cli_produce_consume_etl_roundtrip(spark, tmp_path, capsys):
 
 def test_cli_unknown_query(capsys):
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cli_produce_missing_partition_key(tmp_path, capsys):
+    """ADVICE r3: a record without the partition-key field must fail
+    loudly (the reference producer raises KeyError on data_record
+    ["session_id"]), not write an empty-key record."""
+    stream = str(tmp_path / "stream")
+    rec = {k: v for k, v in RECORD.items() if k != "session_id"}
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(rec)])
+        == 2
+    )
+    err = capsys.readouterr().err
+    assert "session_id" in err
+    assert not os.path.exists(stream) or not os.listdir(stream)
+
+
+def test_cli_etl_default_checkpoint_is_stable(tmp_path, spark, capsys):
+    """ADVICE r3: rerunning `etl` without --checkpoint must NOT
+    reprocess the stream (the default checkpoint derives from the
+    source/dest paths, so the second run resumes and appends nothing)."""
+    stream = str(tmp_path / "stream")
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(RECORD)])
+        == 0
+    )
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+    ]
+    assert main(etl_args) == 0
+    out1 = capsys.readouterr().out
+    assert "etl-ckpt-" in out1
+    assert main(etl_args) == 0  # rerun, same derived checkpoint
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    assert len(rows) == 1  # no duplicate from the rerun
+
+
+def test_pipeline_rejects_unknown_source_format(spark, tmp_path):
+    """ADVICE r3: a library caller passing a typo'd source_format gets
+    ValueError, not a silent JSON-source fallback."""
+    from stream_ingestion_amazon_kinesis_spark.streaming.pipeline import (
+        run_kinesis_sim_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="source_format"):
+        run_kinesis_sim_pipeline(
+            spark,
+            str(tmp_path / "src"),
+            {"USA": str(tmp_path / "usa")},
+            str(tmp_path / "ckpt"),
+            source_format="kinesis",
+        )
