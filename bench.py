@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -81,7 +82,13 @@ HEADLINE = [
 SCALING_SF = {"0.1": "0.01", "0.01": "0.001"}
 
 
-def _run_set(spark, sf_dir: str, collect_stats: bool):
+def _run_set(spark, sf_dir: str, collect_stats: bool, repeats: int = 1):
+    """Run every headline query `repeats` times, keeping the per-query
+    MEDIAN. Single-shot timings on the heavier join trees
+    (prefix_filter_jaccard_pairs spanned 1.1-4.5 s across equally-valid
+    solo runs in round 3) made round-over-round comparison unreliable;
+    the median of 3 warm runs is stable to <20% jitter. plan_stats come
+    from the first run only (the plan is deterministic)."""
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     timings: dict[str, float] = {}
@@ -92,11 +99,12 @@ def _run_set(spark, sf_dir: str, collect_stats: bool):
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = [time.perf_counter() - t0]
         sc.setJobGroup("", "")
         if collect_stats:
             # Static shuffle boundaries in the physical plan (pre-AQE —
             # AQE can only merge/skip these at runtime, never add).
+            # Captured after run 1 so jobs/stages count ONE execution.
             plan = df._jdf.queryExecution().executedPlan().toString()
             job_ids = tracker.getJobIdsForGroup(name)
             n_stages = 0
@@ -113,6 +121,13 @@ def _run_set(spark, sf_dir: str, collect_stats: bool):
                 "jobs": len(job_ids),
                 "stages": n_stages,
             }
+        sc.setJobGroup(name, name)
+        for _ in range(repeats - 1):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        sc.setJobGroup("", "")
+        timings[name] = round(statistics.median(samples), 3)
     return timings, stats
 
 
@@ -139,7 +154,10 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings, stats = _run_set(spark, sf_dir, collect_stats=True)
+    # Primary SF: median of 3 runs per query (stable round-over-round
+    # numbers); scaling sets stay single-shot — they feed a slope, and
+    # tripling them would triple the driver's bench wall-clock.
+    timings, stats = _run_set(spark, sf_dir, collect_stats=True, repeats=3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # Field order matters: the driver's capture keeps the TAIL of long
