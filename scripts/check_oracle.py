@@ -86,7 +86,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if spec.oracle is None:
-            print(f"ok*   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            twin = f", hard signal: {spec.twin_test}" if spec.twin_test else ""
+            print(
+                f"ok*   {name}: rows-only ({len(sdf)} rows, "
+                f"{time.time()-t0:.1f}s{twin})"
+            )
             if len(sdf) == 0:
                 print(f"      WARNING: 0 rows from {name}")
             continue

@@ -48,7 +48,12 @@ def cmd_list(args: argparse.Namespace) -> int:
         if args.grep and args.grep.lower() not in name.lower():
             continue
         spec = QUERIES[name]
-        kind = "oracle" if spec.oracle else "rows-only"
+        if spec.oracle:
+            kind = "oracle"
+        elif spec.twin_test:
+            kind = f"rows-only, see {spec.twin_test}"
+        else:
+            kind = "rows-only"
         print(f"{name}  [{kind}]")
         if args.verbose and spec.description:
             print(f"    {spec.description}")

@@ -285,6 +285,7 @@ def lsh_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     oracle=None,  # probabilistic candidate generation is engine-specific;
     # recall vs exact shingle-Jaccard is asserted in tests/test_dedup.py
     description="G17 MinHash(32)+LSH(8x4) over 3-shingles, exact-Jaccard verified >= 0.8",
+    twin_test="tests/test_dedup.py::test_minhash_lsh_recall",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -496,6 +497,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprints",
     oracle=None,  # hash-function-specific; bucket behavior asserted in tests
     description="G17 SimHash(32-bit) fingerprint per doc + collision buckets",
+    twin_test="tests/test_dedup.py::test_identical_docs_same_simhash",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: per token hash, each bit contributes +1/-1; the

@@ -109,6 +109,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # mapInPandas decode plumbing — deterministic fake decoder,
     # shape & values asserted in tests/test_multimodal.py
     description="G17 multimodal decode/feature-extract via Arrow-batched mapInPandas",
+    twin_test="tests/test_multimodal.py::test_fake_decode_deterministic",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -306,6 +306,7 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_lineitem",
     oracle=None,  # HLL sketches are engine-specific; exactness checked in tests
     description="G6 approx_count_distinct (HyperLogLog++) — the 100 TB-scale distinct path",
+    twin_test="tests/test_approx.py::test_hll_within_5pct_of_exact",
 )
 def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -321,6 +322,7 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact percentiles is asserted in tests/test_approx.py
     description="G6 percentile_approx (t-digest, accuracy 10k) — the "
     "single-pass quantile path for 100 TB, exact twin: percentiles_order_price",
+    twin_test="tests/test_approx.py::test_approx_percentile_within_1pct_of_exact",
 )
 def approx_percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

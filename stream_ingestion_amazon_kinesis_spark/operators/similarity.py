@@ -151,6 +151,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataF
     oracle=None,  # approximate by construction; recall vs brute force is
     # asserted in tests/test_similarity.py
     description=f"G17 IVF-style ANN: centroid coarse quantization, multi-probe ({N_PROBE} cells)",
+    twin_test="tests/test_similarity.py::test_ivf_recall_vs_brute_force",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -210,6 +211,7 @@ N_ASSIGN_NEARDUP = 4
     # tests/test_similarity.py
     description="G17 embedding near-dup, IVF-cell blocked: quantizer cells as the "
     "production blocking key (multi-assign 2 cells), exact cosine verify",
+    twin_test="tests/test_similarity.py::test_ivf_neardup_recall_vs_label_blocked",
 )
 def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for `embedding_neardup_pairs` (operators/dedup.py):
@@ -322,6 +324,7 @@ def srp_band_buckets(vec) -> F.Column:
     # asserted in tests/test_similarity.py
     description=f"G17 SRP-LSH ANN: {N_PLANES}-bit signed random projections "
     f"in {SRP_BANDS} bands, any-band candidate match, exact cosine rerank",
+    twin_test="tests/test_similarity.py::test_srp_recall_vs_brute_force",
 )
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hyperplane-LSH alternative to IVF: no trained quantizer, so it
@@ -653,6 +656,7 @@ def _pq_codebooks(emb: DataFrame):
     f"cells + {PQ_M}x{PQ_K} product-quantization codes, LUT-based ADC "
     f"candidate scoring over codes only, exact cosine rerank of the "
     f"top {PQ_RERANK}",
+    twin_test="tests/test_similarity.py::test_ivf_pq_recall_vs_brute_force",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """faiss-IndexIVFPQ semantics on DataFrames: (1) corpus vectors are

@@ -33,6 +33,7 @@ from ..sources.catalog import load_table
     "hll_union_agg into an overall distinct estimate — the incremental "
     "rollup pattern (sketch each day once, merge for any window) that "
     "replaces repeated global COUNT(DISTINCT) shuffles at 100 TB",
+    twin_test="tests/test_sketches.py::test_hll_monthly_merge_within_5pct_of_exact",
 )
 def hll_monthly_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level sketch rollup: month -> overall.
@@ -67,6 +68,7 @@ def hll_monthly_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequency summary with a one-sided error bound — the mergeable "
     "heavy-hitters path for streams/partitions at scale (seeded, so "
     "deterministic)",
+    twin_test="tests/test_sketches.py::test_cms_estimates_bounded_above_exact",
 )
 def cms_orderpriority_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -275,6 +277,7 @@ def linreg_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "estimate via HLL inclusion-exclusion (|A∩B| ≈ est(A) + est(B) - "
     "est(A∪B)) — the mergeable-sketch answer to retention at 100 TB, "
     "where exact weekly user sets are too large to re-intersect",
+    twin_test="tests/test_sketches.py::test_hll_intersection_accuracy",
 )
 def hll_retention_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retained users between consecutive weeks from merged HLL sketches.

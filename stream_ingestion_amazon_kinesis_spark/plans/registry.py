@@ -28,16 +28,26 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     description: str
+    # For rows-only queries (oracle=None — approximate or randomized by
+    # nature): the pytest node that carries the hard signal instead
+    # (recall / accuracy-band / determinism), so a correctness report
+    # can say `no_oracle (see tests/...)` rather than a bare no_oracle.
+    twin_test: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, description: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    twin_test: str | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, description)
+        QUERIES[name] = QuerySpec(name, fn, oracle, description, twin_test)
         return fn
 
     return deco

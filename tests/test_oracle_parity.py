@@ -58,3 +58,26 @@ def test_approx_count_distinct_tolerance(spark, sf_dir, oracle):
     ).fetchone()
     assert abs(row["approx_parts"] - exact_parts) / exact_parts <= 0.05
     assert abs(row["approx_orders"] - exact_orders) / exact_orders <= 0.05
+
+
+def test_rows_only_queries_name_their_hard_signal():
+    """Every rows-only registry entry (oracle=None) must point at the
+    pytest node that carries its accuracy/recall/determinism signal,
+    and that node must actually exist (file + function)."""
+    import ast
+    import os
+
+    _load_all()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, spec in QUERIES.items():
+        if spec.oracle is not None:
+            continue
+        assert spec.twin_test, f"{name} is rows-only but has no twin_test"
+        path, _, func = spec.twin_test.partition("::")
+        full = os.path.join(repo, path)
+        assert os.path.exists(full), f"{name}: twin file {path} missing"
+        tree = ast.parse(open(full).read())
+        funcs = {
+            n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+        }
+        assert func in funcs, f"{name}: {func} not found in {path}"
