@@ -24,18 +24,41 @@ class ProgressLog:
     batches: list[dict] = field(default_factory=list)
 
     def record(self, progress: dict) -> None:
+        dur = progress.get("durationMs") or {}
         self.batches.append(
             {
                 "batch_id": progress.get("batchId"),
                 "num_input_rows": progress.get("numInputRows"),
                 "rows_per_second": progress.get("processedRowsPerSecond"),
-                "duration_ms": (progress.get("durationMs") or {}).get("triggerExecution"),
+                "duration_ms": dur.get("triggerExecution"),
+                # Sink-visibility components: addBatch is the data write,
+                # walCommit/commitOffsets the offset-log commit that makes
+                # the batch durable (the reference's only published
+                # operating characteristic is 5-7 min from put to S3
+                # visibility, README.md:580 — this is its per-batch twin).
+                "add_batch_ms": dur.get("addBatch"),
+                "commit_ms": (dur.get("walCommit") or 0)
+                + (dur.get("commitOffsets") or 0),
             }
         )
 
     @property
     def total_rows(self) -> int:
         return sum(b["num_input_rows"] or 0 for b in self.batches)
+
+    @property
+    def trigger_to_commit_ms(self) -> list[int]:
+        """Per-micro-batch end-to-end latency: trigger start to durable
+        commit (triggerExecution spans source fetch, plan execution,
+        sink write, and the offset-log commit)."""
+        return [
+            b["duration_ms"] for b in self.batches if b["duration_ms"] is not None
+        ]
+
+    @property
+    def max_latency_ms(self) -> int | None:
+        lat = self.trigger_to_commit_ms
+        return max(lat) if lat else None
 
 
 class QueryProgressListener(StreamingQueryListener):

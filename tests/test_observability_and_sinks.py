@@ -62,6 +62,14 @@ def test_progress_listener_sees_batches(spark, sf_dir, tmp_path):
             time.sleep(0.25)
         assert log.total_rows == 100
         assert all(b["batch_id"] is not None for b in log.batches)
+        # End-to-end latency metric (reference's published operating
+        # characteristic is 5-7 MINUTES to S3 visibility, README.md:580):
+        # every micro-batch's trigger-to-commit latency is recorded,
+        # positive, and far under that bound on local volume.
+        lat = log.trigger_to_commit_ms
+        assert lat, "no trigger-to-commit latencies recorded"
+        assert all(0 < ms < 60_000 for ms in lat), lat
+        assert log.max_latency_ms == max(lat)
     finally:
         spark.streams.removeListener(listener)
 
