@@ -1,13 +1,17 @@
 """Multimodal column plumbing (SURVEY §2.3 G17, driver north_star).
 
 Images/audio/video are opaque `binary` columns plus typed metadata.
-The container has no codec libraries, so the actual decode is a
-clearly-marked deterministic fake behind the same interface a real
-decoder would use (`mapInPandas` over Arrow record batches); the
+Two decode paths exist behind the same mapInPandas interface:
+`decode_features()` keeps the original deterministic bytes-as-pixels
+stand-in, and `decode_features(real_decoder=True)` / `decode_media`
+REALLY decode WAV (stdlib `wave`) and PGM containers — header parse,
+sample/pixel extraction — with no third-party codec needed. The
 Spark-side plumbing — schema, batch iteration, partition-preserving
-transform — is real and is what matters at 100 TB: decode work is
+transform — is shared and is what matters at 100 TB: decode work is
 embarrassingly parallel, never shuffles, and streams batch-by-batch
-through Python workers without materializing a partition.
+through Python workers without materializing a partition. A PIL/
+librosa/ffmpeg decoder slots into the same loop for formats stdlib
+can't parse.
 """
 
 from __future__ import annotations
@@ -50,18 +54,93 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+_WAV_RATE = 8000
+
+
+def encode_wav(samples: bytes) -> bytes:
+    """Wrap raw bytes as a valid mono 8-bit PCM WAV container (stdlib
+    `wave`) — 44-byte canonical RIFF header + the samples verbatim."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+PGM_WIDTH = 32
+
+
+def encode_pgm(pixels: bytes) -> bytes:
+    """Wrap raw bytes as a valid binary PGM (P5) grayscale image,
+    width-32, zero-padded to a full final row."""
+    h = max(1, -(-len(pixels) // PGM_WIDTH))
+    padded = pixels + b"\x00" * (PGM_WIDTH * h - len(pixels))
+    return f"P5\n{PGM_WIDTH} {h}\n255\n".encode("ascii") + padded
+
+
+def decode_media(payload: bytes) -> tuple[str, int, int]:
+    """REAL container decode via magic-byte sniffing, stdlib only:
+    RIFF/WAVE -> `wave` module (sample extraction), P5 -> PGM header
+    parse + pixel plane. Returns (mime, n_units, unit_sum) where units
+    are decoded samples/pixels — NOT raw container bytes (the header is
+    parsed away, which is what makes this a decoder and not a strlen)."""
+    import io
+    import wave
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            assert w.getframerate() == _WAV_RATE
+            frames = w.readframes(w.getnframes())
+        return "audio/wav", len(frames), sum(frames)
+    if payload[:2] == b"P5":
+        # P5\n<w> <h>\n<maxval>\n then w*h raw bytes
+        hdr = io.BytesIO(payload)
+        assert hdr.readline().strip() == b"P5"
+        w_, h_ = map(int, hdr.readline().split())
+        maxval = int(hdr.readline())
+        assert maxval == 255
+        pix = hdr.read(w_ * h_)
+        assert len(pix) == w_ * h_
+        return "image/pgm", len(pix), sum(pix)
+    raise ValueError(f"unknown container magic: {payload[:4]!r}")
+
+
 def decode_features(media: DataFrame, real_decoder: bool = False) -> DataFrame:
     """Decode payloads and extract a feature vector summary, batch-wise.
 
-    A real deployment would replace `_fake_decode` with PIL/librosa/
-    ffmpeg inside the same mapInPandas loop — the Arrow batch shape,
-    schema contract, and partitioning are identical.
+    With `real_decoder=True` the payloads must be actual WAV/PGM
+    containers (see `synthesize_container_media`) and are decoded with
+    the stdlib codecs in `decode_media`; the default fake path keeps the
+    original bytes-as-pixels stand-in. Either way the Arrow batch shape,
+    schema contract, and partitioning are identical — a PIL/librosa
+    decoder slots into the same loop.
     """
     if real_decoder:
-        raise NotImplementedError(
-            "codec libraries are not available in this environment; "
-            "plug a real decoder into the mapInPandas loop below"
-        )
+
+        def _real_decode(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                decoded = [decode_media(bytes(b)) for b in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                        "feat_mean": [
+                            (s / n) if n else 0.0 for _, n, s in decoded
+                        ],
+                        "feat_dim": pd.Series(
+                            [64] * len(pdf), dtype="int32"
+                        ),
+                    }
+                )
+
+        return media.mapInPandas(_real_decode, schema=_DECODE_SCHEMA)
 
     def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,6 +199,108 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.sum(F.round(F.col("feat_mean"), 3)), 3).alias("sum_feat_mean"),
     )
+
+
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("container_bytes", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("unit_sum", T.LongType()),
+    ]
+)
+
+
+def synthesize_container_media(docs: DataFrame) -> DataFrame:
+    """Real containers, deterministically derived from the text: even
+    doc_ids become 8-bit PCM WAV files (samples = utf-8 bytes), odd
+    doc_ids become binary PGM images (pixels = utf-8 bytes, zero-padded
+    to width 32). Unlike `synthesize_media`'s opaque stand-in, these
+    payloads parse with any standards-compliant reader."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(t.encode("utf-8"))
+                if doc_id % 2 == 0
+                else encode_pgm(t.encode("utf-8"))
+                for doc_id, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode, schema=_MEDIA_SCHEMA
+    )
+
+
+@register(
+    "multimodal_real_decode_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(string_split(text, ''),
+                             c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS s
+        FROM documents WHERE strlen(text) > 0),
+    dims AS (
+        SELECT doc_id, n, s, (n + {PGM_WIDTH - 1}) // {PGM_WIDTH} AS h
+        FROM b)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                ELSE 'image/pgm' END AS mime,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n + 44
+                ELSE 11 + length(CAST(h AS VARCHAR)) + {PGM_WIDTH} * h
+                END AS BIGINT) AS container_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n
+                ELSE {PGM_WIDTH} * h END AS BIGINT) AS n_units,
+           s AS unit_sum
+    FROM dims
+    """,
+    description="G17 multimodal REAL codec roundtrip: WAV (stdlib wave) and "
+    "PGM containers built from the text bytes, then decoded back by "
+    "magic-byte sniffing — container size, decoded unit count, and unit "
+    "sum all verified against text-derived arithmetic (the header parse "
+    "is what the oracle proves: 44-byte RIFF header, variable PGM header, "
+    "zero-pad handling)",
+)
+def multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode roundtrip through REAL containers, stdlib-only.
+
+    Both steps are chained mapInPandas (narrow — no shuffle between
+    encode and decode; at 100 TB each partition's media stream flows
+    batch-by-batch through the Python worker exactly once). The decoder
+    is `decode_media`: it dispatches on magic bytes and PARSES the
+    containers (RIFF chunk walk via `wave`, PGM header scan), so a
+    malformed header or wrong pad length fails loudly rather than
+    producing plausible numbers.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    media = synthesize_container_media(docs)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_media(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m for m, _, _ in decoded],
+                    "container_bytes": pdf["payload"].map(len),
+                    "n_units": [n for _, n, _ in decoded],
+                    "unit_sum": [s for _, _, s in decoded],
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=_REAL_DECODE_SCHEMA)
 
 
 FRAME_CHARS = 32
