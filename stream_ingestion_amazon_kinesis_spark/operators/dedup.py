@@ -643,7 +643,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_tok") - F.expr("(4*n_tok + 4) div 5") + 1
-    ).select("doc_id", "source", "token", "n_tok")
+    ).select("doc_id", "source", "token", "n_tok", "rn")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # Length filter (lossless, standard All-Pairs companion to the
     # prefix filter): J(a,b) >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
@@ -653,6 +653,23 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = F.least(F.col("pa.n_tok"), F.col("pb.n_tok")) * 5 >= F.greatest(
         F.col("pa.n_tok"), F.col("pb.n_tok")
     ) * 4
+    # Positional (suffix) upper bound, PPJoin's second filter (Xiao et
+    # al. / Bayardo): tokens are in ONE global rarity order, so every
+    # common token of a matched pair sits at position >= rn in each doc
+    # — overlap <= min(n_a - rn_a, n_b - rn_b) + 1. A pair with
+    # J >= t needs overlap >= t/(1+t) * (n_a+n_b); for t=0.8 that is
+    # ceil(4(n_a+n_b)/9), exact integers. Lossless: the bound only
+    # discards pairs that cannot reach the required overlap. The
+    # groupBy REPLACES the former .distinct() (same shuffle), so the
+    # bound prunes verify-join fan-in for free.
+    ub = (
+        F.least(
+            F.col("pa.n_tok") - F.col("pa.rn"),
+            F.col("pb.n_tok") - F.col("pb.rn"),
+        )
+        + 1
+    )
+    required = F.expr("(4*(pa.n_tok + pb.n_tok) + 8) div 9")
     cand = (
         pa.join(
             pb,
@@ -661,10 +678,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & len_ok,
         )
-        .select(
+        .groupBy(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.max(ub).alias("max_ub"), F.max(required).alias("req"))
+        .filter(F.col("max_ub") >= F.col("req"))
+        .select("doc_a", "doc_b")
     )
     ta, tb = tok.alias("ta"), tok.alias("tb")
     shared = (
