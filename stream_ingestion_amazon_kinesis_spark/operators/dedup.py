@@ -628,7 +628,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tok feeds sizes, dfreq, the ranked prefix AND both verify sides —
     # six consumers; materialize the guarded token relation once
     # (measured ~25% faster than re-executing the explode+anti-join)
-    tok = _doc_tokens(docs).localCheckpoint()
+    return prefix_filtered_pairs(_doc_tokens(docs).localCheckpoint())
+
+
+def prefix_filtered_pairs(tok: DataFrame) -> DataFrame:
+    """The All-Pairs/PPJoin core over a (doc_id, source, token)
+    relation with per-doc-distinct tokens: prefix filter + length
+    filter + positional suffix bound, then exact verification.
+    Factored out of the registered query so the property test can run
+    the REAL filter chain on hypothesis-random corpora
+    (tests/test_ppjoin_property.py) — losslessness is proven against
+    brute force there, not just on the fixtures."""
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     dfreq = tok.groupBy("source", "token").agg(F.count("*").alias("df"))
     ranked = (
