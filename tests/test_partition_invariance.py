@@ -34,6 +34,9 @@ REPRESENTATIVES = [
     "session_window_variable_gap",
     "minmax_scaled_histogram",
     "spearman_price_quantity",
+    # round-4: mapInPandas codec roundtrip — integer unit sums must not
+    # depend on how docs land in Arrow batches/partitions
+    "multimodal_real_decode_stats",
 ]
 
 
