@@ -860,13 +860,21 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            n,
            CAST(min_cents AS BIGINT) AS min_cents,
            CAST(max_cents AS BIGINT) AS max_cents,
-           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
-           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           -- DECIMAL -> DOUBLE via VARCHAR: DuckDB's direct decimal cast
+           -- is not correctly rounded once the unscaled value exceeds
+           -- 2^53 (s2 crosses at sf0.1); the string parse is, matching
+           -- Spark's BigDecimal conversion bit-for-bit.
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS mean_cents,
+           (CAST(n AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_cents,
-           sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_cents
+           sqrt((CAST(n AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               AS stddev_cents
     FROM s
     """,
     description="G5 exact column statistics: mean/variance/stddev derived "

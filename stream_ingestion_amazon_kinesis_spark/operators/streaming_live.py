@@ -852,27 +852,37 @@ def streaming_union_sources_live(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_pairs
     FROM pairs CROSS JOIN wm
     GROUP BY 1, wm.watermark
-    HAVING date_trunc('hour', p_ts) + INTERVAL '1 hour' <= wm.watermark
+    -- the window stage sees the JOIN'S OUTPUT watermark, which is the
+    -- global watermark minus the join's state retention: clicks are
+    -- held while p_ts <= c_ts + 1h can still match, so retention (and
+    -- the propagation delta) is the 1-hour interval width
+    HAVING date_trunc('hour', p_ts) + INTERVAL '1 hour'
+           <= wm.watermark - INTERVAL '1 hour'
     ORDER BY window_start
     """,
     description="chained stateful ops, join-first topology: "
     "stream-stream interval join feeding a windowed aggregate in ONE "
-    "append-mode query — emitted hours are those closed by the global "
-    "(min-of-inputs) watermark, counts equal the batch join's per-hour "
-    "pair totals",
+    "append-mode query — emitted hours are those closed by the JOIN'S "
+    "OUTPUT watermark (global min-of-inputs watermark minus the "
+    "join's 1h state retention), counts equal the batch join's "
+    "per-hour pair totals",
 )
 def streaming_join_then_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second multi-stateful topology (the first,
     `streaming_chained_windows_live`, chains agg->agg): a watermarked
     stream-stream interval join whose matched pairs flow straight into
     a tumbling-window count. Watermark propagation is the subtle part:
-    the window stage closes on the GLOBAL watermark (min over both
-    join inputs' own-stream watermarks) delayed by the join's state
-    bound — on a drained replay every pair is emitted by the join, so
-    the window stage emits exactly the hours whose end precedes the
-    final global watermark. Pre-3.4 Spark rejected this plan
-    (multiple stateful operators); it is now the one-query form of
-    join-then-rollup pipelines."""
+    each stateful operator emits an OUTPUT watermark = its input
+    watermark minus its event-time state retention, and the downstream
+    window stage closes on THAT. Here the click side is retained while
+    p_ts <= c_ts + 1h can still match, so the join's output watermark
+    trails the global (min-of-inputs) watermark by exactly the 1-hour
+    interval width — the final joinable hour stays open even after the
+    global watermark passes its end (caught by the sf0.1 value gate in
+    round 4; invisible at sf0.01 where no window lands in the 1-hour
+    band). Pre-3.4 Spark rejected this plan (multiple stateful
+    operators); it is now the one-query form of join-then-rollup
+    pipelines."""
     from ..streaming.pipeline import read_event_stream
 
     staging = _staged_events_json(spark, sf_dir, micros=True)
