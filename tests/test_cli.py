@@ -143,3 +143,35 @@ def test_pipeline_rejects_unknown_source_format(spark, tmp_path):
             str(tmp_path / "ckpt"),
             source_format="kinesis",
         )
+
+
+def test_cli_etl_incremental_resume(tmp_path, spark, capsys):
+    """Exactly-once across reruns, incremental form: a second produce
+    followed by a second etl must deliver ONLY the new record to the
+    destination (the stable default checkpoint resumes the offsets)."""
+    stream = str(tmp_path / "stream")
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+    ]
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(RECORD)])
+        == 0
+    )
+    assert main(etl_args) == 0
+    rec2 = dict(RECORD, session_id="s-cli-9")
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(rec2)])
+        == 0
+    )
+    assert main(etl_args) == 0
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    got = sorted(json.loads(r["data"])["session_id"] for r in rows)
+    assert got == ["s-cli-1", "s-cli-9"]  # each exactly once
