@@ -269,13 +269,30 @@ class KinesisSimWriter(DataSourceWriter):
         return ShardWriteCommit(files=files)
 
     def commit(self, messages) -> None:
+        # Sequence numbers are defined by FILE-NAME order within a shard
+        # (_iter_shard_records), so appended files MUST sort after every
+        # existing file or a later append would renumber records a
+        # checkpointed reader already consumed (caught as a real
+        # duplicate+skip in the round-4 etl incremental-resume test: a
+        # lower-sorting uuid part file shifted the committed offsets).
+        # Each new file therefore gets a zero-padded per-shard index =
+        # count of existing files + arrival order; the task-id suffix
+        # keeps concurrent committers collision-free, and zero-padded
+        # indices always sort after lower ones regardless of suffix.
+        next_idx: dict[str, int] = {}
         for msg in messages:
             if msg is None:
                 continue
             for rel, tmp in msg.files:
-                final = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(final), exist_ok=True)
-                os.replace(tmp, final)
+                shard_rel = os.path.dirname(rel)
+                shard_dir = os.path.join(self.path, shard_rel)
+                os.makedirs(shard_dir, exist_ok=True)
+                if shard_rel not in next_idx:
+                    next_idx[shard_rel] = len(_shard_files(shard_dir))
+                idx = next_idx[shard_rel]
+                next_idx[shard_rel] = idx + 1
+                fname = f"part-{idx:08d}-{os.path.basename(rel)[len('part-'):]}"
+                os.replace(tmp, os.path.join(shard_dir, fname))
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging) and not os.listdir(staging):
             os.rmdir(staging)

@@ -259,3 +259,35 @@ def test_registered_roundtrip_query_matches_parquet(spark, sf_dir):
         .collect()
     }
     assert out == exp
+
+
+def test_append_preserves_sequence_numbers(spark, tmp_path):
+    """Sequence numbers are file-name-ordered, so every appended part
+    file must sort AFTER all existing ones (commit assigns zero-padded
+    per-shard indices). Under the old uuid-only naming a second append
+    could sort first and renumber already-consumed records — breaking
+    checkpointed offsets (duplicate + skip)."""
+    stream = str(tmp_path / "s")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [("samekey", f"payload-{i}")], "partition_key string, data string"
+        )
+        (
+            df.write.format("kinesis_sim")
+            .option("path", stream)
+            .option("numShards", "1")
+            .mode("append")
+            .save()
+        )
+    rows = (
+        spark.read.format("kinesis_sim")
+        .option("path", stream)
+        .load()
+        .orderBy("sequence_number")
+        .collect()
+    )
+    assert [(r["sequence_number"], r["data"]) for r in rows] == [
+        (0, "payload-0"),
+        (1, "payload-1"),
+        (2, "payload-2"),
+    ]
