@@ -130,7 +130,7 @@ def _run_set(spark, sf_dir: str, collect_stats: bool, repeats: int = 1):
         # With repeats, run 1 is the per-query warm-up (page cache,
         # codegen) — it feeds plan_stats but not the median; measured
         # jitter on ~1 s queries drops from ~30% to <20% without it.
-        timed = samples[1:] if len(samples) > 2 else samples
+        timed = samples[1:] if len(samples) > 1 else samples
         timings[name] = round(statistics.median(timed), 3)
     return timings, stats
 
