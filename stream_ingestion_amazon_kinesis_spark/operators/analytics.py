@@ -2411,12 +2411,20 @@ def minmax_scaled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
         SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
                                            l_linenumber) AS rp,
+               -- l_quantity alone ties ~0.6% of (okey, lineno) pairs:
+               -- l_extendedprice (unique with okey+lineno) totalizes
+               -- the order (caught live by the round-6 sf1 gate)
                ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey,
-                                           l_linenumber) AS rq
+                                           l_linenumber, l_extendedprice) AS rq
         FROM lineitem),
     s AS (
+        -- sum_d2 grows as n^3: past int64 at ~6M rows (caught live by
+        -- the round-6 sf1 gate). DuckDB SUM(BIGINT) accumulates exactly
+        -- in HUGEINT; the double readout goes via VARCHAR because
+        -- HUGEINT->DOUBLE is not correctly rounded past 2^53.
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM((rp - rq) * (rp - rq)) AS BIGINT) AS sum_d2
+               CAST(CAST(SUM((rp - rq) * (rp - rq)) AS VARCHAR) AS DOUBLE)
+                   AS sum_d2
         FROM r)
     SELECT n, sum_d2,
            CAST(FLOOR(1000000 * (1 - 6.0 * sum_d2
@@ -2427,7 +2435,9 @@ def minmax_scaled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G5/G8 Spearman rank correlation between line price and "
     "quantity, with a total tiebreak key so ranks are a permutation "
     "(deterministic tiebreak-ranked variant); sum of squared rank "
-    "differences is exact int64 and the final rho is one mirrored "
+    "differences accumulates in exact DECIMAL(38,0)/HUGEINT (n^3 "
+    "outgrows int64 past ~6M rows) and reads out as one correctly-"
+    "rounded double on both engines, so the final rho is one mirrored "
     "IEEE double expression floored to ppm",
 )
 def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,25 +2445,34 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The two global rankings are the audit-scale step (single-partition
     windows — the same caveat as every exact-quantile audit row; the
-    production path samples or buckets first). sum_d2 stays int64
-    through ~sf1 (it grows as n^3); beyond that the staged-decimal
-    route applies. The closing double expression is written
+    production path samples or buckets first: see
+    spearman_sampled_price_quantity). sum_d2 grows as n^3 and outruns
+    int64 past ~6M rows (the round-6 sf1 gate caught the ANSI
+    overflow live), so the per-row square (always < 2^63) accumulates
+    in DECIMAL(38,0) — Spark's decimal sum and DuckDB's HUGEINT sum
+    are both exact, and both read out through a correctly-rounded
+    cast to double. The closing double expression is written
     identically on both engines, so the FLOOR sees bit-identical
     input.
     """
     li = load_table(spark, sf_dir, "lineitem")
     wp = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    wq = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wq = Window.orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     r = li.select(
         F.row_number().over(wp).cast("bigint").alias("rp"),
         F.row_number().over(wq).cast("bigint").alias("rq"),
     )
     s = r.agg(
         F.count("*").alias("n"),
-        F.sum((F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq")))
-        .cast("bigint")
-        .alias("sum_d2"),
+        F.sum(
+            ((F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sum_d2_dec"),
     )
+    s = s.select("n", F.col("sum_d2_dec").cast("double").alias("sum_d2"))
     return s.select(
         "n",
         "sum_d2",

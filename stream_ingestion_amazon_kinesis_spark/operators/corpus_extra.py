@@ -56,12 +56,12 @@ _KNUTH = 2654435761
         SELECT nationkey, COUNT(*) AS n,
                SUM(cents) AS s, SUM(i * cents) AS si
         FROM ranked GROUP BY 1)
+    -- SUM -> HUGEINT keeps every term exact; num*1e6 // den is integer
+    -- division on non-negative HUGEINTs (floor == truncate), headroom
+    -- to ~1e38 (the staged x1000 BIGINT form overflowed at sf1)
     SELECT n_name AS nation, CAST(n AS BIGINT) AS n_customers,
            CAST(s AS BIGINT) AS total_cents,
-           CAST(((CAST(2 * si - (n + 1) * s AS BIGINT) * 1000) // (n * s))
-                    * 1000
-                + ((CAST(2 * si - (n + 1) * s AS BIGINT) * 1000) % (n * s))
-                    * 1000 // (n * s) AS BIGINT)
+           CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
                AS gini_ppm
     FROM agg JOIN nation ON nationkey = n_nationkey
     ORDER BY nation
@@ -77,12 +77,16 @@ def gini_concentration_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending rank within its nation — a window PARTITIONED by nation
     over the per-customer aggregate (|customers| rows, grouped into 25
     independent partitions; no global sort). All arithmetic is integer
-    cents; the ppm scaling is staged as two x1000 long-division steps
-    (quotient*1000 + scaled remainder) so the intermediate never
-    exceeds num*1000 — exact floor(num*1e6/den) without ever forming
-    num*1e6 (which overflowed int64 at sf0.1).
-    Truncating `div` on a non-negative numerator (Gini >= 0 by
-    construction) floors identically on both engines."""
+    cents accumulated in DECIMAL(38,0)/HUGEINT (the rank-weighted
+    numerator grows as n^2 * cents — the staged x1000 BIGINT form from
+    round 3 overflowed again at sf1, caught live by the round-6 sf1
+    gate). The exact floor(num*1e6/den) on the Spark side avoids both
+    decimal `div` (which wraps past int64, STATE.md) and decimal `/`
+    (rounded at scale 6, can flip a floor boundary): a double-division
+    GUESS — within 1 of exact, since the quotient is <= 1e6 and double
+    division carries ~1e-10 absolute error at that magnitude — is
+    corrected by two exact DECIMAL(38,0) comparisons. Gini >= 0 by
+    construction, so DuckDB's truncating // is the same floor."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
     spend = (
         t["orders"]
@@ -98,7 +102,7 @@ def gini_concentration_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("nationkey").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("i") * F.col("cents")).alias("si"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("si"),
     )
     return (
         agg.join(
@@ -110,13 +114,29 @@ def gini_concentration_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"),
             F.col("s").alias("total_cents"),
             F.expr(
-                "((2 * si - (n + 1) * s) * 1000 div (n * s)) * 1000"
-                " + ((2 * si - (n + 1) * s) * 1000 % (n * s)) * 1000"
-                " div (n * s)"
-            )
-            .cast("bigint")
-            .alias("gini_ppm"),
+                "CAST((2 * si - (CAST(n AS DECIMAL(38,0)) + 1) * s)"
+                " * 1000000 AS DECIMAL(38,0))"
+            ).alias("num6"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * s AS DECIMAL(38,0))"
+            ).alias("den"),
         )
+        .withColumn(
+            "guess",
+            F.expr(
+                "CAST(FLOOR(CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))"
+                " AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "gini_ppm",
+            F.expr(
+                "CAST(CASE WHEN (guess + 1) * den <= num6 THEN guess + 1"
+                " WHEN guess * den > num6 THEN guess - 1"
+                " ELSE guess END AS BIGINT)"
+            ),
+        )
+        .drop("num6", "den", "guess")
         .orderBy("nation")
     )
 

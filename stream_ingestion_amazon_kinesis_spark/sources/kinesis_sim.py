@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 import zlib
 from dataclasses import dataclass
@@ -69,6 +70,12 @@ def _shard_dirs(path: str) -> list[str]:
         for d in os.listdir(path)
         if d.startswith("shard-") and os.path.isdir(os.path.join(path, d))
     )
+
+
+# Committed part files carry a zero-padded per-shard index so appends
+# always sort after existing files; anything else is a legacy name that
+# commit() migrates before appending (see KinesisSimWriter.commit).
+_INDEXED_RE = re.compile(r"^part-\d{8}-")
 
 
 def _shard_files(shard_dir: str) -> list[str]:
@@ -201,6 +208,29 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        # Stale-checkpoint guard (checked once, on the first engine-
+        # provided offset after construction — i.e. at restart): a
+        # checkpointed offset PAST a shard's tail means the stream was
+        # regenerated/truncated since the checkpoint was written.
+        # Proceeding would silently skip every record below the stale
+        # offset; real Kinesis raises the same way when a stored shard
+        # iterator no longer resolves. O(stream) scan once per restart.
+        if not getattr(self, "_start_validated", False):
+            self._start_validated = True
+            for d in _shard_dirs(self.path):
+                sid = os.path.basename(d)
+                s = start.get(sid, 0)
+                tail = _shard_length(d)
+                if s > tail:
+                    raise RuntimeError(
+                        f"kinesis_sim: checkpointed offset {s} for "
+                        f"{sid} exceeds the shard tail ({tail} records) "
+                        f"in {self.path} — the stream was regenerated or "
+                        "truncated since this checkpoint was written. "
+                        "Delete the checkpoint (full reprocess) or "
+                        "restore the original stream; refusing to "
+                        "silently skip records."
+                    )
         # Re-sync the rate-limit cursor with the engine's view — after a
         # restart the checkpointed start can be ahead of our fresh cursor.
         cur = getattr(self, "_cursor", None) or {}
@@ -269,6 +299,19 @@ class KinesisSimWriter(DataSourceWriter):
         return ShardWriteCommit(files=files)
 
     def commit(self, messages) -> None:
+        # Crash-injection failpoint for the exactly-once tests: a file
+        # named _failpoint_before_commit in the stream dir makes this
+        # commit die AFTER task files landed in staging but BEFORE any
+        # is published — the torn-write moment. Single-shot (the file is
+        # consumed) and file-based because commit runs in a separate
+        # Python worker process where a test's monkeypatch/env can't
+        # reach. No-op in normal operation.
+        failpoint = os.path.join(self.path, "_failpoint_before_commit")
+        if os.path.exists(failpoint):
+            os.remove(failpoint)
+            raise RuntimeError(
+                "kinesis_sim failpoint: injected crash before commit"
+            )
         # Sequence numbers are defined by FILE-NAME order within a shard
         # (_iter_shard_records), so appended files MUST sort after every
         # existing file or a later append would renumber records a
@@ -279,6 +322,15 @@ class KinesisSimWriter(DataSourceWriter):
         # count of existing files + arrival order; the task-id suffix
         # keeps concurrent committers collision-free, and zero-padded
         # indices always sort after lower ones regardless of suffix.
+        # Legacy migration: streams written BEFORE the zero-padded-index
+        # fix hold uuid-named parts (part-<taskid>.jsonl) that new
+        # indexed names can sort BEFORE (e.g. part-00000002-x <
+        # part-3fa9...), renumbering offsets a checkpointed reader has
+        # already consumed — the same duplicate/skip bug the index fix
+        # closed, alive on legacy data. Before appending, rename every
+        # existing file to its canonical index in the CURRENT sorted
+        # order (the order consumers have been reading), which preserves
+        # all record positions and guarantees appends sort after.
         next_idx: dict[str, int] = {}
         for msg in messages:
             if msg is None:
@@ -288,7 +340,15 @@ class KinesisSimWriter(DataSourceWriter):
                 shard_dir = os.path.join(self.path, shard_rel)
                 os.makedirs(shard_dir, exist_ok=True)
                 if shard_rel not in next_idx:
-                    next_idx[shard_rel] = len(_shard_files(shard_dir))
+                    existing = _shard_files(shard_dir)
+                    if any(not _INDEXED_RE.match(os.path.basename(f)) for f in existing):
+                        for i, f in enumerate(existing):
+                            tail = os.path.basename(f)[len("part-"):]
+                            canon = os.path.join(shard_dir, f"part-{i:08d}-{tail}")
+                            if f != canon:
+                                os.replace(f, canon)
+                        existing = _shard_files(shard_dir)
+                    next_idx[shard_rel] = len(existing)
                 idx = next_idx[shard_rel]
                 next_idx[shard_rel] = idx + 1
                 fname = f"part-{idx:08d}-{os.path.basename(rel)[len('part-'):]}"

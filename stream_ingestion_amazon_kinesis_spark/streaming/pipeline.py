@@ -29,6 +29,7 @@ preserved by repartitioning on session_id before the sink write.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -243,7 +244,11 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     return query
 
 
-def kinesis_sim_sink(dest_streams: dict[str, str], num_shards: int = 4):
+def kinesis_sim_sink(
+    dest_streams: dict[str, str],
+    num_shards: int = 4,
+    run_scope: str = "default",
+):
     """foreachBatch body writing each routed split to a kinesis_sim
     DESTINATION STREAM — the reference's dest_streams demux
     (consumer.py:160-171: country == 'USA' -> USA stream, else
@@ -271,6 +276,29 @@ def kinesis_sim_sink(dest_streams: dict[str, str], num_shards: int = 4):
                 ("USA", F.col("country") == "USA"),
                 ("International", F.col("country") != "USA"),
             ):
+                # Epoch-retry idempotence: a retried epoch (restart after
+                # a crash between the two route writes) must not re-append
+                # routes that already committed — the classic partial-
+                # failure double-write hole of blind foreachBatch appends
+                # (idempotent_sink.py's marker pattern, applied per
+                # (epoch, route) to a kinesis_sim APPEND sink). Residual
+                # window: a crash between the writer's commit and the
+                # marker creation (one syscall apart) still re-appends
+                # that single route on retry — the same window Spark's
+                # own Kafka sink leaves open (its docs call the sink
+                # at-least-once for exactly this reason).
+                # Markers are scoped to the CHECKPOINT identity
+                # (run_scope): epoch ids restart at 0 under a fresh
+                # checkpoint, and an unscoped epoch-0 marker from an
+                # earlier run into the same dest would silently skip the
+                # new run's first epoch.
+                marker = os.path.join(
+                    dest_streams[route],
+                    "_epochs",
+                    f"{run_scope}-{epoch_id:020d}",
+                )
+                if os.path.exists(marker):
+                    continue
                 (
                     records.filter(pred)
                     .drop("country")
@@ -280,6 +308,9 @@ def kinesis_sim_sink(dest_streams: dict[str, str], num_shards: int = 4):
                     .mode("append")
                     .save()
                 )
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write("ok")
         finally:
             batch.unpersist()
 
@@ -337,8 +368,16 @@ def run_kinesis_sim_pipeline(
         stream = read_session_stream_kinesis_sim(spark, input_dir)
     else:
         stream = read_session_stream(spark, input_dir)
+    # Epoch-marker scope = the checkpoint path: one checkpoint == one
+    # monotone epoch-id space, so markers from a different (e.g. fresh)
+    # checkpoint can never suppress this run's writes.
+    scope = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     query = (
-        stream.writeStream.foreachBatch(kinesis_sim_sink(dest_streams))
+        stream.writeStream.foreachBatch(
+            kinesis_sim_sink(dest_streams, run_scope=scope)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="0 seconds")
         .start()

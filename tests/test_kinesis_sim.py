@@ -291,3 +291,107 @@ def test_append_preserves_sequence_numbers(spark, tmp_path):
         (1, "payload-1"),
         (2, "payload-2"),
     ]
+
+
+def test_append_to_legacy_uuid_stream_migrates_and_preserves_order(spark, tmp_path):
+    """VERDICT r5 (low): a stream written BEFORE the zero-padded-index
+    fix holds uuid-named part files that new indexed names can sort
+    before, renumbering offsets a checkpointed reader already consumed.
+    commit() must migrate legacy names to canonical indices (preserving
+    the current record order) before appending, so the append lands
+    strictly after."""
+    kinesis_sim.register_format(spark)
+    stream = str(tmp_path / "legacy")
+    shard = os.path.join(stream, "shard-00000")
+    os.makedirs(shard)
+    # Two legacy (pre-fix) uuid-named files; current sorted order aaaa
+    # then ffff defines sequence numbers 0 and 1.
+    with open(os.path.join(shard, "part-aaaa11112222.jsonl"), "w") as fh:
+        fh.write('{"partitionKey": "k", "data": "legacy-0"}\n')
+    with open(os.path.join(shard, "part-ffff33334444.jsonl"), "w") as fh:
+        fh.write('{"partitionKey": "k", "data": "legacy-1"}\n')
+
+    df = spark.createDataFrame(
+        [("k", "appended-2")], "partition_key string, data string"
+    )
+    (
+        df.write.format("kinesis_sim")
+        .option("path", stream)
+        .option("numShards", "1")
+        .mode("append")
+        .save()
+    )
+
+    # Every file now carries a canonical zero-padded index.
+    names = sorted(os.listdir(shard))
+    assert all(kinesis_sim._INDEXED_RE.match(n) for n in names), names
+    # Record order (== checkpointed offset space) is unchanged; the
+    # append sorts after both legacy records.
+    rows = (
+        spark.read.format("kinesis_sim")
+        .option("path", stream)
+        .load()
+        .orderBy("sequence_number")
+        .collect()
+    )
+    assert [(r["sequence_number"], r["data"]) for r in rows] == [
+        (0, "legacy-0"),
+        (1, "legacy-1"),
+        (2, "appended-2"),
+    ]
+
+
+def test_stale_checkpoint_offsets_past_tail_fail_loudly(spark, tmp_path):
+    """VERDICT r5: a checkpointed offset beyond a shard's tail means the
+    stream was regenerated/truncated; the reader must refuse (silently
+    skipping up to the stale offset breaks exactly-once)."""
+    import shutil
+
+    kinesis_sim.register_format(spark)
+    stream = str(tmp_path / "s")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_stream(n):
+        df = spark.range(n).select(
+            F.lit("k").alias("partition_key"),
+            F.col("id").cast("string").alias("data"),
+        )
+        (
+            df.coalesce(1)
+            .write.format("kinesis_sim")
+            .option("path", stream)
+            .option("numShards", "1")
+            .mode("overwrite")
+            .save()
+        )
+
+    write_stream(10)
+    q = (
+        spark.readStream.format("kinesis_sim")
+        .option("path", stream)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Regenerate the stream SHORTER at the same path -> checkpointed
+    # offset (10) now exceeds the tail (3).
+    shutil.rmtree(stream)
+    write_stream(3)
+    q2 = (
+        spark.readStream.format("kinesis_sim")
+        .option("path", stream)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="exceeds the shard tail"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
