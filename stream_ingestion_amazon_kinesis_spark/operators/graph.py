@@ -206,7 +206,28 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse does not reliably fire across the subtree copies — measured
     at sf0.1: 13.1s -> 4.5s cold, 5.2s -> 2.9-4.2s hot. Each
     checkpoint materializes exactly the edge relation (bounded by m),
-    executor-local."""
+    executor-local. (A DISK_ONLY-persist variant was measured and
+    REJECTED: it also passes the 1 GiB vanilla sweep but at 48s vs
+    9.7s, and the 16 GiB warm path regressed 4x — the checkpoint
+    blocks were never the dominant OOM cause, the sorts below were.)
+
+    Per-task memory cap: the two adjacency joins carry a SHUFFLE_HASH
+    hint on the adj side. Sort-merge (Spark's default pick here) runs
+    an UnsafeExternalSorter over the array-bearing joined stream in
+    every one of the 32 concurrent tasks — 1 MB page acquisitions, the
+    measured OOM site that killed a bare 1 GiB driver at sf0.1 —
+    while shuffle-hash only builds a hash map over the per-partition
+    slice of adj (node-bounded rows whose arrays the orientation
+    already caps at O(sqrt(m))) and STREAMS the fat edge side with no
+    sort at all. With the hints the same bare-driver sweep goes from
+    hard OOM to green in ~8s. At cluster scale the hint stays safe:
+    the build side is the strictly smaller adjacency relation, hash
+    partitioned on the join key, and per-task build size is tuned by
+    shuffle partition count, not data volume. (A bucket-chunked
+    adjacency variant — split each nbrs list into 16 value buckets to
+    also bound per-ROW size — was measured and REJECTED: it passes the
+    same vanilla sweep no better than the hints alone while its edge
+    fan-out made the warm 16 GiB path 4-5x slower.)"""
     li = load_table(spark, sf_dir, "lineitem")
     os_ = li.select("l_orderkey", "l_partkey").distinct()
     a, b = os_.alias("a"), os_.alias("b")
@@ -243,8 +264,8 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("nbrs_v"))
     tri = (
-        ori.join(au, F.col("src") == F.col("_u"))
-        .join(av, F.col("dst") == F.col("_v"))
+        ori.join(au.hint("shuffle_hash"), F.col("src") == F.col("_u"))
+        .join(av.hint("shuffle_hash"), F.col("dst") == F.col("_v"))
         .select(
             F.col("src").alias("a"),
             F.col("dst").alias("b"),
