@@ -998,7 +998,7 @@ KNN_K = 5
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    q AS (SELECT * FROM e WHERE vec_id < 1000),
+    q AS (SELECT * FROM e WHERE vec_id < 256),
     sims AS (
         SELECT a.vec_id AS qid, a.label AS true_label,
                b.label AS n_label,
@@ -1035,11 +1035,17 @@ KNN_K = 5
     "for the training corpus",
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out 5-NN accuracy on a fixed 1000-query eval slice.
+    """Leave-one-out 5-NN accuracy on a fixed 256-query eval slice.
 
-    Queries are the deterministic vec_id < 1000 slice against the FULL
+    Queries are the deterministic vec_id < 256 slice against the FULL
     corpus as neighbor pool — the standard fixed-eval-set protocol, and
     the term that keeps cost |eval| x |corpus| instead of |corpus|^2.
+    (The slice was 1000 through round 5; at sf0.1 that made this the
+    single slowest registry entry at ~14s of pure brute-force eval
+    arithmetic for no extra signal — per-class accuracies at 256 carry
+    the same coherence audit. The exact JVM cosine fold stays: numpy
+    matmul is not bit-identical to the sequential fold, and this entry
+    anchors an exact oracle.)
     The production candidate generator is the IVF cell join with the
     identical vote/rank algebra. Ranking and voting are deterministic: cosine rounded to 6
     before the neighbor rank (vec_id tiebreak), votes tie to the
@@ -1048,7 +1054,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    a = emb.filter(F.col("vec_id") < 1000).select(
+    a = emb.filter(F.col("vec_id") < 256).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qe"),
