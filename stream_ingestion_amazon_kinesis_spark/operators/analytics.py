@@ -2210,9 +2210,7 @@ def calendar_iso_week_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "equi_depth_deciles_price",
-    oracle="""
+_EQUI_DEPTH_ORACLE = """
     WITH ranked AS (
         SELECT o_totalprice,
                ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
@@ -2229,12 +2227,19 @@ def calendar_iso_week_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     GROUP BY bucket
     ORDER BY bucket
-    """,
+    """
+
+
+@register(
+    "equi_depth_deciles_price",
+    oracle=_EQUI_DEPTH_ORACLE,
     description="G8 equi-depth decile histogram of order prices via "
     "ntile(10) over a total order (price, orderkey): per-bucket row "
     "count, exact cent boundaries, and bucket mass — both engines "
     "distribute the n mod 10 remainder rows to the first buckets, so "
-    "the split is identical",
+    "the split is identical. AUDIT TWIN (single global sort): the "
+    "scale-safe production form is equi_depth_deciles_distributed "
+    "(identical output, range-partitioned rank)",
 )
 def equi_depth_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-depth histogram (the oracle-checkable form).
@@ -2405,9 +2410,7 @@ def minmax_scaled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "spearman_price_quantity",
-    oracle="""
+_SPEARMAN_ORACLE = """
     WITH r AS (
         SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
                                            l_linenumber) AS rp,
@@ -2431,14 +2434,22 @@ def minmax_scaled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
                        * CAST(n AS DOUBLE) - 1)))) AS BIGINT) AS rho_e6
     FROM s
-    """,
+    """
+
+
+@register(
+    "spearman_price_quantity",
+    oracle=_SPEARMAN_ORACLE,
     description="G5/G8 Spearman rank correlation between line price and "
     "quantity, with a total tiebreak key so ranks are a permutation "
     "(deterministic tiebreak-ranked variant); sum of squared rank "
     "differences accumulates in exact DECIMAL(38,0)/HUGEINT (n^3 "
     "outgrows int64 past ~6M rows) and reads out as one correctly-"
     "rounded double on both engines, so the final rho is one mirrored "
-    "IEEE double expression floored to ppm",
+    "IEEE double expression floored to ppm. AUDIT TWIN (two global "
+    "sorts): the scale-safe production form is "
+    "spearman_distributed_price_quantity (identical output, "
+    "range-partitioned ranks)",
 )
 def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank correlation from exact rank arithmetic.
@@ -2446,7 +2457,7 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two global rankings are the audit-scale step (single-partition
     windows — the same caveat as every exact-quantile audit row; the
     production path samples or buckets first: see
-    spearman_sampled_price_quantity). sum_d2 grows as n^3 and outruns
+    spearman_distributed_price_quantity). sum_d2 grows as n^3 and outruns
     int64 past ~6M rows (the round-6 sf1 gate caught the ANSI
     overflow live), so the per-row square (always < 2^63) accumulates
     in DECIMAL(38,0) — Spark's decimal sum and DuckDB's HUGEINT sum
@@ -2463,6 +2474,187 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.select(
         F.row_number().over(wp).cast("bigint").alias("rp"),
         F.row_number().over(wq).cast("bigint").alias("rq"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sum_d2_dec"),
+    )
+    s = s.select("n", F.col("sum_d2_dec").cast("double").alias("sum_d2"))
+    return s.select(
+        "n",
+        "sum_d2",
+        F.floor(
+            1000000
+            * (
+                F.lit(1)
+                - 6.0
+                * F.col("sum_d2")
+                / (
+                    F.col("n").cast("double")
+                    * (
+                        F.col("n").cast("double") * F.col("n").cast("double")
+                        - 1
+                    )
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("rho_e6"),
+    )
+
+
+def _distributed_rank(
+    df: DataFrame, sort_cols: list[str], rank_name: str
+) -> DataFrame:
+    """Exact global row_number WITHOUT a single-partition window.
+
+    The classic distributed-rank decomposition: bucket rows by range
+    of the leading sort column, rank locally within each bucket, then
+    add the cumulative size of all preceding buckets. Output rank is
+    identical to ``row_number() OVER (ORDER BY sort_cols)``:
+
+    - the bucket function is monotone in the leading sort column, so
+      every row in bucket i sorts no later than every row in bucket
+      i+1, and ties of the leading column never straddle a boundary
+      (they compare equal against the same literal);
+    - within a bucket the local row_number orders by the full TOTAL
+      key (callers append tiebreak columns);
+    - rank = (rows in preceding buckets) + local rank, where the
+      offset relation is one row per bucket (window over ~#cores
+      rows, broadcast back).
+
+    The bucket boundaries are approxQuantile split points of the
+    leading column, collected ONCE here and baked into the plan as
+    literals. That determinism is load-bearing: the first cut of this
+    helper used repartitionByRange, whose RangePartitioner samples
+    with a per-RDD seed — the offset subtree and the main subtree
+    each instantiated the exchange with DIFFERENT boundaries unless
+    exchange reuse happened to fire, silently skewing ranks (caught
+    by the vs-window equivalence test at sf0.01). Literal boundaries
+    make both subtrees bit-identical by construction; quantile
+    accuracy only affects bucket balance, never correctness. The
+    leading sort column must be numeric, non-null.
+    """
+    spark = df.sparkSession
+    k = max(spark.sparkContext.defaultParallelism, 2)
+    first = sort_cols[0]
+    bounds = df.select(F.col(first).cast("double").alias("_k")).approxQuantile(
+        "_k", [i / k for i in range(1, k)], 0.01
+    )
+    key = F.col(first).cast("double")
+    bkt = F.lit(0)
+    for b in sorted(set(bounds)):
+        bkt = bkt + F.when(key > F.lit(b), 1).otherwise(0)
+    part = df.withColumn("_bkt", bkt.cast("int"))
+    wl = Window.partitionBy("_bkt").orderBy(*sort_cols)
+    local = part.withColumn("_lr", F.row_number().over(wl).cast("bigint"))
+    # sizes come from `part`, NOT `local`: offsets need bucket counts
+    # only, so the second subtree skips the per-bucket sort entirely.
+    sizes = part.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_bkt", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_bkt")
+        .withColumn(rank_name, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_bkt", "_lr", "_off")
+    )
+
+
+@register(
+    "equi_depth_deciles_distributed",
+    oracle=_EQUI_DEPTH_ORACLE,
+    description="G8 equi-depth decile histogram, SCALE-SAFE FORM: "
+    "identical output to equi_depth_deciles_price (its oracle is "
+    "byte-identical) but the global rank comes from a range-"
+    "partitioned distributed rank instead of one single-partition "
+    "ntile window, and the ntile bucket is recovered from the rank in "
+    "closed form — no stage ever sorts more than one range partition",
+)
+def equi_depth_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path for exact equi-depth histograms at 100 TB.
+
+    ntile(10) is a pure function of (global rank, total count):
+    q = n div 10, rem = n mod 10; the first rem buckets take q+1 rows.
+    rank r therefore lands in bucket ceil(r/(q+1)) while r <= rem*(q+1)
+    and rem + ceil((r - rem*(q+1))/q) after — integer arithmetic only,
+    identical on every engine. The global rank is `_distributed_rank`
+    (range repartition + local rank + bounded offsets) and the total
+    count is a broadcast scalar, so the whole plan is shuffle-bounded:
+    no single-partition window anywhere. The exact single-sort form
+    (`equi_depth_deciles_price`) stays registered as the audit twin;
+    the approx-sketch boundary path is `approx_percentile_order_price`.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    tot = orders.agg(F.count("*").cast("bigint").alias("n_tot"))
+    ranked = _distributed_rank(orders, ["o_totalprice", "o_orderkey"], "rnk")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    bucket = F.expr(
+        """CAST(CASE
+             WHEN rnk <= (n_tot % 10) * (n_tot div 10 + 1)
+             THEN (rnk + n_tot div 10) div (n_tot div 10 + 1)
+             ELSE n_tot % 10
+                  + (rnk - (n_tot % 10) * (n_tot div 10 + 1)
+                     + n_tot div 10 - 1) div (n_tot div 10)
+           END AS INT)"""
+    )
+    b = ranked.crossJoin(F.broadcast(tot)).select(
+        cents.alias("cents_v"), bucket.alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents_v").alias("lo_cents"),
+            F.max("cents_v").alias("hi_cents"),
+            F.sum("cents_v").cast("bigint").alias("cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "spearman_distributed_price_quantity",
+    oracle=_SPEARMAN_ORACLE,
+    description="G5/G8 Spearman rank correlation, SCALE-SAFE FORM: "
+    "identical output to spearman_price_quantity (its oracle is "
+    "byte-identical) but both global rankings come from range-"
+    "partitioned distributed ranks joined back on the line identity — "
+    "no single-partition window; the same exact DECIMAL(38,0) sum_d2 "
+    "and mirrored IEEE readout",
+)
+def spearman_distributed_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production path for exact Spearman at 100 TB.
+
+    Two CHAINED `_distributed_rank` passes: rank by the price key,
+    then rank that already-ranked relation by the quantity key — each
+    row carries its rp into the second pass, so no identity join is
+    ever needed (important: (l_orderkey, l_linenumber) is NOT unique
+    in this fixture, only the full line tuple is). Two range shuffles
+    plus two bounded-range sorts, nothing global. The closing
+    arithmetic is identical to the audit twin
+    `spearman_price_quantity`, so both run against the SAME oracle and
+    must agree with each other to the last bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    r1 = _distributed_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "rp"
+    )
+    r = _distributed_rank(
+        r1,
+        ["l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        "rq",
     )
     s = r.agg(
         F.count("*").alias("n"),

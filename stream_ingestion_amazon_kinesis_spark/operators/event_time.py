@@ -720,7 +720,10 @@ def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="G13 policy quantified in batch: events that a "
     "10-minute watermark would drop (event time below the running max "
     "of event time in arrival order), counted per event-hour in ppm — "
-    "the lateness audit run before choosing a watermark delay",
+    "the lateness audit run before choosing a watermark delay. AUDIT "
+    "TWIN (one global-order window): the scale-safe production form "
+    "is late_data_audit_per_shard (per-ingest-partition high-water, "
+    "the order that actually exists at scale)",
 )
 def late_data_audit_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Answers 'what delay should the watermark be?' from history:
@@ -736,6 +739,89 @@ def late_data_audit_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = events.select(
         "ts", F.max("ts").over(w).alias("high_water")
     )
+    j = arr.select(
+        "ts",
+        F.when(
+            F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 minutes"), 1
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    return (
+        j.groupBy(F.date_trunc("hour", "ts").alias("event_hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+        )
+        .select(
+            "event_hour",
+            "n_events",
+            "n_late",
+            F.expr("(n_late * 1000000) div n_events")
+            .cast("bigint")
+            .alias("late_ppm"),
+        )
+        .orderBy("event_hour")
+    )
+
+
+_LATE_SHARDS = 16
+
+
+@register(
+    "late_data_audit_per_shard",
+    oracle=f"""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (PARTITION BY event_id % {_LATE_SHARDS}
+                             ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events),
+    j AS (
+        SELECT ts,
+               CASE WHEN ts < high_water - INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS is_late
+        FROM arr)
+    SELECT date_trunc('hour', ts) AS event_hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST((SUM(is_late) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm
+    FROM j
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="G13 lateness audit, SCALE-SAFE FORM: the high-water "
+    "mark runs PER INGEST PARTITION (event_id mod 16 simulates the "
+    "shard a record arrived on) — the only arrival order that exists "
+    "at scale, and the order the streaming engine itself sees — so "
+    "every window partition is one shard's sequence, never a global "
+    "sort; same hourly ppm rollup as the audit twin "
+    "late_data_audit_hourly",
+)
+def late_data_audit_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-delay audit as production would run it.
+
+    A global arrival sequence does not exist on a sharded stream —
+    each Kinesis shard delivers its own ordered sequence, and the
+    streaming engine advances its watermark from per-partition maxima.
+    This audit mirrors that: ingest partition = event_id mod 16 (the
+    fixture's round-robin stand-in for a shard id), high-water = the
+    running max WITHIN the shard's arrival order, late = more than the
+    candidate 10-minute delay below the shard's high-water. The window
+    partitions by shard, so each sort is one shard's slice (at scale:
+    partition further by ingest day — the high-water carries within a
+    shard's replay, which is per-day in any real retention window).
+    Lateness verdicts differ from the global audit twin exactly where
+    cross-shard skew hides lateness — the HONEST per-shard view.
+    """
+    events = load_table(spark, sf_dir, "events")
+    shard = (F.col("event_id") % _LATE_SHARDS).alias("shard")
+    w = (
+        W.partitionBy(shard)
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    arr = events.select("ts", F.max("ts").over(w).alias("high_water"))
     j = arr.select(
         "ts",
         F.when(

@@ -115,3 +115,54 @@ def test_triangle_counts_sum_divisible_by_three(spark, sf_dir):
     df = triangle_count_parts(spark, sf_dir)
     total = df.agg(F.sum("n_triangles")).collect()[0][0]
     assert total is not None and total % 3 == 0 and total > 0
+
+
+def test_distributed_rank_matches_global_window(spark, sf_dir):
+    """_distributed_rank must equal row_number() OVER (ORDER BY key)
+    row-for-row — the decomposition (literal bucket boundaries + local
+    rank + bucket offsets) is only correct if both subtrees see the
+    SAME bucket assignment. The first cut used repartitionByRange and
+    failed exactly this test at sf0.01: RangePartitioner samples with
+    a per-RDD seed, so the offset subtree computed different ranges
+    than the main subtree whenever exchange reuse didn't fire."""
+    from pyspark.sql.window import Window
+
+    from stream_ingestion_amazon_kinesis_spark.operators.analytics import (
+        _distributed_rank,
+    )
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    dr = _distributed_rank(li, cols, "rp_d")
+    wr = li.withColumn(
+        "rp_w", F.row_number().over(Window.orderBy(*cols)).cast("bigint")
+    )
+    joined = dr.join(
+        wr, ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
+    )
+    n = li.count()
+    assert joined.count() == n
+    assert joined.filter(F.col("rp_d") != F.col("rp_w")).count() == 0
+
+
+def test_distributed_twins_agree_with_audit_forms(spark, sf_dir):
+    """The scale-safe forms must be value-identical to their
+    single-sort audit twins — same rows, same bytes (both also run
+    against the same DuckDB oracle; this pins the pair to each other
+    so a future edit can't drift one silently)."""
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    for exact, dist in [
+        ("equi_depth_deciles_price", "equi_depth_deciles_distributed"),
+        ("spearman_price_quantity", "spearman_distributed_price_quantity"),
+    ]:
+        a = sorted(map(tuple, QUERIES[exact].fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[dist].fn(spark, sf_dir).collect()))
+        assert a == b, f"{dist} diverged from {exact}"

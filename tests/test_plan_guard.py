@@ -99,6 +99,7 @@ BNLJ_OK = {
     "length_dist_drift_by_source",  # sources x 10-bucket broadcast grid
     "attribution_window_sensitivity",  # staleness x broadcast 3-row window dim
     "weekly_mix_drift",  # weeks x broadcast 5-type histogram grid
+    "equi_depth_deciles_distributed",  # crossJoin of the single-row total count
 }
 
 
