@@ -245,10 +245,26 @@ def synthesize_container_media(docs: DataFrame) -> DataFrame:
     "multimodal_real_decode_stats",
     oracle=f"""
     WITH b AS (
+        -- BYTE-based, not code-point-based: the containers carry the
+        -- utf-8 ENCODING of the text, so n is the encoded byte count
+        -- and s folds each code point into its utf-8 byte sum in
+        -- closed form (1/2/3/4-byte sequences). Matches Python's
+        -- sum(text.encode()) for any unicode text, not just ASCII.
         SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS n,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
                CAST(list_sum(list_transform(string_split(text, ''),
-                             c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS s
+                 c -> CAST(CASE
+                   WHEN ascii(c) < 128 THEN ascii(c)
+                   WHEN ascii(c) < 2048 THEN
+                     192 + (ascii(c) // 64) + 128 + (ascii(c) % 64)
+                   WHEN ascii(c) < 65536 THEN
+                     224 + (ascii(c) // 4096) + 128 + ((ascii(c) // 64) % 64)
+                     + 128 + (ascii(c) % 64)
+                   ELSE
+                     240 + (ascii(c) // 262144) + 128
+                     + ((ascii(c) // 4096) % 64) + 128
+                     + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64)
+                 END AS BIGINT))) AS BIGINT) AS s
         FROM documents WHERE strlen(text) > 0),
     dims AS (
         SELECT doc_id, n, s, (n + {PGM_WIDTH - 1}) // {PGM_WIDTH} AS h

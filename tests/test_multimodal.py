@@ -103,3 +103,54 @@ def test_real_decoder_over_containers(spark, sf_dir):
         else:  # PGM: zero-padded to full 32-wide rows
             n_pix = PGM_WIDTH * -(-len(b) // PGM_WIDTH)
             assert abs(f["feat_mean"] - sum(b) / n_pix) < 1e-9
+
+
+def test_real_decode_oracle_survives_multibyte_text(spark, tmp_path):
+    """The multimodal_real_decode_stats oracle must agree with the
+    Spark pipeline on NON-ASCII text: the containers carry the utf-8
+    ENCODING, so the oracle's n/s are byte-based (octet_length +
+    closed-form per-code-point byte sums), not code-point-based. A
+    code-point oracle matches only while the fixture happens to be
+    pure ASCII — this test runs the full encode->decode pipeline and
+    the oracle SQL side by side on 2/3/4-byte utf-8 text."""
+    import duckdb
+
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    texts = [
+        "plain ascii only",
+        "café naïve résumé",  # 2-byte sequences
+        "你好世界 €100",  # 3-byte CJK + euro
+        "clef \U0001d11e and emoji \U0001f600",  # 4-byte astral
+        "mixed: aé中\U0001f680z",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pq_dir = tmp_path / "mmtest"
+    pq_dir.mkdir()
+    docs.toPandas().to_parquet(pq_dir / "documents.parquet")
+
+    got = sorted(
+        map(
+            tuple,
+            QUERIES["multimodal_real_decode_stats"]
+            .fn(spark, str(pq_dir))
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pq_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(QUERIES["multimodal_real_decode_stats"].oracle).fetchall())
+    )
+    assert got == want
+    # sanity: the byte sums really differ from code-point sums here
+    assert any(sum(t.encode()) != sum(map(ord, t)) for t in texts)
