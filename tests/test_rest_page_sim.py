@@ -133,7 +133,14 @@ def test_index_persisted_and_reused_across_restart(spark, tmp_path):
 
     register_format(spark)
     ckpt = str(tmp_path / "ckpt")
-    totals: list[int] = []
+    # foreachBatch is at-least-once per EPOCH: if stop() lands between
+    # the sink call and the offset commit, the same epoch id replays on
+    # restart. The exactly-once contract is "idempotent sink keyed by
+    # epoch id" (what streaming/idempotent_sink.py implements) — so the
+    # counter here is a dict keyed by batch id, and a replay overwrites
+    # instead of double-counting. Epoch ids continue across restarts
+    # from the same checkpoint, so the keying is globally consistent.
+    totals: dict[int, int] = {}
 
     def run_until(target: int) -> None:
         stream = (
@@ -144,10 +151,10 @@ def test_index_persisted_and_reused_across_restart(spark, tmp_path):
             .load()
         )
 
-        def sink(batch_df, _bid):
+        def sink(batch_df, bid):
             n = batch_df.count()
             if n:
-                totals.append(n)
+                totals[bid] = n
 
         q = (
             stream.writeStream.foreachBatch(sink)
@@ -157,17 +164,17 @@ def test_index_persisted_and_reused_across_restart(spark, tmp_path):
         )
         try:
             deadline = time.time() + 120
-            while time.time() < deadline and sum(totals) < target:
+            while time.time() < deadline and sum(totals.values()) < target:
                 time.sleep(0.2)
         finally:
             q.stop()
 
     run_until(200)
-    assert sum(totals) >= 200
+    assert sum(totals.values()) >= 200
     run_until(600)  # restart from the same checkpoint
-    # exactly-once resume: a prefix re-read would push the total PAST
-    # 600; a lost offset would stall it below
-    assert sum(totals) == 600
+    # exactly-once resume: a prefix re-read (offset regression) would
+    # push the total PAST 600; a lost offset would stall it below
+    assert sum(totals.values()) == 600
     # the persisted index was reused, never rebuilt
     assert os.stat(idx).st_mtime_ns == stamp
 
