@@ -17,6 +17,8 @@ Four tiers, each with a different cost/recall point at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,7 +55,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle applies the identical predicate, so the two engines compute
 # the same (documented) approximation: Jaccard over the sub-stopword
 # token space. Worst-case join output is bounded by cap^2 per token.
-TOKEN_DF_CAP = 1000
+# Corpus-tunable: SPARK_GRAFT_TOKEN_DF_CAP (read at import; the oracle
+# SQL interpolates the SAME constant, so both engines stay mirrored
+# under any override).
+TOKEN_DF_CAP = int(os.environ.get("SPARK_GRAFT_TOKEN_DF_CAP", "1000"))
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
@@ -75,13 +80,13 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 
 @register(
     "jaccard_neardup_pairs",
-    oracle="""
+    oracle=f"""
     WITH tok0 AS (
         SELECT doc_id, source,
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > 1000),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),
@@ -131,7 +136,7 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shingle_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH sh0 AS (
         SELECT doc_id, source,
                unnest(list_distinct(list_transform(
@@ -142,7 +147,7 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
         WHERE len(t) >= 3),
     hot AS (SELECT source, shingle FROM sh0
-            GROUP BY source, shingle HAVING COUNT(*) > 1000),
+            GROUP BY source, shingle HAVING COUNT(*) > {TOKEN_DF_CAP}),
     sh AS (SELECT s.* FROM sh0 s
            LEFT JOIN hot h ON s.source = h.source AND s.shingle = h.shingle
            WHERE h.shingle IS NULL),
@@ -225,7 +230,9 @@ N_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8; j=0.8 -> 0.996
 # pattern: every member pairs with the bucket's min doc_id only (k-1
 # rows), preserving per-bucket connectivity for component clustering
 # while bounding the join output at cap^2/2 + k per bucket.
-LSH_BUCKET_CAP = 256
+# Corpus-tunable: SPARK_GRAFT_LSH_BUCKET_CAP (read at import; rows-only
+# path, recall twin re-validates under any override).
+LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "256"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame:
@@ -410,7 +417,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 
 @register(
     "neardup_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     edges AS (
         WITH tok0 AS (
@@ -418,7 +425,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
             FROM documents),
         hot AS (SELECT source, token FROM tok0
-                GROUP BY source, token HAVING COUNT(*) > 1000),
+                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
         tok AS (SELECT t.* FROM tok0 t
                 LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
                 WHERE h.token IS NULL),
@@ -789,13 +796,13 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_neardup_new_vs_old",
-    oracle="""
+    oracle=f"""
     WITH tok0 AS (
         SELECT doc_id, source,
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > 1000),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),
@@ -870,14 +877,14 @@ def incremental_neardup_new_vs_old(spark: SparkSession, sf_dir: str) -> DataFram
 def _register_threshold_sweep() -> None:
     @register(
         "jaccard_threshold_sweep",
-        oracle="""
+        oracle=f"""
         WITH tok0 AS (
             SELECT doc_id, source,
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
                        AS token
             FROM documents),
         hot AS (SELECT source, token FROM tok0
-                GROUP BY source, token HAVING COUNT(*) > 1000),
+                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
         tok AS (SELECT t.* FROM tok0 t
                 LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
                 WHERE h.token IS NULL),
