@@ -16,6 +16,8 @@ counts (raw float ranking could flip on last-ulp differences).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -72,7 +74,8 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PROBE = 4
+# Recall/latency knob (multi-probe IVF): SPARK_GRAFT_IVF_N_PROBE.
+N_PROBE = int(os.environ.get("SPARK_GRAFT_IVF_N_PROBE", "4"))
 
 
 def ivf_centroids(emb: DataFrame) -> DataFrame:
@@ -201,7 +204,8 @@ NEARDUP_COS_THRESHOLD = 0.35
 # assignments suffice); matching it needs 4 of the quantizer's cells per
 # vector. Join cost grows with n_assign^2 per co-assigned cell but stays
 # linear in corpus size — the win over the O(N^2) unblocked self-join.
-N_ASSIGN_NEARDUP = 4
+# Recall/latency knob (multi-assign blocking): SPARK_GRAFT_IVF_N_ASSIGN.
+N_ASSIGN_NEARDUP = int(os.environ.get("SPARK_GRAFT_IVF_N_ASSIGN", "4"))
 
 
 @register(
