@@ -1209,3 +1209,128 @@ def crypto_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BM25_QUERY_TERMS = ("spark", "vector", "merge")
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS HUGEINT) AS dl
+        FROM documents),
+    stats AS (
+        SELECT CAST(SUM(dl) AS HUGEINT) AS s_tokens,
+               CAST(COUNT(*) AS HUGEINT) AS n_docs
+        FROM dl),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+        FROM tok WHERE term IN {BM25_QUERY_TERMS}
+        GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               (1000000::HUGEINT * (2*n_docs - 2*df + 1) * 22 * s_tokens * tf)
+               // ((2*df + 1) * (10*s_tokens*tf + 3*s_tokens + 9*dl.dl*n_docs))
+                   AS term_ppm
+        FROM tf JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(term_ppm) AS BIGINT) AS bm25_ppm
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    description="G17 retrieval ranking: exact log-free BM25 "
+    "(rational idf (N-df+0.5)/(df+0.5), k1=1.2, b=0.75) over an "
+    "inverted-index tf relation; per-term score floored to ppm in "
+    "DECIMAL(38,0)/HUGEINT so both engines agree bit-for-bit",
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query, exact across engines.
+
+    The classic BM25 idf term ln((N-df+0.5)/(df+0.5)) is replaced by its
+    log-free rational argument — rank-equivalent per term and exactly
+    representable, so the whole score stays in integer arithmetic:
+
+        score      = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        avgdl      = S/N   (S = total corpus tokens, N = docs)
+        with k1 = 6/5, b = 3/4 the term score reduces to the integer form
+        score_ppm  = floor(1e6 * (2N-2df+1) * 22*S*tf
+                           / ((2df+1) * (10*S*tf + 3*S + 9*dl*N)))
+
+    computed in DECIMAL(38,0) (HUGEINT on the oracle side); a document's
+    score is the sum of its per-term floors — deterministic on both
+    engines by construction. Floor is exact via the double-guess +/-1
+    correction (quotient < 2^53, so the double estimate is off by < 1).
+
+    Scale shape: one explode, two map-side-combined aggregations (tf is
+    pre-filtered to the query vocabulary BEFORE the shuffle, so the tf
+    relation is candidate-posting-list sized, not corpus sized), a
+    broadcast of the vocabulary-sized df and the 1-row corpus stats, one
+    doc_id equi-join against the per-doc length relation, and a global
+    top-k that compiles to TakeOrderedAndProject. That is the standard
+    distributed inverted-index probe: at 100 TB the only full-corpus
+    shuffles are the tf/dl aggregations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "num",
+            F.expr(
+                f"CAST(1000000 AS {d38}) * CAST(2*n_docs - 2*df + 1 AS {d38})"
+                f" * CAST(22 AS {d38}) * CAST(s_tokens AS {d38})"
+                f" * CAST(tf AS {d38})"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                f"CAST(2*df + 1 AS {d38})"
+                f" * (CAST(10 AS {d38}) * CAST(s_tokens AS {d38}) * CAST(tf AS {d38})"
+                f"    + CAST(3 AS {d38}) * CAST(s_tokens AS {d38})"
+                f"    + CAST(9 AS {d38}) * CAST(dl AS {d38}) * CAST(n_docs AS {d38}))"
+            ),
+        )
+        .withColumn(
+            "guess",
+            F.expr(
+                f"CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS {d38})"
+            ),
+        )
+        .withColumn(
+            "term_ppm",
+            F.expr(
+                "CAST(CASE WHEN (guess + 1) * den <= num THEN guess + 1"
+                " WHEN guess * den > num THEN guess - 1"
+                " ELSE guess END AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_ppm").cast("bigint").alias("bm25_ppm"))
+        .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(20)
+    )
