@@ -8,7 +8,7 @@ int/int double divisions — bit-deterministic across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
@@ -1213,11 +1213,10 @@ def crypto_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_QUERY_TERMS = ("spark", "vector", "merge")
 
-
-@register(
-    "bm25_retrieval_topk",
-    oracle=f"""
-    WITH tok AS (
+# Shared oracle CTE block: the exact-integer BM25 score relation
+# `bm25(doc_id, bm25_ppm)` (see bm25_retrieval_topk for the math).
+_BM25_SCORES_SQL = f"""
+    tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
         FROM documents),
     dl AS (
@@ -1240,9 +1239,19 @@ BM25_QUERY_TERMS = ("spark", "vector", "merge")
                    AS term_ppm
         FROM tf JOIN df USING (term)
                 JOIN dl ON tf.doc_id = dl.doc_id
-                CROSS JOIN stats)
-    SELECT doc_id, CAST(SUM(term_ppm) AS BIGINT) AS bm25_ppm
-    FROM scored GROUP BY doc_id
+                CROSS JOIN stats),
+    bm25 AS (
+        SELECT doc_id, CAST(SUM(term_ppm) AS BIGINT) AS bm25_ppm
+        FROM scored GROUP BY doc_id)
+"""
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle="WITH "
+    + _BM25_SCORES_SQL
+    + """
+    SELECT doc_id, bm25_ppm FROM bm25
     ORDER BY bm25_ppm DESC, doc_id
     LIMIT 20
     """,
@@ -1279,6 +1288,18 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the tf/dl aggregations.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(docs)
+        .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25_ppm) for every document matching BM25_QUERY_TERMS —
+    the shared scoring relation behind bm25_retrieval_topk and the RRF
+    hybrid fusion (see bm25_retrieval_topk for the exact-integer math).
+    """
     toks = tokens("text")
     tf = (
         docs.select("doc_id", F.explode(toks).alias("term"))
@@ -1328,9 +1349,108 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_ppm").cast("bigint").alias("bm25_ppm"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_ppm").cast("bigint").alias("bm25_ppm")
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_ARM_TOPN = 50  # candidates taken from each retrieval arm
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle="WITH "
+    + _BM25_SCORES_SQL
+    + f"""
+    , lexr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_ppm DESC, doc_id) AS r
+        FROM bm25),
+    lex AS (
+        SELECT doc_id, 1000000 // ({RRF_K} + r) AS contrib
+        FROM lexr WHERE r <= {RRF_ARM_TOPN}),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id = 0),
+    semscore AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.e), 6)
+                   AS cos
+        FROM embeddings CROSS JOIN q),
+    semr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+        FROM semscore),
+    sem AS (
+        SELECT doc_id, 1000000 // ({RRF_K} + r) AS contrib
+        FROM semr WHERE r <= {RRF_ARM_TOPN})
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(COALESCE(lex.contrib, 0) + COALESCE(sem.contrib, 0) AS BIGINT)
+               AS rrf_ppm
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_ppm DESC, COALESCE(lex.doc_id, sem.doc_id)
+    LIMIT 20
+    """,
+    description="G17 hybrid search: reciprocal-rank fusion (k=60) of the "
+    "exact BM25 lexical arm and a cosine semantic arm (query = vec_id 0), "
+    "top-50 candidates per arm, integer 1e6//(60+rank) contributions so "
+    "the fused score is bit-exact on both engines",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with RRF.
+
+    Each arm produces its global top-50 via TakeOrderedAndProject (no
+    corpus-wide single-partition window: ranks are assigned by a window
+    over the already-limited 50-row slice, where the same total ordering
+    (score DESC, doc_id) makes slice-local row numbers equal the global
+    ones). Contributions are integer `1000000 div (60 + rank)` — the
+    standard RRF formula scaled to ppm so both engines agree exactly.
+    The fusion itself is a 50x50-row full outer join, negligible at any
+    scale; the heavy lifting stays in the two arms, whose plans are the
+    audited bm25_retrieval_topk and ann_topk_cosine shapes. Documents
+    without an embedding row (sf0.1 has 5k docs, 2k vectors) can only
+    receive lexical contributions — same rule on both engines.
+    """
+    from ..functions.vectors import cosine_pre, norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    w_lex = W.orderBy(F.col("bm25_ppm").desc(), "doc_id")
+    lex = (
+        _bm25_scores(docs)
         .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(RRF_ARM_TOPN)
+        .withColumn("r", F.row_number().over(w_lex))
+        .select("doc_id", F.expr(f"1000000 div ({RRF_K} + r)").alias("lex_contrib"))
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), norm(F.col("embedding")).alias("q_norm")
+    )
+    cos = F.round(
+        cosine_pre(F.col("embedding"), F.col("q_emb"), norm(F.col("embedding")), F.col("q_norm")),
+        6,
+    )
+    w_sem = W.orderBy(F.col("cos").desc(), "doc_id")
+    sem = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_ARM_TOPN)
+        .withColumn("r", F.row_number().over(w_sem))
+        .select("doc_id", F.expr(f"1000000 div ({RRF_K} + r)").alias("sem_contrib"))
+    )
+
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            (F.coalesce("lex_contrib", F.lit(0)) + F.coalesce("sem_contrib", F.lit(0)))
+            .cast("bigint")
+            .alias("rrf_ppm"),
+        )
+        .orderBy(F.col("rrf_ppm").desc(), "doc_id")
         .limit(20)
     )
