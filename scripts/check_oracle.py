@@ -26,7 +26,11 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from stream_ingestion_amazon_kinesis_spark import TABLES
-from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
+from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+    QUERIES,
+    _load_all,
+    release_cached,
+)
 from stream_ingestion_amazon_kinesis_spark.session import get_spark
 
 
@@ -78,6 +82,11 @@ def main() -> int:
             continue
         import time
 
+        # Drop the previous query's localCheckpoint blocks / cache
+        # entries before timing the next one — without this a bare
+        # 1 GiB driver OOMs ~316 queries into the sf0.1 gate on
+        # accumulated block-manager residue (see release_cached).
+        release_cached(spark)
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
