@@ -55,10 +55,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     _load_all()
 
-    if os.environ.get("CHECK_ORACLE_VANILLA"):
+    vanilla = bool(os.environ.get("CHECK_ORACLE_VANILLA"))
+
+    def _make_session():
+        if not vanilla:
+            return get_spark("oracle-check")
         from pyspark.sql import SparkSession
 
-        spark = (
+        return (
             SparkSession.builder.master("local[32]")
             .appName("oracle-check-vanilla")
             .config("spark.ui.enabled", "false")
@@ -68,8 +72,8 @@ def main() -> int:
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
-    else:
-        spark = get_spark("oracle-check")
+
+    spark = _make_session()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -77,6 +81,7 @@ def main() -> int:
         )
 
     failures = []
+    n_run = 0
     for name, spec in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -87,6 +92,18 @@ def main() -> int:
         # 1 GiB driver OOMs ~316 queries into the sf0.1 gate on
         # accumulated block-manager residue (see release_cached).
         release_cached(spark)
+        # A BARE session also retains SQL-execution status-store data
+        # (full plan strings + node metrics, default cap 1000
+        # executions) that release_cached cannot touch — hundreds of
+        # heavyweight plans exhaust a default 1 GiB heap late in the
+        # sweep even though every query passes alone at 1 GiB. Recycle
+        # the vanilla session every 64 queries: queries are stateless,
+        # so per-query semantics are unchanged; this bounds JVM
+        # endurance, which is a lifecycle concern, not an engine one.
+        if vanilla and n_run and n_run % 64 == 0:
+            spark.stop()
+            spark = _make_session()
+        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
