@@ -122,4 +122,15 @@ def release_cached(spark: SparkSession) -> int:
         rdd.unpersist(False)
         n += 1
     spark.catalog.clearCache()
+    # Stopped streaming queries leave their state-store providers (and
+    # each provider's in-memory version maps) in the executor-side
+    # loadedProviders cache — ~200 providers per stateful query at the
+    # default shuffle partitioning, never unloaded in local mode.
+    # StateStore.stop() unloads them all and re-initializes lazily on
+    # the next stateful query.
+    try:
+        pkg = spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state
+        getattr(getattr(pkg, "StateStore$"), "MODULE$").stop()
+    except Exception:
+        pass  # no JVM access (connect mode) — nothing cached there anyway
     return n
