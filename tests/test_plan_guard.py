@@ -90,6 +90,8 @@ BNLJ_OK = {
     "benford_digit_audit_orders",  # crossJoin of the single-row total count
     "association_rules_parts",  # crossJoin of the single-row basket count
     "sparse_retrieval_top5",  # crossJoins of single-row totals + query-doc id
+    "bm25_retrieval_topk",  # crossJoin of the single-row corpus stats (S, N)
+    "hybrid_rrf_retrieval",  # single-row corpus stats + single-row query vec
     "key_skew_audit_lineitem",  # crossJoin of the single-row total
     "referential_integrity_audit",  # crossJoins of single-row counts per FK edge
     "sequence_packing_bins",  # bounded per-source offsets relation
