@@ -57,6 +57,30 @@ def main() -> int:
 
     vanilla = bool(os.environ.get("CHECK_ORACLE_VANILLA"))
 
+    if vanilla and not only:
+        # Full vanilla sweep: run in JVM generations of 64 queries.
+        # In-process session recycling (spark.stop + getOrCreate) is NOT
+        # enough — JVM-global state that survives a context stop
+        # (codegen/class caches, gateway-pinned objects) accumulated
+        # over ~256 heavyweight queries still OOMs a default 1 GiB heap
+        # on the next array-heavy query, while the identical 61-query
+        # window passes in a fresh JVM. Each generation is still a
+        # long-lived bare session; per-query semantics are unchanged.
+        import subprocess
+
+        names = sorted(QUERIES)
+        rc = 0
+        for i in range(0, len(names), 64):
+            chunk = names[i : i + 64]
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, *chunk]
+            )
+            rc |= r.returncode
+        print(f"\nvanilla sweep: {len(names)} queries in "
+              f"{(len(names) + 63) // 64} JVM generations, "
+              f"{'FAILURES above' if rc else 'all generations clean'}")
+        return rc
+
     def _make_session():
         if not vanilla:
             return get_spark("oracle-check")
@@ -81,7 +105,6 @@ def main() -> int:
         )
 
     failures = []
-    n_run = 0
     for name, spec in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -92,18 +115,6 @@ def main() -> int:
         # 1 GiB driver OOMs ~316 queries into the sf0.1 gate on
         # accumulated block-manager residue (see release_cached).
         release_cached(spark)
-        # A BARE session also retains SQL-execution status-store data
-        # (full plan strings + node metrics, default cap 1000
-        # executions) that release_cached cannot touch — hundreds of
-        # heavyweight plans exhaust a default 1 GiB heap late in the
-        # sweep even though every query passes alone at 1 GiB. Recycle
-        # the vanilla session every 64 queries: queries are stateless,
-        # so per-query semantics are unchanged; this bounds JVM
-        # endurance, which is a lifecycle concern, not an engine one.
-        if vanilla and n_run and n_run % 64 == 0:
-            spark.stop()
-            spark = _make_session()
-        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
