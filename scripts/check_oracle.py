@@ -58,26 +58,30 @@ def main() -> int:
     vanilla = bool(os.environ.get("CHECK_ORACLE_VANILLA"))
 
     if vanilla and not only:
-        # Full vanilla sweep: run in JVM generations of 64 queries.
+        # Full vanilla sweep: run in JVM generations of 32 queries.
         # In-process session recycling (spark.stop + getOrCreate) is NOT
         # enough — JVM-global state that survives a context stop
         # (codegen/class caches, gateway-pinned objects) accumulated
         # over ~256 heavyweight queries still OOMs a default 1 GiB heap
         # on the next array-heavy query, while the identical 61-query
-        # window passes in a fresh JVM. Each generation is still a
-        # long-lived bare session; per-query semantics are unchanged.
+        # window passes in a fresh JVM. 64-query generations proved
+        # borderline (the array-heavy triangle query OOMed as the 61st
+        # query of a fresh generation in one run and passed in another —
+        # GC timing decides at 1 GiB); 32 keeps clear headroom. Each
+        # generation is still a long-lived bare session; per-query
+        # semantics are unchanged.
         import subprocess
 
         names = sorted(QUERIES)
         rc = 0
-        for i in range(0, len(names), 64):
-            chunk = names[i : i + 64]
+        for i in range(0, len(names), 32):
+            chunk = names[i : i + 32]
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), sf_dir, *chunk]
             )
             rc |= r.returncode
         print(f"\nvanilla sweep: {len(names)} queries in "
-              f"{(len(names) + 63) // 64} JVM generations, "
+              f"{(len(names) + 31) // 32} JVM generations, "
               f"{'FAILURES above' if rc else 'all generations clean'}")
         return rc
 
