@@ -1213,6 +1213,10 @@ def crypto_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_QUERY_TERMS = ("spark", "vector", "merge")
 
+# Explicit IN-list (a Python tuple repr would emit a trailing comma —
+# invalid SQL — if the vocabulary were ever trimmed to one term).
+_BM25_TERMS_IN = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + ")"
+
 # Shared oracle CTE block: the exact-integer BM25 score relation
 # `bm25(doc_id, bm25_ppm)` (see bm25_retrieval_topk for the math).
 _BM25_SCORES_SQL = f"""
@@ -1229,7 +1233,7 @@ _BM25_SCORES_SQL = f"""
         FROM dl),
     tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
-        FROM tok WHERE term IN {BM25_QUERY_TERMS}
+        FROM tok WHERE term IN {_BM25_TERMS_IN}
         GROUP BY doc_id, term),
     df AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY term),
     scored AS (
@@ -1275,8 +1279,19 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     computed in DECIMAL(38,0) (HUGEINT on the oracle side); a document's
     score is the sum of its per-term floors — deterministic on both
-    engines by construction. Floor is exact via the double-guess +/-1
-    correction (quotient < 2^53, so the double estimate is off by < 1).
+    engines by construction. The floor division itself is Spark's
+    integral `div` on DECIMAL(38,0) operands (exact BigDecimal
+    divideToIntegralValue, no double anywhere), matching DuckDB's
+    HUGEINT `//`; both truncate and all terms are non-negative, so
+    truncation == floor. `div` is exact for any quotient < 2^63; here
+    the quotient is bounded by 2.2e6 * (2N-2df+1)/(2df+1) <= ~4.4e6*N,
+    i.e. safe to N ~ 2e12 documents — DECIMAL(38,0) capacity of the
+    numerator (~4.4e7 * N * S * tf < 1e38) binds first, at roughly
+    N*S*tf < 2.3e30 (a 100 TB corpus: N~2e9, S~2.5e13, tf<1e4 gives
+    ~5e26 — three orders of headroom). A double-based guess-and-correct
+    was replaced in round 7: its +/-1 correction silently under-corrects
+    once the true quotient passes ~2^53/3, which BM25's unbounded
+    rare-term quotient (~1.5e6*N) reaches near N~2e9.
 
     Scale shape: one explode, two map-side-combined aggregations (tf is
     pre-filtered to the query vocabulary BEFORE the shuffle, so the tf
@@ -1334,20 +1349,11 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
                 f"    + CAST(9 AS {d38}) * CAST(dl AS {d38}) * CAST(n_docs AS {d38}))"
             ),
         )
-        .withColumn(
-            "guess",
-            F.expr(
-                f"CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS {d38})"
-            ),
-        )
-        .withColumn(
-            "term_ppm",
-            F.expr(
-                "CAST(CASE WHEN (guess + 1) * den <= num THEN guess + 1"
-                " WHEN guess * den > num THEN guess - 1"
-                " ELSE guess END AS BIGINT)"
-            ),
-        )
+        # Exact integral division: `div` on DECIMAL(38,0) operands is
+        # BigDecimal divideToIntegralValue (no double estimate), result
+        # BIGINT — exact for any quotient < 2^63 (see docstring for the
+        # corpus-size bound at which DECIMAL(38,0) itself would bind).
+        .withColumn("term_ppm", F.expr("num div den"))
     )
     return scored.groupBy("doc_id").agg(
         F.sum("term_ppm").cast("bigint").alias("bm25_ppm")
@@ -1429,6 +1435,15 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), norm(F.col("embedding")).alias("q_norm")
     )
+    # Boundary-sensitivity note (round-7 advice): RRF amplifies the
+    # usual round(cos, 6) cross-engine tolerance — in plain ann top-k an
+    # ulp flip near a 6-dp half-way point costs 1e-6 of score, but here
+    # a rank flip at that boundary (or at the top-50 cutoff) changes a
+    # whole integer 1e6//(60+r) contribution. The fixture's cosines sit
+    # nowhere near a .5 boundary today (verified by the gate at 4 SFs);
+    # if a future fixture change lands one on a boundary, switch this
+    # arm to the BM25-style exact-integer floor (cosine_ppm via
+    # DECIMAL div) instead of widening tolerance.
     cos = F.round(
         cosine_pre(F.col("embedding"), F.col("q_emb"), norm(F.col("embedding")), F.col("q_norm")),
         6,

@@ -119,7 +119,11 @@ def release_cached(spark: SparkSession) -> int:
     gc.collect()  # drop py4j handles so nothing here is still referenced
     n = 0
     for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        rdd.unpersist(False)
+        # blocking=True: the non-blocking form returns before the block
+        # manager actually drops the blocks, so under the exact 1 GiB
+        # heap pressure this function exists to relieve, the next query
+        # can start allocating against the previous query's residue.
+        rdd.unpersist(True)
         n += 1
     spark.catalog.clearCache()
     # Stopped streaming queries leave their state-store providers (and

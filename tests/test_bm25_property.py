@@ -68,6 +68,39 @@ def _reference_scores(docs):
     return out
 
 
+def test_decimal_div_exact_at_magnitudes_that_broke_double_guess(spark):
+    """Round-7 regression: term_ppm is now `num div den` on DECIMAL(38,0).
+
+    The previous double-based guess +/-1 correction silently
+    under-corrected once the true quotient passed ~2^53/3 (advisor
+    reproduced off-by-355 at q ~ 1.4e18 — reachable by BM25's rare-term
+    quotient ~1.5e6*N near N ~ 2e9 docs). Pin that Spark's integral
+    `div` on DECIMAL(38,0) operands is exact at exactly those
+    magnitudes, including quotients just around 2^53 and ~1.4e18.
+    """
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for q in (2**53 - 1, 2**53, 2**53 + 1, 14 * 10**17, 9 * 10**18):
+        for _ in range(4):
+            den = rng.randint(10**3, 10**19)
+            num = q * den + rng.randint(0, den - 1)
+            if num < 10**38:
+                cases.append((str(num), str(den), num // den))
+    for _ in range(20):  # random huge operands
+        num = rng.randint(10**20, 10**37)
+        den = rng.randint(10**4, num)
+        cases.append((str(num), str(den), num // den))
+    df = spark.createDataFrame(
+        [(n, d) for n, d, _ in cases], "num string, den string"
+    )
+    got = df.selectExpr(
+        "CAST(num AS DECIMAL(38,0)) div CAST(den AS DECIMAL(38,0)) AS q"
+    ).collect()
+    assert [r["q"] for r in got] == [w for _, _, w in cases]
+
+
 @settings(
     max_examples=15,
     deadline=None,
