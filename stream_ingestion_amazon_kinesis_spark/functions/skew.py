@@ -49,14 +49,25 @@ def salted_join(
     small: DataFrame,
     key: str,
     n_salts: int = 16,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join where `skewed` has hot values of `key`: the skewed side
     gets a content salt, the small side is replicated to every salt, and
     the join key becomes (key, salt) — a hot key now lands on n_salts
     reducers instead of one. Replication multiplies the small side by
-    n_salts, so this is for dimension-sized right sides."""
+    n_salts, so this is for dimension-sized right sides.
+
+    `join_hint` (e.g. "shuffle_hash" / "merge") pins the physical join
+    on the replicated side. Salting only helps when the join actually
+    SHUFFLES on the salted key — AQE's skewJoin cannot split a skewed
+    BroadcastHashJoin probe side (no exchange to split), which is
+    exactly the beyond-AQE case this helper exists for — so demos /
+    production uses where Spark would auto-broadcast the replicated
+    dimension should pass a shuffle hint."""
     s = skewed.withColumn("_salt", content_salt(skewed, n_salts))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    if join_hint:
+        replicated = replicated.hint(join_hint)
     return s.join(replicated, [key, "_salt"]).drop("_salt")

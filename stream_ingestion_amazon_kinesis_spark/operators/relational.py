@@ -600,6 +600,61 @@ def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n", as_double(F.col("total_value")).alias("total_value"))
 
 
+@register(
+    "salted_join_hot_keys",
+    oracle="""
+    SELECT s_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    description="skew-salted shuffle join (replicate dim x salt, join on "
+    "(key, salt)) equals the plain equi-join — the documented manual "
+    "fallback for skew AQE cannot split",
+)
+def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salted join for hot keys beyond AQE's reach (SURVEY §4).
+
+    AQE's skewJoin splits an oversized SHUFFLE partition of a sort-merge
+    join (pinned by tests/test_skew_join.py), but it cannot split a
+    skewed BroadcastHashJoin probe side (there is no exchange to split)
+    and does nothing for an aggregation-free hot-key join that stays
+    under `skewedPartitionThresholdInBytes`. The manual fallback: salt
+    the fact side deterministically from row content, replicate the
+    dimension to every salt value, and join on (key, salt) — each hot
+    key's rows now spread over n_salts reducers. The shuffle_hash hint
+    keeps the join an actual shuffle (auto-broadcast of the replicated
+    dim would silently defeat the salting, and the broadcast case needs
+    no salting in the first place). Result is provably identical to the
+    plain join: replication is a disjoint partition of the dim by salt.
+
+    Scale: the only cost over a plain shuffle join is n_salts x the
+    DIMENSION (bounded) — the fact side is shuffled exactly once either
+    way, and the post-join aggregation still map-side combines.
+    """
+    from ..functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    dim = t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    joined = salted_join(
+        t["lineitem"], dim, "l_suppkey", n_salts=16, join_hint="shuffle_hash"
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            as_double(
+                F.sum(money("l_extendedprice") * (one - frac(F.col("l_discount"))))
+            ).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
 _PRICE_BANDS = [
     ("micro", 0, 10_000),
     ("small", 10_000, 50_000),

@@ -47,6 +47,26 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_salted_join_hot_keys_plan_pin(spark, sf_dir):
+    """Plan pin for the registered salted_join_hot_keys query: the fact
+    join must be a ShuffledHashJoin on (l_suppkey, _salt) — an
+    auto-broadcast of the replicated dimension would silently defeat
+    the salting (no exchange on the fact side means nothing spreads),
+    which is the exact beyond-AQE scenario the query documents."""
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    df = QUERIES["salted_join_hot_keys"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    # the salted compound key actually reaches the join
+    import re
+
+    jline = next(l for l in plan.splitlines() if "ShuffledHashJoin" in l)
+    assert "_salt" in jline and "l_suppkey" in jline, jline
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """bucketBy co-locates both sides on the join key at write time —
     the later join plans SortMergeJoin with NO Exchange, the pattern
