@@ -256,6 +256,29 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         pass
 
 
+def _consume_killpoint(stream_dir: str, name: str) -> None:
+    """kill -9 chaos-drill hook: a file named `name` in the stream dir
+    makes the calling code deliver SIGKILL to the etl driver (pid from
+    SPARK_GRAFT_DRIVER_PID, set by __main__.main) AND to the calling
+    process at this exact point — a genuine uncontrolled death, unlike
+    the exception failpoint (which unwinds through abort()). Single-shot:
+    the file is consumed first, so the restarted run proceeds. Test-only;
+    two os.path.exists misses per call in normal operation."""
+    import signal
+
+    p = os.path.join(stream_dir, name)
+    if not os.path.exists(p):
+        return
+    os.remove(p)
+    pid = os.environ.get("SPARK_GRAFT_DRIVER_PID")
+    if pid and int(pid) != os.getpid():
+        try:
+            os.kill(int(pid), signal.SIGKILL)
+        except (OSError, ValueError):
+            pass
+    os.kill(os.getpid(), signal.SIGKILL)
+
+
 @dataclass
 class ShardWriteCommit(WriterCommitMessage):
     files: list  # (final_relpath, tmp_path) pairs
@@ -267,11 +290,26 @@ class KinesisSimWriter(DataSourceWriter):
     Spark's two-phase commit standing in for the service-side append.
     """
 
-    def __init__(self, path: str, num_shards: int, key_col: str, data_col: str):
+    def __init__(
+        self,
+        path: str,
+        num_shards: int,
+        key_col: str,
+        data_col: str,
+        commit_token: str | None = None,
+    ):
         self.path = path
         self.num_shards = num_shards
         self.key_col = key_col
         self.data_col = data_col
+        # Idempotence token for epoch retries (option commitToken, set by
+        # the streaming sink to <checkpoint-scope>e<epoch>): commit()
+        # embeds it in published file names, rolls back a torn previous
+        # attempt of the SAME token before publishing, and records a
+        # done-marker after — so a retried epoch converges to exactly one
+        # copy no matter where the previous attempt died. None (plain
+        # batch writes) keeps the plain append behavior.
+        self.commit_token = commit_token
 
     def write(self, iterator) -> ShardWriteCommit:
         task_id = uuid.uuid4().hex[:12]
@@ -312,6 +350,34 @@ class KinesisSimWriter(DataSourceWriter):
             raise RuntimeError(
                 "kinesis_sim failpoint: injected crash before commit"
             )
+        # kill -9 drill points (round-7 chaos tests): staged, nothing
+        # published yet / torn mid-publish. See _consume_killpoint.
+        _consume_killpoint(self.path, "_killpoint_before_publish")
+        kill_mid_publish = os.path.exists(
+            os.path.join(self.path, "_killpoint_mid_publish")
+        )
+        token = self.commit_token
+        done_marker = (
+            os.path.join(self.path, "_epochs", f"w-{token}") if token else None
+        )
+        if done_marker and os.path.exists(done_marker):
+            # This exact (checkpoint-scope, epoch) already published in a
+            # previous attempt that died between writer commit and the
+            # sink's own marker: drop the retry's staged files, publish
+            # nothing — the stream already holds exactly one copy.
+            self.abort(messages)
+            return
+        if token:
+            # Roll back a TORN previous attempt of this same token: any
+            # published file carrying the token sits at its shard's tail
+            # (it was appended by the dead attempt and the epoch never
+            # committed), so deleting it restores the pre-epoch state and
+            # the republish below lands at the same sequence numbers.
+            if os.path.isdir(self.path):
+                for d in _shard_dirs(self.path):
+                    for f in _shard_files(d):
+                        if f"-{token}-" in os.path.basename(f):
+                            os.remove(f)
         # Sequence numbers are defined by FILE-NAME order within a shard
         # (_iter_shard_records), so appended files MUST sort after every
         # existing file or a later append would renumber records a
@@ -351,8 +417,19 @@ class KinesisSimWriter(DataSourceWriter):
                     next_idx[shard_rel] = len(existing)
                 idx = next_idx[shard_rel]
                 next_idx[shard_rel] = idx + 1
-                fname = f"part-{idx:08d}-{os.path.basename(rel)[len('part-'):]}"
+                suffix = os.path.basename(rel)[len("part-"):]
+                if token:
+                    suffix = f"{token}-{suffix}"
+                fname = f"part-{idx:08d}-{suffix}"
                 os.replace(tmp, os.path.join(shard_dir, fname))
+                if kill_mid_publish:
+                    # consume + SIGKILL after the FIRST publish: a
+                    # genuinely torn multi-file publish for the drill.
+                    _consume_killpoint(self.path, "_killpoint_mid_publish")
+        if done_marker:
+            os.makedirs(os.path.dirname(done_marker), exist_ok=True)
+            with open(done_marker, "w", encoding="utf-8") as fh:
+                fh.write("ok")
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging) and not os.listdir(staging):
             os.rmdir(staging)
@@ -413,6 +490,7 @@ class KinesisSimDataSource(DataSource):
             int(self.options.get("numShards", "4")),
             self.options.get("partitionKeyColumn", "partition_key"),
             self.options.get("dataColumn", "data"),
+            self.options.get("committoken") or self.options.get("commitToken"),
         )
 
 

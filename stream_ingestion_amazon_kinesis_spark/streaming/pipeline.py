@@ -258,9 +258,14 @@ def kinesis_sim_sink(
     directory path."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        from ..sources.kinesis_sim import register_format
+        from ..sources.kinesis_sim import _consume_killpoint, register_format
 
         register_format(batch.sparkSession)
+        # kill -9 drill points (round-7 chaos tests): torn WAL with
+        # nothing / one route / both routes published. Armed by files in
+        # the FIRST route's stream dir; no-ops in normal operation.
+        first_route = next(iter(dest_streams.values()))
+        _consume_killpoint(first_route, "_killpoint_batch_start")
         batch.persist()
         try:
             ok = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
@@ -276,18 +281,21 @@ def kinesis_sim_sink(
                 ("USA", F.col("country") == "USA"),
                 ("International", F.col("country") != "USA"),
             ):
-                # Epoch-retry idempotence: a retried epoch (restart after
-                # a crash between the two route writes) must not re-append
-                # routes that already committed — the classic partial-
-                # failure double-write hole of blind foreachBatch appends
-                # (idempotent_sink.py's marker pattern, applied per
-                # (epoch, route) to a kinesis_sim APPEND sink). Residual
-                # window: a crash between the writer's commit and the
-                # marker creation (one syscall apart) still re-appends
-                # that single route on retry — the same window Spark's
-                # own Kafka sink leaves open (its docs call the sink
-                # at-least-once for exactly this reason).
-                # Markers are scoped to the CHECKPOINT identity
+                # Epoch-retry idempotence, two layers:
+                # (1) this sink-level marker skips re-RUNNING the write
+                #     job for a route that already committed (restart
+                #     after a crash between the two route writes);
+                # (2) the writer-level commitToken (round 7) makes the
+                #     publish itself idempotent: commit() names published
+                #     files with the token, rolls back a torn previous
+                #     attempt of the same token before republishing, and
+                #     records its own done-marker after the last file —
+                #     closing both residual holes the marker alone left
+                #     open (crash between writer-commit and marker
+                #     creation re-appended the route; kill -9 mid-publish
+                #     re-appended the already-published files). Both are
+                #     exercised by the kill -9 drills in tests/test_cli.py.
+                # Markers and tokens are scoped to the CHECKPOINT identity
                 # (run_scope): epoch ids restart at 0 under a fresh
                 # checkpoint, and an unscoped epoch-0 marker from an
                 # earlier run into the same dest would silently skip the
@@ -305,12 +313,15 @@ def kinesis_sim_sink(
                     .write.format("kinesis_sim")
                     .option("path", dest_streams[route])
                     .option("numShards", str(num_shards))
+                    .option("commitToken", f"{run_scope}e{epoch_id:020d}")
                     .mode("append")
                     .save()
                 )
                 os.makedirs(os.path.dirname(marker), exist_ok=True)
                 with open(marker, "w", encoding="utf-8") as fh:
                     fh.write("ok")
+                _consume_killpoint(first_route, "_killpoint_between_routes")
+            _consume_killpoint(first_route, "_killpoint_after_routes")
         finally:
             batch.unpersist()
 

@@ -307,6 +307,151 @@ def test_cli_etl_crash_before_commit_exactly_once(tmp_path, spark, capsys):
         assert [json.loads(r["data"])["session_id"] for r in rows] == [sid]
 
 
+KILL_POINTS = (
+    # write_batch entry: offset WAL may be ahead, nothing published
+    "_killpoint_batch_start",
+    # writer commit: task files staged, zero published (the verdict's
+    # "between task-file landing and checkpoint commit" moment)
+    "_killpoint_before_publish",
+    # writer commit mid-loop: SOME of the route's files published — the
+    # torn publish only the commitToken rollback can repair
+    "_killpoint_mid_publish",
+    # first route committed + marker, second route never started
+    "_killpoint_between_routes",
+    # both routes committed, epoch commit log never written (torn WAL)
+    "_killpoint_after_routes",
+)
+
+
+def test_cli_etl_kill9_chaos_exactly_once(tmp_path):
+    """VERDICT r6 ask #3: kill -9 the etl DRIVER at five seeded points
+    spanning the whole micro-batch commit protocol, restart, and assert
+    every destination stream holds exactly one copy of every record.
+    Unlike the exception failpoint (which unwinds through abort()), a
+    SIGKILL leaves genuinely torn state: staged files, half-published
+    epochs, offset WAL ahead of the commit log. Runs each drill as a
+    real `python -m ... etl` subprocess (1 GiB driver); the five armed
+    runs and the five restarts are each launched concurrently to bound
+    wall time."""
+    import subprocess
+    import sys
+    import time
+
+    n_recs = 6
+    expected = {}  # route dir name -> set of session ids
+    records = []
+    for i in range(n_recs):
+        country = "USA" if i % 3 != 2 else "Peru"
+        rec = dict(RECORD, session_id=f"s-k{i}", country=country)
+        records.append(rec)
+
+    def make_topo(kp: str):
+        base = tmp_path / kp.strip("_")
+        stream, usa, intl, ckpt = (
+            str(base / d) for d in ("stream", "usa", "intl", "ckpt")
+        )
+        # Source stream written directly in the kinesis_sim layout (no
+        # Spark needed): 2 shards x 3 records.
+        for shard in (0, 1):
+            d = os.path.join(stream, f"shard-{shard:05d}")
+            os.makedirs(d)
+            with open(
+                os.path.join(d, f"part-{0:08d}-src.jsonl"), "w", encoding="utf-8"
+            ) as fh:
+                for rec in records[shard * 3 : shard * 3 + 3]:
+                    fh.write(
+                        json.dumps(
+                            {"partitionKey": rec["session_id"], "data": json.dumps(rec)}
+                        )
+                        + "\n"
+                    )
+        os.makedirs(usa)
+        with open(os.path.join(usa, kp), "w", encoding="utf-8") as fh:
+            fh.write("arm")
+        args = [
+            sys.executable,
+            "-m",
+            "stream_ingestion_amazon_kinesis_spark",
+            "etl",
+            "--source-stream",
+            stream,
+            "--dest-streams",
+            json.dumps({"USA": usa, "International": intl}),
+            "--checkpoint",
+            ckpt,
+            "--source-format",
+            "kinesis_sim",
+        ]
+        return args, usa, intl
+
+    # A stale pid from an in-process main() run in THIS process must not
+    # leak into the drills (the kill would target pytest itself).
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_DRIVER_PID"}
+    env["SPARK_GRAFT_DRIVER_MEM"] = "1g"
+    env["SPARK_GRAFT_CPUS"] = "4"
+
+    topos = {kp: make_topo(kp) for kp in KILL_POINTS}
+
+    def launch_all():
+        return {
+            kp: subprocess.Popen(
+                topos[kp][0],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for kp in KILL_POINTS
+        }
+
+    def wait_all(procs, deadline=420):
+        t0 = time.time()
+        codes = {}
+        for kp, p in procs.items():
+            left = max(5, deadline - (time.time() - t0))
+            try:
+                codes[kp] = p.wait(timeout=left)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                codes[kp] = "timeout"
+        return codes
+
+    armed = wait_all(launch_all())
+    for kp, code in armed.items():
+        assert code != 0 and code != "timeout", f"{kp}: armed run exited {code}"
+        # the armed file was consumed (the drill actually fired)
+        assert not os.path.exists(os.path.join(topos[kp][1], kp)), kp
+
+    restarted = wait_all(launch_all())
+    for kp, code in restarted.items():
+        assert code == 0, f"{kp}: restart exited {code}"
+
+    def stream_sessions(dest: str) -> list[str]:
+        out = []
+        if not os.path.isdir(dest):
+            return out
+        for d in sorted(os.listdir(dest)):
+            if not d.startswith("shard-"):
+                continue
+            for f in sorted(os.listdir(os.path.join(dest, d))):
+                if not f.endswith(".jsonl"):
+                    continue
+                with open(os.path.join(dest, d, f), encoding="utf-8") as fh:
+                    for line in fh:
+                        if line.strip():
+                            env_rec = json.loads(line)
+                            out.append(
+                                json.loads(env_rec["data"])["session_id"]
+                            )
+        return out
+
+    want_usa = sorted(r["session_id"] for r in records if r["country"] == "USA")
+    want_intl = sorted(r["session_id"] for r in records if r["country"] != "USA")
+    for kp in KILL_POINTS:
+        _, usa, intl = topos[kp]
+        assert sorted(stream_sessions(usa)) == want_usa, f"{kp}: USA not exactly-once"
+        assert sorted(stream_sessions(intl)) == want_intl, f"{kp}: intl not exactly-once"
+
+
 def test_cli_etl_partial_epoch_retry_skips_committed_route(tmp_path, spark, capsys):
     """Crash BETWEEN the two route writes (USA committed, International
     not): the retried epoch must skip the already-committed USA route
