@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread
 from ..functions.text import tokens
-from .dedup import _doc_tokens
+from .dedup import _doc_tokens, TOKEN_DF_CAP_SQL
 
 CONTAINMENT_T = 0.9
 MIN_TOKENS = 5
@@ -39,7 +39,7 @@ MIN_TOKENS = 5
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > 1000),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),

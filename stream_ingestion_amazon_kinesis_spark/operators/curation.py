@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread
+from .dedup import TOKEN_DF_CAP_SQL
 
 # Contamination unit: 5-token grams (docs shorter than 5 tokens carry no
 # grams and drop out of the report — mirrored by generate_series in the
@@ -558,7 +559,7 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > 1000),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),

