@@ -39,8 +39,26 @@ class ProgressLog:
                 "add_batch_ms": dur.get("addBatch"),
                 "commit_ms": (dur.get("walCommit") or 0)
                 + (dur.get("commitOffsets") or 0),
+                # State-store footprint: the number the 100 TB streaming
+                # claim rests on — state must PLATEAU under a advancing
+                # watermark, not grow with cumulative input (asserted by
+                # the soak test in tests/test_streaming.py).
+                "state_rows": sum(
+                    op.get("numRowsTotal") or 0
+                    for op in progress.get("stateOperators") or []
+                ),
+                "state_bytes": sum(
+                    op.get("memoryUsedBytes") or 0
+                    for op in progress.get("stateOperators") or []
+                ),
             }
         )
+
+    @property
+    def state_rows_by_batch(self) -> list[int]:
+        """State-store row count after each micro-batch, in batch order."""
+        ordered = sorted(self.batches, key=lambda b: b["batch_id"] or 0)
+        return [b["state_rows"] for b in ordered]
 
     @property
     def total_rows(self) -> int:

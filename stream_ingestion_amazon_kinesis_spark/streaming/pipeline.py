@@ -164,8 +164,17 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).json(input_dir)
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-backed event stream. `max_files_per_trigger` throttles each
+    micro-batch to N files — the file-source twin of a Kinesis fetch
+    cap, used by the state-growth soak to replay a corpus as a long
+    sequence of small micro-batches."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(input_dir)
 
 
 def windowed_event_counts(

@@ -368,3 +368,106 @@ def test_transform_with_state_profiles(spark, sf_dir, tmp_path):
         assert got == exp
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# ---------------------------------------------------------------------------
+# State-growth soak: the 100 TB streaming claim needs a BOUND on state,
+# not just correctness. Replay the events corpus in event-time order as
+# ~50 single-file micro-batches and assert the state store PLATEAUS
+# under the advancing watermark instead of growing with cumulative input.
+# ---------------------------------------------------------------------------
+
+
+def _sliced_events_dir(spark, sf_dir, tmp_path, n_slices=50):
+    """Write the events table as `n_slices` event-time-ordered JSON
+    files with strictly increasing mtimes, so maxFilesPerTrigger=1
+    replays them as a realistic in-order stream (the file source picks
+    oldest-mtime first)."""
+    events = load_table(spark, sf_dir, "events")
+    rows = [
+        r["value"]
+        for r in events.sort("ts")
+        .select(F.to_json(F.struct(*events.columns)).alias("value"))
+        .collect()
+    ]
+    d = tmp_path / "events_sliced"
+    d.mkdir()
+    per = max(1, len(rows) // n_slices)
+    base = 1_700_000_000
+    for i in range(0, len(rows), per):
+        p = d / f"slice_{i // per:04d}.json"
+        p.write_text("\n".join(rows[i : i + per]) + "\n")
+        os.utime(p, (base + i // per, base + i // per))
+    return str(d)
+
+
+def _soak_progress(query):
+    """Feed every micro-batch progress through the engine's ProgressLog
+    and return state rows per batch (batch order)."""
+    from stream_ingestion_amazon_kinesis_spark.streaming.observability import (
+        ProgressLog,
+    )
+
+    log = ProgressLog()
+    for p in query.recentProgress:
+        log.record(p if isinstance(p, dict) else json.loads(p.json))
+    return log
+
+
+def _run_soak(stream_df, name, tmp_path):
+    query = (
+        stream_df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    log = _soak_progress(query)
+    query.stop()
+    return log
+
+
+def _assert_state_plateaus(log, n_batches_min=40):
+    sr = [s for s in log.state_rows_by_batch if s is not None]
+    # one progress per file-slice micro-batch (plus possibly an empty tail batch)
+    assert len(sr) >= n_batches_min, f"only {len(sr)} micro-batches ran"
+    total_in = log.total_rows
+    assert total_in > 0
+    # 0) the soak exercised real state (all-zero would pass vacuously)
+    assert max(sr) > 0, "state operator reported zero rows throughout"
+    # 1) eviction happened: state never approaches cumulative input
+    assert max(sr) < total_in * 0.5, (
+        f"state holds {max(sr)} of {total_in} cumulative rows - no eviction"
+    )
+    # 2) the tail is flat: the last 10 batches sit at (or below) the
+    # plateau established mid-run - monotonic growth fails this
+    mid_high = max(sr[len(sr) // 3 : 2 * len(sr) // 3])
+    assert max(sr[-10:]) <= mid_high * 1.3 + 5, (
+        f"state tail {sr[-10:]} exceeds mid-run plateau {mid_high}"
+    )
+
+
+def test_state_soak_stream_dedup(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over ~50 in-order micro-batches:
+    dedup keys older than the 2-day watermark horizon must be evicted,
+    so state tracks the horizon (a constant fraction of the 30-day
+    corpus), never the cumulative key count."""
+    d = _sliced_events_dir(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    log = _run_soak(dedup_event_stream(stream, watermark="2 days"), "dedup", tmp_path)
+    _assert_state_plateaus(log)
+
+
+def test_state_soak_windowed_counts(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window aggregate over ~50 in-order
+    micro-batches: closed windows must leave the store, so open-window
+    state is bounded by (watermark horizon / window size) x event
+    types regardless of how much history has streamed through."""
+    d = _sliced_events_dir(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    log = _run_soak(
+        windowed_event_counts(stream, window_duration="6 hours", watermark="1 day"),
+        "win",
+        tmp_path,
+    )
+    _assert_state_plateaus(log)
