@@ -13,7 +13,9 @@ what scales. `plan_stats` records each query's static shuffle/broadcast exchange
 (from the physical plan) and the jobs/stages Spark
 actually ran, so round-over-round regressions show up as structure, not
 just seconds. `scaling` repeats the headline set one scale factor down,
-giving each round a slope instead of a single point.
+giving each round a slope instead of a single point; `scaling_sf1`
+repeats it one decade UP on a generated-on-the-fly sf1 fixture (single
+shot, with its own slope_flags against the sf0.1 medians).
 """
 
 from __future__ import annotations
@@ -202,6 +204,39 @@ def main() -> None:
                 "value": round(sum(low2_timings.values()), 3),
                 "queries": low2_timings,
             }
+    # Upper scaling decade (sf0.1 -> sf1): the correctness gate already
+    # value-checks sf1 on a generated fixture; give the bench the same
+    # decade so super-linear blowups surface at the scale the gate
+    # covers. Single-shot (it feeds a slope), fixture generated on the
+    # fly under /tmp (never committed), disable with
+    # SPARK_GRAFT_BENCH_SF1=0. Only runs from the sf0.1 primary.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and out["sf"] == 0.1:
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfgen/sf1")
+        if not os.path.isdir(sf1_dir):
+            try:
+                from scripts.gen_scaled_fixture import generate
+
+                generate(sf_dir, sf1_dir, 10)
+            except Exception as e:  # fixture gen is best-effort here
+                print(f"sf1 fixture generation failed: {e}", file=sys.stderr)
+                sf1_dir = None
+        if sf1_dir and os.path.isdir(sf1_dir):
+            sf1_timings, _ = _run_set(spark, sf1_dir, collect_stats=False)
+            out["scaling_sf1"] = {
+                "sf": 1.0,
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                # Same wolf-guard as slope_flags: only flag queries doing
+                # real work at sf1, against the sf0.1 median.
+                "slope_flags": sorted(
+                    name
+                    for name, t_sf1 in sf1_timings.items()
+                    if t_sf1 >= 2.0
+                    and timings.get(name, 0) > 0.05
+                    and t_sf1 / timings[name] > 10.0
+                ),
+            }
+
     if low_timings:
         # Flag only queries doing REAL work at the high SF (>= 2 s):
         # sub-second timings are fixed-overhead + cache noise at these
