@@ -403,7 +403,11 @@ def test_cli_etl_kill9_chaos_exactly_once(tmp_path):
             for kp in KILL_POINTS
         }
 
-    def wait_all(procs, deadline=420):
+    # Deadline sized for a CONTENDED box: 5 concurrent 4-cpu JVM drivers
+    # can share the machine with other Spark sessions (measured: 420 s
+    # times out when two full gates run alongside; the drills themselves
+    # take ~90 s each unloaded).
+    def wait_all(procs, deadline=900):
         t0 = time.time()
         codes = {}
         for kp, p in procs.items():
