@@ -683,8 +683,14 @@ _PPR_ITERS = 3
 
 
 def _ppr_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB otherwise INLINES each reference,
+    # so pr3 -> pr2 -> pr1 re-expands the part-pair self-join (e0) once
+    # per iteration per reference — at sf1 (6M lineitem) the inlined plan
+    # ran 752 s in round 6 and OOMed the round-7 full gate. Materialized,
+    # each relation is computed exactly once (same values, same rounding;
+    # the k-core oracle set this precedent).
     it = """
-        pr{n} AS (
+        pr{n} AS MATERIALIZED (
             SELECT nd.node,
                    CASE WHEN sd.node IS NOT NULL THEN (SELECT ps FROM consts)
                         ELSE 0 END
@@ -703,23 +709,23 @@ def _ppr_oracle() -> str:
     """
     parts = [
         """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
         SELECT a.l_partkey AS src, b.l_partkey AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    nodes AS (SELECT DISTINCT src AS node FROM e0),
-    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY 1),
-    seeds AS (
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+    outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY 1),
+    seeds AS MATERIALIZED (
         SELECT n.node FROM nodes n
         JOIN part p ON p.p_partkey = n.node
         WHERE p.p_size <= 5),
-    consts AS (
+    consts AS MATERIALIZED (
         SELECT ((SELECT COUNT(*) FROM nodes) * 1000000000000 * 15 // 100)
                // (SELECT COUNT(*) FROM seeds) AS ps),
-    pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)
+    pr0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)
     """
     ]
     for n in range(1, _PPR_ITERS + 1):
