@@ -222,19 +222,40 @@ def main() -> None:
                 sf1_dir = None
         if sf1_dir and os.path.isdir(sf1_dir):
             sf1_timings, _ = _run_set(spark, sf1_dir, collect_stats=False)
+            # Same wolf-guard as slope_flags (real work only), but two
+            # measurement corrections. (1) The single shot is COLD while
+            # the sf0.1 side is a warm median — anti-conservative;
+            # candidates over the line get two more runs and are judged
+            # on their WARM median, the same basis as the denominator.
+            # (2) Cushion 1.35x on the 10x data ratio: an exactly-LINEAR
+            # compute-bound op measures 10x + run noise by construction
+            # (the flag hunts hidden quadratics, which measure ~100x,
+            # not linear ops on a noisy box).
+            up_line = 10.0 * 1.35
+            suspects = [
+                name
+                for name, t_sf1 in sf1_timings.items()
+                if t_sf1 >= 2.0
+                and timings.get(name, 0) > 0.05
+                and t_sf1 / timings[name] > up_line
+            ]
+            flags = []
+            for name in suspects:
+                df = QUERIES[name].fn(spark, sf1_dir)
+                warm = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    warm.append(time.perf_counter() - t0)
+                t_warm = round(statistics.median(warm), 3)
+                sf1_timings[name] = t_warm
+                if t_warm / timings[name] > up_line:
+                    flags.append(name)
             out["scaling_sf1"] = {
                 "sf": 1.0,
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
-                # Same wolf-guard as slope_flags: only flag queries doing
-                # real work at sf1, against the sf0.1 median.
-                "slope_flags": sorted(
-                    name
-                    for name, t_sf1 in sf1_timings.items()
-                    if t_sf1 >= 2.0
-                    and timings.get(name, 0) > 0.05
-                    and t_sf1 / timings[name] > 10.0
-                ),
+                "slope_flags": sorted(flags),
             }
 
     if low_timings:

@@ -243,6 +243,10 @@ NEARDUP_COS_THRESHOLD = 0.35
 # linear in corpus size — the win over the O(N^2) unblocked self-join.
 # Recall/latency knob (multi-assign blocking): SPARK_GRAFT_IVF_N_ASSIGN.
 N_ASSIGN_NEARDUP = int(os.environ.get("SPARK_GRAFT_IVF_N_ASSIGN", "4"))
+# Target rows per near-dup blocking cell INCLUDING multi-assignment —
+# pins each cell's Gram matrix size so total verify cost scales
+# linearly with the corpus (see embedding_neardup_ivf docstring).
+NEARDUP_CELL_POP = int(os.environ.get("SPARK_GRAFT_NEARDUP_CELL_POP", "1024"))
 
 
 @register(
@@ -264,17 +268,22 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     still share a block; pairs are then verified with the exact cosine,
     so precision is exact and only recall depends on the blocking.
 
-    Blocking granularity tracks the VERIFY THRESHOLD, not just N: at
-    this op's loose 0.35 cosine bar, qualifying pairs sit far apart, so
-    cells must be ~4x coarser than ANN top-k's sqrt(N) quantizer or
-    low-similarity pairs land in disjoint cells (measured: sqrt(N)
-    cells -> recall 0.85 vs the 0.9 twin bar at sf0.01; sqrt(N)/4 ->
-    green at every SF). Still corpus-adaptive — cells grow ~sqrt(N),
-    per-cell Gram cost stays ~N FLOPS per cell row. At a realistic
-    near-dup bar (~0.9 cosine) the full sqrt(N) quantizer with 2
-    assignments is the right setting."""
+    Blocking granularity is CONSTANT CELL POPULATION, not cell count:
+    cells = max(4, ceil(n_assign * N / NEARDUP_CELL_POP)), so each
+    cell's Gram matrix is pinned at ~NEARDUP_CELL_POP^2 sims and total
+    verify cost is LINEAR in N (sqrt(N) cells — the ANN top-k sizing —
+    would give N^1.5 total Gram FLOPs here, measured as a 20x sf0.1->sf1
+    bench slope; a fixed cell count gives N^2). Coarse cells also suit
+    this op's loose 0.35 cosine bar: low-similarity pairs sit far apart
+    and need big blocks to co-occur (sqrt(N) cells measured recall 0.85
+    vs the 0.9 twin bar at sf0.01). At a realistic near-dup bar (~0.9
+    cosine) the sqrt(N) quantizer with 2 assignments is the right
+    setting."""
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse = max(8, ivf_n_cells(emb.count()) // 4) if not _IVF_CELLS_ENV else None
+    coarse = None
+    if not _IVF_CELLS_ENV:
+        n = emb.count()
+        coarse = max(4, -(-N_ASSIGN_NEARDUP * n // NEARDUP_CELL_POP))
     centroids = ivf_centroids_kmeans(emb, n_cells=coarse)
     assigned = ivf_assign(emb, centroids, n_assign=N_ASSIGN_NEARDUP).select(
         "cell", "vec_id", "embedding"
