@@ -12,7 +12,11 @@ collect, no disk write) — measuring scan + compute + shuffle, which is
 what scales. `plan_stats` records each query's static shuffle/broadcast exchange counts
 (from the physical plan) and the jobs/stages Spark
 actually ran, so round-over-round regressions show up as structure, not
-just seconds. `scaling` repeats the headline set one scale factor down,
+just seconds. `calibration_sec` times a fixed synthetic probe (64M-row
+codegen arithmetic + hash-agg shuffle, fixture-independent) so box-speed
+swings are a recorded measurement, and `value_normalized` = value /
+calibration_sec is the cross-round comparable headline.
+`scaling` repeats the headline set one scale factor down,
 giving each round a slope instead of a single point; `scaling_sf1`
 repeats it one decade UP on a generated-on-the-fly sf1 fixture (single
 shot, with its own slope_flags against the sf0.1 medians).
@@ -82,6 +86,36 @@ HEADLINE = [
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.
 SCALING_SF = {"0.1": "0.01", "0.01": "0.001"}
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed machine-speed probe: a constant synthetic job (fixed row
+    count, fixed partitioning, fixture-independent plan) timed as the
+    median of 3 runs after one warm-up. Round-over-round headline deltas
+    were adjudicated as 'box noise' twice (r7 +35% with byte-identical
+    plan pins; an earlier solo run measured every query uniformly
+    ~2.5-3x) with no recorded evidence — this probe IS that evidence:
+    it exercises codegen arithmetic + a hash-agg shuffle on 64M rows,
+    so a contended/slower box inflates it by the same factor it
+    inflates the real queries. `value_normalized` (headline total /
+    calibration) is the cross-round comparable number."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 64_000_000, 1, 64)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    )
+    samples = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples[1:]), 3)
 
 
 def _run_set(spark, sf_dir: str, collect_stats: bool, repeats: int = 1):
@@ -160,6 +194,11 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # Machine-calibration probe FIRST (after warm-up, before the timed
+    # set) so the recorded box speed is contemporaneous with the
+    # headline numbers.
+    calibration_sec = _calibration_probe(spark)
+
     # Primary SF: 1 warm-up + median of 3 timed runs per query (stable
     # round-over-round numbers); scaling sets stay single-shot — they
     # feed a slope, and repeating them would multiply the driver's
@@ -170,13 +209,21 @@ def main() -> None:
     # Field order matters: the driver's capture keeps the TAIL of long
     # output (BENCH_r02 lost the leading headline fields this way), so
     # the bulky nested fields go FIRST and the headline scalars LAST.
+    total = round(sum(timings.values()), 3)
     out = {
         "plan_stats": stats,
         "queries": timings,
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": float(sf) if sf else sf_dir,
-        "value": round(sum(timings.values()), 3),
+        "value": total,
+        # Box-speed evidence: the fixed synthetic probe's seconds, and
+        # the headline total expressed in probe units (dimensionless,
+        # comparable across rounds even when the box speed changes).
+        "calibration_sec": calibration_sec,
+        "value_normalized": round(total / calibration_sec, 3)
+        if calibration_sec
+        else None,
     }
 
     # Two lower scaling points (sf0.1 -> 0.01 -> 0.001): a two-segment
@@ -239,7 +286,13 @@ def main() -> None:
                 and timings.get(name, 0) > 0.05
                 and t_sf1 / timings[name] > up_line
             ]
+            # Warm medians go to a SEPARATE field: `queries`/`value`
+            # stay the cold single shots so round-over-round sf1 totals
+            # compare on one fixed measurement basis (mixing bases made
+            # the total depend on which queries happened to cross the
+            # flag line); flags are adjudicated on the warm numbers.
             flags = []
+            warm_reruns: dict[str, float] = {}
             for name in suspects:
                 df = QUERIES[name].fn(spark, sf1_dir)
                 warm = []
@@ -248,13 +301,14 @@ def main() -> None:
                     df.write.format("noop").mode("overwrite").save()
                     warm.append(time.perf_counter() - t0)
                 t_warm = round(statistics.median(warm), 3)
-                sf1_timings[name] = t_warm
+                warm_reruns[name] = t_warm
                 if t_warm / timings[name] > up_line:
                     flags.append(name)
             out["scaling_sf1"] = {
                 "sf": 1.0,
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
+                "warm_reruns": warm_reruns,
                 "slope_flags": sorted(flags),
             }
 

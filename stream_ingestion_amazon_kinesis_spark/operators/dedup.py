@@ -65,22 +65,28 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the same IEEE ops (sqrt is correctly rounded and *4 is exact, so
 # Python's math.ceil(4*math.sqrt(n)) == SQL CEIL(4*SQRT(n)) bit-for-bit).
 # Env override SPARK_GRAFT_TOKEN_DF_CAP pins a fixed cap on BOTH engines
-# (read at import; the oracle SQL interpolates the same literal).
-_TOKEN_DF_CAP_ENV = os.environ.get("SPARK_GRAFT_TOKEN_DF_CAP")
+# (int()-validated at import so a malformed override — e.g. '1_000',
+# which Python's int() accepts but SQL does not — fails fast here
+# instead of silently desyncing the engine cap from the oracle literal).
+_TOKEN_DF_CAP_ENV_RAW = os.environ.get("SPARK_GRAFT_TOKEN_DF_CAP")
+_TOKEN_DF_CAP_ENV: int | None = (
+    int(_TOKEN_DF_CAP_ENV_RAW) if _TOKEN_DF_CAP_ENV_RAW else None
+)
 
 
 def token_df_cap(n_docs: int) -> int:
     """The within-source df cap for a corpus of `n_docs` documents."""
-    if _TOKEN_DF_CAP_ENV:
-        return int(_TOKEN_DF_CAP_ENV)
+    if _TOKEN_DF_CAP_ENV is not None:
+        return _TOKEN_DF_CAP_ENV
     return max(64, math.ceil(4.0 * math.sqrt(n_docs)))
 
 
 # SQL expression computing the SAME cap inside the oracle (scalar
 # subquery over the same `documents` view the Spark side counts).
+# str(int(...)) guarantees both engines see the same canonical literal.
 TOKEN_DF_CAP_SQL = (
-    _TOKEN_DF_CAP_ENV
-    if _TOKEN_DF_CAP_ENV
+    str(_TOKEN_DF_CAP_ENV)
+    if _TOKEN_DF_CAP_ENV is not None
     else "(SELECT GREATEST(64, CAST(CEIL(4 * SQRT(COUNT(*))) AS BIGINT)) FROM documents)"
 )
 
@@ -886,12 +892,14 @@ def incremental_neardup_new_vs_old(spark: SparkSession, sf_dir: str) -> DataFram
     ingest-date partition a real pipeline splits on."""
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(((F.max("doc_id") + 1) / 2).cast("bigint").alias("mid"))
-    tok = _doc_tokens(docs).crossJoin(F.broadcast(mid))
+    # Build the token relation ONCE (each _doc_tokens call runs a
+    # docs.count() job for the adaptive cap) and derive sizes from it,
+    # the same way containment_neardup_pairs does.
+    base_tok = _doc_tokens(docs)
+    tok = base_tok.crossJoin(F.broadcast(mid))
     new_t = tok.filter(F.col("doc_id") >= F.col("mid")).drop("mid")
     old_t = tok.filter(F.col("doc_id") < F.col("mid")).drop("mid")
-    sizes = _doc_tokens(docs).groupBy("doc_id").agg(
-        F.count("*").alias("n_tok")
-    )
+    sizes = base_tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     n, o = new_t.alias("n"), old_t.alias("o")
     shared = (
         n.join(

@@ -88,6 +88,21 @@ _IVF_CELLS_ENV = os.environ.get("SPARK_GRAFT_IVF_CELLS")
 IVF_TRAIN_CAP = 4096  # deterministic bounded training sample (vec_id order)
 
 
+def ivf_train_cap(n_cells: int) -> int:
+    """Training-sample size for a quantizer of `n_cells` cells.
+
+    The sample must scale WITH the requested cell count: a fixed 4096
+    cap silently clamps k to 4096 once a caller asks for more cells
+    (constant-population blocking requests ceil(4N/1024) cells, which
+    crosses 4096 at N ~ 1.05M vectors), and near the clamp the k-means
+    would train with ~1 sample per cell. 4 samples per cell keeps every
+    Lloyd mean an average of >= a few vectors while keeping the driver
+    collect proportional to the quantizer size itself — the same
+    asymptotic footprint as the centroid table ivf_assign already
+    broadcasts, so this adds no new scale ceiling."""
+    return max(IVF_TRAIN_CAP, 4 * n_cells)
+
+
 def ivf_n_cells(n_vectors: int) -> int:
     """Adaptive coarse-quantizer size for a corpus of `n_vectors`."""
     if _IVF_CELLS_ENV:
@@ -106,18 +121,25 @@ def ivf_centroids_kmeans(
     unlabeled corpora); this one sizes itself from the corpus.
 
     Deterministic by construction: the sample is the first
-    IVF_TRAIN_CAP vectors in vec_id order, init is an even stride over
-    that sample (no RNG), and every Lloyd step is a fixed-order numpy
-    reduction — same centroids on every run, so downstream cell
-    assignments (and therefore rows-only gate hashes) are stable.
-    The collect is quantizer-sized (<= IVF_TRAIN_CAP x dim floats),
-    a bounded driver scalar in the repo's audit sense."""
+    ivf_train_cap(n_cells) vectors in vec_id order, init is an even
+    stride over that sample (no RNG), and every Lloyd step is a
+    fixed-order numpy reduction — same centroids on every run, so
+    downstream cell assignments (and therefore rows-only gate hashes)
+    are stable. The collect is quantizer-sized (4 x n_cells x dim
+    floats — the same order as the centroid table ivf_assign collects
+    and broadcasts), so it is bounded by the quantizer, not the corpus.
+    Scale note: the quantizer itself (n_cells x dim) must stay
+    broadcast-sized, which holds to ~1e6 cells (~0.5 GB at dim 64);
+    past that a production system moves to a two-level (coarse+fine)
+    quantizer — the flat-quantizer linearity claims downstream are
+    qualified by that bound."""
     import numpy as np
 
     spark = emb.sparkSession
     if n_cells is None:
         n_cells = ivf_n_cells(emb.count())
-    sample = emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vec_id", "embedding").collect()
+    cap = ivf_train_cap(n_cells)
+    sample = emb.orderBy("vec_id").limit(cap).select("vec_id", "embedding").collect()
     X = np.array(
         [r.embedding for r in sorted(sample, key=lambda r: r.vec_id)],
         dtype=np.float64,
@@ -125,6 +147,9 @@ def ivf_centroids_kmeans(
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     Xn = X / norms
+    # With cap = 4*n_cells the min() can only bite when the CORPUS has
+    # fewer vectors than the requested cells — not a silent training
+    # clamp, just "you cannot have more cells than vectors".
     k = min(n_cells, len(Xn))
     C = Xn[np.round(np.linspace(0, len(Xn) - 1, k)).astype(int)].copy()
     for _ in range(n_iters):
@@ -278,7 +303,11 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and need big blocks to co-occur (sqrt(N) cells measured recall 0.85
     vs the 0.9 twin bar at sf0.01). At a realistic near-dup bar (~0.9
     cosine) the sqrt(N) quantizer with 2 assignments is the right
-    setting."""
+    setting. Linearity bound: the claim holds while the flat quantizer
+    (ceil(4N/1024) cells x dim) stays broadcast-sized — to ~1e6 cells,
+    i.e. N ~ 2.5e8 vectors; past that the quantizer goes two-level
+    (see ivf_centroids_kmeans scale note), keeping per-cell population
+    pinned with a coarse+fine cell id as the blocking key."""
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = None
     if not _IVF_CELLS_ENV:
