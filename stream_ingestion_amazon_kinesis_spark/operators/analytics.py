@@ -1277,8 +1277,13 @@ def cumulative_unique_users_hourly(spark: SparkSession, sf_dir: str) -> DataFram
 def pareto_cutpoint_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How concentrated is revenue, answered as a single exact row.
 
-    The per-customer revenue relation is |customers|-sized; the global
-    ordered window is the only single-partition step (already tiny).
+    The per-customer revenue relation is |customers|-sized — billions
+    of rows at 100 TB, so the rank + running sum come from the
+    two-pass distributed prefix (`_distributed_prefix`: range buckets
+    on -cents, per-bucket cumulative windows, broadcast bucket
+    offsets), never a single-partition window; the global totals are
+    one aggregate broadcast back. Ordering by (-cents, o_custkey)
+    reproduces the original (cents DESC, o_custkey) order exactly.
     The 80% threshold is the cross-multiplied integer inequality, so
     the cutpoint is identical on every engine and partitioning.
     """
@@ -1288,16 +1293,19 @@ def pareto_cutpoint_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    wr = Window.orderBy(F.desc("cents"), "o_custkey")
-    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        F.row_number().over(wr).cast("bigint").alias("rn"),
-        F.sum("cents").over(wcum).alias("cum_cents"),
-        F.sum("cents").over(wall).alias("total_cents"),
-        F.count("*").over(wall).alias("n_cust"),
+    ranked = _distributed_prefix(
+        rev.withColumn("neg_cents", (-F.col("cents")).cast("bigint")),
+        ["neg_cents", "o_custkey"],
+        {"cum_cents": "cents"},
+        rank_name="rn",
     )
-    hit = ranked.filter(5 * F.col("cum_cents") >= 4 * F.col("total_cents"))
+    tot = rev.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count("*").alias("n_cust"),
+    )
+    hit = ranked.crossJoin(F.broadcast(tot)).filter(
+        5 * F.col("cum_cents") >= 4 * F.col("total_cents")
+    )
     return hit.agg(
         F.min("rn").cast("bigint").alias("k_customers"),
         F.first("n_cust").cast("bigint").alias("n_customers"),
@@ -2099,9 +2107,15 @@ def early_value_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-1 spend quintile vs lifetime weeks active.
 
     The per-user rollup happens once (first-week cents + distinct
-    active weeks in the same aggregate); the quintile is NTILE over the
-    |cohort| relation with a (cents, user_id) total order so bucket
-    edges are deterministic. Mean weeks in truncating milli.
+    active weeks in the same aggregate). The quintile does NOT come
+    from an ntile window over the |cohort| relation (billions of users
+    at 100 TB in one partition): NTILE(k) is a pure function of
+    (global rank, total count) — q = n div 5, rem = n mod 5, the first
+    rem buckets take q+1 rows — so the rank comes from
+    `_distributed_rank` on the (w0_cents, user_id) total order and the
+    bucket is recovered in closed-form integer arithmetic, the pattern
+    proven by equi_depth_deciles_distributed. Mean weeks in
+    truncating milli.
     """
     from ..functions.numeric import money
 
@@ -2123,10 +2137,22 @@ def early_value_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_trunc("week", "ts")).alias("weeks_active"),
     )
     cohort = user_first.filter(F.col("w0_cents") > 0)
-    wq = Window.orderBy("w0_cents", "user_id")
-    ranked = cohort.withColumn("quintile", F.ntile(5).over(wq).cast("bigint"))
+    tot = cohort.agg(F.count("*").cast("bigint").alias("n_tot"))
+    ranked = _distributed_rank(cohort, ["w0_cents", "user_id"], "rnk")
+    quintile = F.expr(
+        """CAST(CASE
+             WHEN rnk <= (n_tot % 5) * (n_tot div 5 + 1)
+             THEN (rnk + n_tot div 5) div (n_tot div 5 + 1)
+             ELSE n_tot % 5
+                  + (rnk - (n_tot % 5) * (n_tot div 5 + 1)
+                     + n_tot div 5 - 1) div (n_tot div 5)
+           END AS BIGINT)"""
+    )
+    banded = ranked.crossJoin(F.broadcast(tot)).select(
+        quintile.alias("quintile"), "weeks_active"
+    )
     return (
-        ranked.groupBy("quintile")
+        banded.groupBy("quintile")
         .agg(
             F.count("*").alias("n_users"),
             F.sum("weeks_active").cast("bigint").alias("sum_weeks"),
@@ -2564,6 +2590,78 @@ def _distributed_rank(
         .withColumn(rank_name, (F.col("_off") + F.col("_lr")).cast("bigint"))
         .drop("_bkt", "_lr", "_off")
     )
+
+
+def _distributed_prefix(
+    df: DataFrame,
+    sort_cols: list[str],
+    sum_cols: dict[str, str],
+    rank_name: str | None = None,
+) -> DataFrame:
+    """Exact global row_number AND running sums, no single-partition
+    window — the two-pass distributed sweep primitive.
+
+    Generalizes `_distributed_rank` (same literal-boundary bucketing,
+    same correctness argument) to also compute, for each row, the
+    running sum of one or more columns in the global sort order:
+    within each bucket a partitioned cumulative window computes the
+    local prefix, a one-row-per-bucket totals relation supplies the
+    sum of all PRECEDING buckets (window over ~#cores rows, broadcast
+    back), and the global prefix is offset + local. This is the
+    textbook two-pass parallel prefix sum expressed in DataFrame ops:
+    every unbounded stage is keyed by bucket, and the only global
+    order ever materialized is over the bounded bucket-totals
+    relation. `sum_cols` maps output name -> input column; pass
+    `rank_name` to also get the global row_number.
+    """
+    spark = df.sparkSession
+    k = max(spark.sparkContext.defaultParallelism, 2)
+    first = sort_cols[0]
+    bounds = df.select(F.col(first).cast("double").alias("_k")).approxQuantile(
+        "_k", [i / k for i in range(1, k)], 0.01
+    )
+    key = F.col(first).cast("double")
+    bkt = F.lit(0)
+    for b in sorted(set(bounds)):
+        bkt = bkt + F.when(key > F.lit(b), 1).otherwise(0)
+    part = df.withColumn("_bkt", bkt.cast("int"))
+    wl = (
+        Window.partitionBy("_bkt")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    if rank_name is not None:
+        wr = Window.partitionBy("_bkt").orderBy(*sort_cols)
+        local = local.withColumn("_lr", F.row_number().over(wr).cast("bigint"))
+    for out, src in sum_cols.items():
+        local = local.withColumn(f"_ls_{out}", F.sum(src).over(wl))
+    aggs = [F.count("*").alias("_c")] + [
+        F.sum(src).alias(f"_t_{out}") for out, src in sum_cols.items()
+    ]
+    sizes = part.groupBy("_bkt").agg(*aggs)
+    # Bounded offset window: one row per bucket (~#cores rows).
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    sel = ["_bkt", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off")]
+    for out in sum_cols:
+        sel.append(
+            F.coalesce(F.sum(f"_t_{out}").over(wo), F.lit(0)).alias(
+                f"_soff_{out}"
+            )
+        )
+    offs = sizes.select(*sel)
+    res = local.join(F.broadcast(offs), "_bkt")
+    if rank_name is not None:
+        res = res.withColumn(
+            rank_name, (F.col("_off") + F.col("_lr")).cast("bigint")
+        )
+    for out in sum_cols:
+        res = res.withColumn(out, F.col(f"_soff_{out}") + F.col(f"_ls_{out}"))
+    drops = ["_bkt", "_off"]
+    if rank_name is not None:
+        drops.append("_lr")
+    drops += [f"_ls_{o}" for o in sum_cols] + [f"_soff_{o}" for o in sum_cols]
+    return res.drop(*drops)
 
 
 @register(

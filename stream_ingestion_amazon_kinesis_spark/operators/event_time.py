@@ -1266,16 +1266,25 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intervals don't double-count",
 )
 def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum simultaneous active intervals, one global sweep.
+    """Maximum simultaneous active intervals, DISTRIBUTED sweep-line.
 
     The sweep-line rewrite turns pairwise overlap counting (quadratic)
-    into 2n deltas + one ordered cumulative sum. The global window is
-    the deliberate cost: a single range-partitioned sort at scale —
-    still O(n log n) total, and the only operation that sees all rows.
+    into 2n deltas + one ordered cumulative sum. The cumulative sum is
+    the two-pass distributed prefix (`_distributed_prefix`: range
+    buckets on the microsecond timestamp, per-bucket cumulative
+    windows, broadcast per-bucket delta totals as offsets) — the
+    earlier form ran ONE unpartitioned cumulative window over all 2n
+    delta rows, the exact single-partition-global-order scale killer
+    this repo retires everywhere else. The peak readout is
+    orderBy+limit(1) (TakeOrderedAndProject), not a rank window.
     Tie order is pinned: at equal t the -1 rows apply first, matching
     half-open [t, t+15m) interval semantics; event_id completes the
-    total order so partitioning can never flip equal rows.
+    total order so partitioning can never flip equal rows (unix_micros
+    is an order-isomorphic image of t, so bucketing on it preserves
+    the (t, delta, event_id) global order exactly).
     """
+    from .analytics import _distributed_prefix
+
     events = load_table(spark, sf_dir, "events")
     starts = events.select(
         F.col("ts").alias("t"), F.lit(1).alias("delta"), F.col("event_id")
@@ -1285,15 +1294,13 @@ def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
         F.col("event_id"),
     )
-    pts = starts.unionByName(ends)
-    w_cum = W.orderBy("t", "delta", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    swept = pts.withColumn("active", F.sum("delta").over(w_cum).cast("bigint"))
-    w_peak = W.orderBy(F.desc("active"), "t")
+    pts = starts.unionByName(ends).withColumn("t_us", F.unix_micros("t"))
+    swept = _distributed_prefix(
+        pts, ["t_us", "delta", "event_id"], {"active": "delta"}
+    ).withColumn("active", F.col("active").cast("bigint"))
     return (
-        swept.withColumn("rn", F.row_number().over(w_peak))
-        .filter(F.col("rn") == 1)
+        swept.orderBy(F.desc("active"), "t")
+        .limit(1)
         .select(
             F.col("active").alias("peak_concurrency"),
             F.col("t").alias("peak_at"),

@@ -869,7 +869,11 @@ def two_hop_reach_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the lever that keeps degrees bounded (STATE.md graph lesson).
     Distance-2-only neighbors come from an anti-join against hop1 —
     no shortest-path machinery needed at radius 2. Harmonic weights
-    1 + 1/2 are doubled into integers (2, 1).
+    1 + 1/2 are doubled into integers (2, 1). Top-30 selection is
+    orderBy+limit (TakeOrderedAndProject: per-partition partial top-30,
+    driver merge) with row_number only over the 30-row slice — ranking
+    the full |parts|-sized score relation in one partition, the
+    previous form, is the 100x scale killer this avoids.
     """
     from pyspark.sql import Window as W
 
@@ -907,10 +911,10 @@ def two_hop_reach_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d2", F.coalesce("d2", F.lit(0)).cast("bigint"))
         .withColumn("harmonic_half", 2 * F.col("d1") + F.col("d2"))
     )
-    w = W.orderBy(F.desc("harmonic_half"), "node")
+    top = scored.orderBy(F.desc("harmonic_half"), "node").limit(30)
+    w = W.orderBy(F.desc("harmonic_half"), "node")  # 30-row slice only
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 30)
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select(
             F.col("node").alias("part"),
             F.col("d1").cast("bigint").alias("d1"),

@@ -952,18 +952,23 @@ def zipf_conformity_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The log-log Zipf slope needs floats; the head-constancy form
     rank*f ~ C needs none — it is the k=1 slope check evaluated in
-    integers. One token aggregate (|vocab| rows), one global top-20
-    rank over the tiny frequency relation.
+    integers. One token aggregate (|vocab| rows), then orderBy+limit —
+    a TakeOrderedAndProject, partial top-20 per partition merged on the
+    driver — and row_number only over the 20-row slice. The earlier
+    form ranked the FULL |vocab| frequency relation in one partition
+    (row_number needs a global order), which is billions of rows at
+    100 TB; this is the same rank-on-the-slice shape
+    word_frequency_top20 and hybrid_rrf_retrieval use.
     """
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens("text")).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").alias("f"))
-    w = Window.orderBy(F.desc("f"), "term")
+    top = freq.orderBy(F.desc("f"), "term").limit(20)
+    w = Window.orderBy(F.desc("f"), "term")  # over the 20-row slice only
     return (
-        freq.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select(
             "rnk",
             "term",

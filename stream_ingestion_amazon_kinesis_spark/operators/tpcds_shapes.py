@@ -768,11 +768,17 @@ def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst return-ratio parts (q49 shape on the TPC-H-ish fixture).
 
     One map-side-combinable conditional aggregate on l_partkey, a
-    volume floor to kill small-denominator noise, then a global top-10
-    rank over the |parts|-sized score relation — Catalyst plans the
-    final rank as a single-partition window over an already-tiny input
-    (never the raw fact table). Integer ppm division keeps ranking
-    bit-stable across engines.
+    volume floor to kill small-denominator noise, then a SLACK-LIMITED
+    top selection: orderBy+limit(100) is a TakeOrderedAndProject
+    (per-partition partial top-100, driver merge — no single-partition
+    window over the |parts|-sized score relation, which is billions of
+    rows at 100 TB), and RANK runs on the 100-row slice only. The
+    slice's RANK values equal the global RANK for every row that can
+    satisfy rnk <= 10: the window ORDER BY includes l_partkey so ties
+    need equal (return_ppm, l_partkey) — impossible after the groupBy —
+    and the 10x slack would bound boundary ties even without the
+    tiebreak. Integer ppm division keeps ranking bit-stable across
+    engines.
     """
     from pyspark.sql import Window as W
 
@@ -787,9 +793,10 @@ def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pr.filter(F.col("qty_total") >= 50).withColumn(
         "return_ppm", F.expr("(1000000 * qty_returned) div qty_total")
     )
-    w = W.orderBy(F.desc("return_ppm"), "l_partkey")
+    top = scored.orderBy(F.desc("return_ppm"), "l_partkey").limit(100)
+    w = W.orderBy(F.desc("return_ppm"), "l_partkey")  # 100-row slice only
     return (
-        scored.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        top.withColumn("rnk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 10)
         .select("l_partkey", "qty_returned", "qty_total", "return_ppm", "rnk")
     )
