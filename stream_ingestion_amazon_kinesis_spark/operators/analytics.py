@@ -730,15 +730,16 @@ def sequence_gap_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def rfm_segmentation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartiles over the per-customer aggregate relation (one
-    fact shuffle, then windows over the bounded customer dim).
-    Determinism: NTILE assigns by row position, so every ORDER BY
+    fact shuffle, then THREE CHAINED `_distributed_rank` passes — the
+    spearman pattern — with the quartile recovered in closed form from
+    each rank: at 100 TB the per-customer relation is billions of rows,
+    so no unpartitioned ntile window anywhere).
+    Determinism: NTILE assigns by row position, so every rank order
     carries the customer key as a total tiebreak — without it, equal
     frequencies would land in either quartile depending on partition
     order and the segment counts would wobble. Monetary is exact
-    cents; recency orders by the date itself (no now() in compared
-    output)."""
-    from pyspark.sql.window import Window as _Win
-
+    cents; recency orders by the date itself via its order-isomorphic
+    unix_micros image (no now() in compared output)."""
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -747,19 +748,15 @@ def rfm_segmentation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    scored = rfm.select(
-        F.ntile(4)
-        .over(_Win.orderBy("last_order", "o_custkey"))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(_Win.orderBy("frequency", "o_custkey"))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(_Win.orderBy("monetary_cents", "o_custkey"))
-        .cast("bigint")
-        .alias("m_score"),
+    tot = rfm.agg(F.count("*").cast("bigint").alias("n_tot"))
+    r = rfm.withColumn("_lo_us", F.unix_micros("last_order"))
+    r = _distributed_rank(r, ["_lo_us", "o_custkey"], "rnk_r")
+    r = _distributed_rank(r, ["frequency", "o_custkey"], "rnk_f")
+    r = _distributed_rank(r, ["monetary_cents", "o_custkey"], "rnk_m")
+    scored = r.crossJoin(F.broadcast(tot)).select(
+        _ntile_expr(4, "rnk_r").alias("r_score"),
+        _ntile_expr(4, "rnk_f").alias("f_score"),
+        _ntile_expr(4, "rnk_m").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -807,11 +804,13 @@ def rfm_segmentation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decile_lift_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lift chart that evaluates any propensity ranking (here the
     ranking is total spend — swap in a model score column unchanged):
-    decile assignment is NTILE with a total tiebreak, per-decile
-    conversion is integer ppm, and cumulative capture shows how much
-    of all conversion the top-k deciles hold. Windows run over the
-    10-row decile relation; the only fact-scale work is the per-user
-    aggregate."""
+    decile assignment is the distributed rank + closed-form NTILE
+    (total tiebreak; the per-user relation is billions of rows at
+    100 TB, so no unpartitioned ntile window), per-decile conversion
+    is integer ppm, and cumulative capture shows how much of all
+    conversion the top-k deciles hold. The only remaining global
+    window is the cumulative sum over the 10-row decile relation —
+    bounded by construction."""
     from pyspark.sql.window import Window as _Win
 
     events = load_table(spark, sf_dir, "events")
@@ -822,11 +821,14 @@ def decile_lift_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    scored = per_user.select(
-        F.ntile(10)
-        .over(_Win.orderBy(F.desc("cents"), F.asc("user_id")))
-        .alias("decile"),
-        "converted",
+    n_tot = per_user.agg(F.count("*").cast("bigint").alias("n_tot"))
+    ranked = _distributed_rank(
+        per_user.withColumn("neg_cents", (-F.col("cents")).cast("bigint")),
+        ["neg_cents", "user_id"],
+        "rnk",
+    )
+    scored = ranked.crossJoin(F.broadcast(n_tot)).select(
+        _ntile_expr(10).alias("decile"), "converted"
     )
     d = scored.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -965,22 +967,25 @@ def median_order_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataFra
     joined back to the raw orders so the per-decile statistic is over
     ORDERS, not customers — the join-back is what distinguishes a
     conditional distribution from a simple grouped aggregate.
-    Discrete medians keep the oracle exact; decile relation is
-    customer-bounded, so the join-back broadcasts its small side
-    under AQE."""
-    from pyspark.sql.window import Window as _Win
-
+    Discrete medians keep the oracle exact. The decile comes from the
+    distributed rank + closed-form NTILE (the per-customer relation is
+    billions of rows at 100 TB — never an unpartitioned ntile
+    window); the join-back shuffles on the customer key."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")
         .alias("cents")
     )
-    scored = per_cust.select(
+    n_tot = per_cust.agg(F.count("*").cast("bigint").alias("n_tot"))
+    ranked = _distributed_rank(
+        per_cust.withColumn("neg_cents", (-F.col("cents")).cast("bigint")),
+        ["neg_cents", "o_custkey"],
+        "rnk",
+    )
+    scored = ranked.crossJoin(F.broadcast(n_tot)).select(
         F.col("o_custkey").alias("ck"),
-        F.ntile(10)
-        .over(_Win.orderBy(F.desc("cents"), F.asc("o_custkey")))
-        .alias("decile"),
+        _ntile_expr(10).alias("decile"),
     )
     j = orders.join(scored, F.col("o_custkey") == F.col("ck")).select(
         "decile", "o_totalprice"
@@ -2139,17 +2144,8 @@ def early_value_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = user_first.filter(F.col("w0_cents") > 0)
     tot = cohort.agg(F.count("*").cast("bigint").alias("n_tot"))
     ranked = _distributed_rank(cohort, ["w0_cents", "user_id"], "rnk")
-    quintile = F.expr(
-        """CAST(CASE
-             WHEN rnk <= (n_tot % 5) * (n_tot div 5 + 1)
-             THEN (rnk + n_tot div 5) div (n_tot div 5 + 1)
-             ELSE n_tot % 5
-                  + (rnk - (n_tot % 5) * (n_tot div 5 + 1)
-                     + n_tot div 5 - 1) div (n_tot div 5)
-           END AS BIGINT)"""
-    )
     banded = ranked.crossJoin(F.broadcast(tot)).select(
-        quintile.alias("quintile"), "weeks_active"
+        _ntile_expr(5).alias("quintile"), "weeks_active"
     )
     return (
         banded.groupBy("quintile")
@@ -2662,6 +2658,25 @@ def _distributed_prefix(
         drops.append("_lr")
     drops += [f"_ls_{o}" for o in sum_cols] + [f"_soff_{o}" for o in sum_cols]
     return res.drop(*drops)
+
+
+def _ntile_expr(k: int, rank_col: str = "rnk", total_col: str = "n_tot"):
+    """NTILE(k) recovered in closed form from (global rank, total
+    count): q = n div k, rem = n mod k — the first rem buckets take
+    q+1 rows, the rest take q. Integer arithmetic only, identical on
+    every engine; when n < k the CASE's first arm always fires (rem =
+    n, so rank <= rem*(q+1) = n) and the q-division arm is never
+    evaluated. Pair with `_distributed_rank` to replace an
+    unpartitioned ntile window over an entity-sized relation."""
+    q = f"({total_col} div {k})"
+    rem = f"({total_col} % {k})"
+    return F.expr(
+        f"""CAST(CASE
+             WHEN {rank_col} <= {rem} * ({q} + 1)
+             THEN ({rank_col} + {q}) div ({q} + 1)
+             ELSE {rem} + ({rank_col} - {rem} * ({q} + 1) + {q} - 1) div {q}
+           END AS BIGINT)"""
+    )
 
 
 @register(

@@ -814,11 +814,18 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("r"),
             )
         )
-    w = W.orderBy(F.desc("r"), "node")
+    # Top-50 readout: orderBy+limit is a TakeOrderedAndProject (partial
+    # top-50 per partition, driver merge) — the earlier row_number
+    # window moved the whole |parts| rank relation into one partition
+    # just to cut the head, and the rank ordinal never reached the
+    # output anyway.
     return (
-        ranks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .select(F.col("node").alias("part"), F.col("r").cast("bigint").alias("rank_micro"))
+        ranks.orderBy(F.desc("r"), "node")
+        .limit(50)
+        .select(
+            F.col("node").alias("part"),
+            F.col("r").cast("bigint").alias("rank_micro"),
+        )
         .orderBy(F.desc("rank_micro"), "part")
     )
 

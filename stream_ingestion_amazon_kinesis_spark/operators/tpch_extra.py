@@ -537,8 +537,6 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q15 shape: max-of-aggregate (top supplier by period revenue)",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     one = F.lit(1).cast("decimal(3,2)")
     rev = (
@@ -554,12 +552,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    # max-of-aggregate as a rank-1 window (ties kept, like the SQL '=')
-    ranked = rev.withColumn(
-        "rnk", F.dense_rank().over(W.orderBy(F.col("total_revenue").desc()))
-    )
+    # max-of-aggregate as a broadcast scalar compare (ties kept, like
+    # the SQL '='): the earlier dense_rank window moved the whole
+    # |suppliers|-sized revenue relation into one partition just to
+    # find its max — a scalar aggregate + filter is the Q15 spec shape
+    # and stays fully parallel at any supplier cardinality.
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
-        ranked.filter(F.col("rnk") == 1)
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

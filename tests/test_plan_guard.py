@@ -1,11 +1,22 @@
 """Registry-wide physical-plan guard.
 
-Builds (without executing) every batch query's plan and rejects the two
-shapes that silently detonate at 100 TB: CartesianProduct and
-BroadcastNestedLoopJoin — except where a non-equi join against a
-BOUNDED broadcast side is the intended design (whitelist below, each
-with the reason). Catches a future edit that drops a join key or breaks
-a broadcast hint long before any benchmark notices.
+Builds (without executing) every batch query's plan and rejects the
+shapes that silently detonate at 100 TB:
+
+1. CartesianProduct and BroadcastNestedLoopJoin — except where a
+   non-equi join against a BOUNDED broadcast side is the intended
+   design (BNLJ_OK below, each with the reason).
+2. GLOBAL (unpartitioned, ordered) WindowExec — the "move all data to
+   a single partition" plan — except over relations that are bounded
+   by construction: the `_bkt` offset relations of
+   `_distributed_rank`/`_distributed_prefix` (one row per range
+   bucket, detected structurally) and the explicit GLOBAL_WINDOW_OK
+   whitelist (time grids, category grids, post-limit slices, labeled
+   audit twins — each entry names why its input is bounded).
+
+Catches a future edit that drops a join key, breaks a broadcast hint,
+or reintroduces a corpus-sized single-partition sort long before any
+benchmark notices.
 """
 
 from __future__ import annotations
@@ -102,7 +113,102 @@ BNLJ_OK = {
     "attribution_window_sensitivity",  # staleness x broadcast 3-row window dim
     "weekly_mix_drift",  # weeks x broadcast 5-type histogram grid
     "equi_depth_deciles_distributed",  # crossJoin of the single-row total count
+    "q15_top_supplier",  # crossJoin of the single-row max-revenue scalar
+    "early_value_retention_curve",  # crossJoin of the single-row cohort count
+    "rfm_segmentation_counts",  # crossJoin of the single-row customer count
+    "decile_lift_purchases",  # crossJoins of single-row totals (n_tot, total_conv)
+    "median_order_by_customer_decile",  # crossJoin of the single-row customer count
+    "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
 }
+
+
+# name -> why the query's global (unpartitioned, ordered) window input
+# is bounded. Every entry must name the bound; anything not listed here
+# (and not a `_bkt` offset window, allowed structurally) fails the
+# guard.
+GLOBAL_WINDOW_OK = {
+    # category / rollup grids — input cardinality is a key-domain product
+    "chi2_priority_status": "contingency cells: |priorities| x |statuses|",
+    "hierarchy_share_of_parent": "share-of-total over the |regions| rollup",
+    "revenue_share_of_total": "share-of-total over the |nations| rollup",
+    "price_depth_ladder": "reverse cumsum over the dollar-level ladder "
+    "(bounded price domain)",
+    # time grids — one row per calendar unit, bounded by the data's span
+    "cumulative_unique_users_hourly": "running sum over the hourly grid",
+    "skyline_orders_price_date": "running max over the per-date grid",
+    "tpcds_window_channel_crossover": "cumsum over the month grid",
+    "user_lifecycle_growth_accounting": "lag over the weekly grid",
+    "weekly_revenue_growth": "lag over the weekly grid",
+    # post-limit slices — window input follows a TakeOrderedAndProject
+    "zipf_conformity_top_terms": "rank over the 20-row top-terms slice",
+    "two_hop_reach_centrality": "rank over the 30-row top-score slice",
+    "tpcds_return_ratio_top_parts": "RANK over the 100-row slack slice",
+    "hybrid_rrf_retrieval": "rank over per-arm top-50 slices",
+    "decile_lift_purchases": "cumsum over the 10-row decile relation",
+    # bounded by a fixed model/schema dimension
+    "pca_power_iteration_topdims": "rank over the EMB_DIM(64)-row "
+    "dimension relation",
+    # labeled audit twins / demonstration anchors — the scale-safe form
+    # is registered separately and checked against the SAME oracle
+    "equi_depth_deciles_price": "audit twin of "
+    "equi_depth_deciles_distributed (single-sort exact histogram)",
+    "spearman_price_quantity": "audit twin of "
+    "spearman_distributed_price_quantity",
+    "late_data_audit_hourly": "audit anchor; scale-safe twin is "
+    "late_data_audit_per_shard",
+    "window_rank_dense_ntile": "G8 SQL-surface demonstration over the "
+    "supplier dim (documented WindowExec-warning anchor)",
+}
+
+
+def _top_level_groups(line: str) -> list[str]:
+    """The top-level [...] groups of a plan line (brackets nest)."""
+    depth, out, cur = 0, [], []
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth > 1:
+                cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        elif depth >= 1:
+            cur.append(ch)
+    return out
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Plan lines whose Window node has NO partition spec.
+
+    Window prints as `Window [exprs], [partition], [order]` when both
+    specs exist; with only one spec present the second group is the
+    order spec iff it carries sort directions (`ASC`/`DESC NULLS`),
+    else it is a partition-only window (fine at scale — partitioned
+    execution). A single group means partitionBy() with no order —
+    also global. `_bkt` offset windows (the bounded one-row-per-range-
+    bucket relation inside _distributed_rank/_distributed_prefix) are
+    allowed structurally.
+    """
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ").strip()
+        if not s.startswith("Window "):
+            continue
+        if "windowspecdefinition(_bkt#" in line:
+            continue  # distributed-prefix offset relation: bounded
+        groups = _top_level_groups(line)
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        if len(groups) == 2 and not (
+            "ASC NULLS" in groups[1] or "DESC NULLS" in groups[1]
+        ):
+            continue  # partition-only
+        hits.append(s[:160])
+    return hits
 
 
 @pytest.mark.parametrize(
@@ -124,3 +230,11 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir, name):
         assert (
             "BroadcastNestedLoopJoin" not in plan
         ), f"{name}: unexpected nested-loop join"
+    if name not in GLOBAL_WINDOW_OK:
+        glb = global_window_lines(plan)
+        assert not glb, (
+            f"{name}: global (single-partition) window over an unlisted "
+            f"relation — move the order into a bounded slice "
+            f"(orderBy+limit), use _distributed_rank/_distributed_prefix, "
+            f"or whitelist with the boundedness reason: {glb[0]}"
+        )
