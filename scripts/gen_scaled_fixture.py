@@ -20,7 +20,17 @@ Timestamps are written as naive TIMESTAMP (parquet MICROS,
 isAdjustedToUTC=false); sources.catalog.load_table normalizes that
 shape and DuckDB reads it natively, so both gate engines agree.
 
+Per-table multipliers (round-8 corpus-heavy decade): the uniform R
+scales lineitem-heavy; the LLM-pipeline north star is CORPUS scale,
+where only documents/embeddings grow. `table_replicas` overrides R for
+named tables (they have self-contained id spaces — doc_id/vec_id FK
+into nothing — so mixed multipliers stay consistent).
+
 Usage: python scripts/gen_scaled_fixture.py [src_dir] [dst_dir] [R]
+           [table=R,table=R,...]
+e.g. corpus-heavy: python scripts/gen_scaled_fixture.py \
+           /root/testdata/sf0.1 /tmp/sfgen/docs10 1 \
+           documents=10,embeddings=10
 """
 
 from __future__ import annotations
@@ -54,7 +64,13 @@ NAME_COLS = {  # name columns that embed the surrogate key
 }
 
 
-def generate(src: str, dst: str, replicas: int) -> None:
+def generate(
+    src: str,
+    dst: str,
+    replicas: int,
+    table_replicas: dict[str, int] | None = None,
+) -> None:
+    table_replicas = table_replicas or {}
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     counts: dict[str, int] = {}
@@ -104,19 +120,25 @@ def generate(src: str, dst: str, replicas: int) -> None:
                 )
             else:
                 exprs.append(c)
+        t_reps = table_replicas.get(t, replicas)
         sql = (
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM read_parquet('{src}/{t}.parquet'), "
-            f"(SELECT unnest(range({replicas})) AS r) AS r "
+            f"(SELECT unnest(range({t_reps})) AS r) AS r "
             f"ORDER BY r.r) "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
         )
         con.execute(sql)
-        print(f"{t}: {counts[t]} -> {counts[t] * replicas} rows")
+        print(f"{t}: {counts[t]} -> {counts[t] * t_reps} rows")
 
 
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfgen/sf1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    generate(src, dst, reps)
+    overrides = {}
+    if len(sys.argv) > 4:
+        for pair in sys.argv[4].split(","):
+            t, r = pair.split("=")
+            overrides[t.strip()] = int(r)
+    generate(src, dst, reps, overrides)

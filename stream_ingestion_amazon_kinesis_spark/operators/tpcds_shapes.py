@@ -768,7 +768,7 @@ def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst return-ratio parts (q49 shape on the TPC-H-ish fixture).
 
     One map-side-combinable conditional aggregate on l_partkey, a
-    volume floor to kill small-denominator noise, then a SLACK-LIMITED
+    volume floor to kill small-denominator noise, then a OVERPROVISIONED-LIMIT
     top selection: orderBy+limit(100) is a TakeOrderedAndProject
     (per-partition partial top-100, driver merge — no single-partition
     window over the |parts|-sized score relation, which is billions of
@@ -776,7 +776,7 @@ def tpcds_return_ratio_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice's RANK values equal the global RANK for every row that can
     satisfy rnk <= 10: the window ORDER BY includes l_partkey so ties
     need equal (return_ppm, l_partkey) — impossible after the groupBy —
-    and the 10x slack would bound boundary ties even without the
+    and the 10x headroom would bound boundary ties even without the
     tiebreak. Integer ppm division keeps ranking bit-stable across
     engines.
     """

@@ -96,7 +96,6 @@ BNLJ_OK = {
     "funnel_multistep_strict",  # 4 single-row stage counts cross-combined
     "incremental_neardup_new_vs_old",  # 1-row median-split broadcast
     "dense_monthly_nation_report",  # bounded nation x month spine grid
-    "decile_lift_purchases",  # crossJoin of the single-row conversion total
     "collocation_pmi_top20",  # crossJoin of the single-row totals (N, M)
     "benford_digit_audit_orders",  # crossJoin of the single-row total count
     "association_rules_parts",  # crossJoin of the single-row basket count
@@ -142,7 +141,7 @@ GLOBAL_WINDOW_OK = {
     # post-limit slices — window input follows a TakeOrderedAndProject
     "zipf_conformity_top_terms": "rank over the 20-row top-terms slice",
     "two_hop_reach_centrality": "rank over the 30-row top-score slice",
-    "tpcds_return_ratio_top_parts": "RANK over the 100-row slack slice",
+    "tpcds_return_ratio_top_parts": "RANK over the 100-row headroom slice",
     "hybrid_rrf_retrieval": "rank over per-arm top-50 slices",
     "decile_lift_purchases": "cumsum over the 10-row decile relation",
     # bounded by a fixed model/schema dimension
