@@ -92,3 +92,43 @@ def test_ivf_pq_recall_vs_brute_force(spark, sf_dir):
     assert len(brute) > 0
     recall = len(brute & pq) / len(brute)
     assert recall >= 0.5, f"IVF-PQ recall too low: {recall:.3f}"
+
+
+def test_ivf_train_cap_scales_with_requested_cells():
+    """ADVICE r7 (medium): a fixed 4096-sample training cap silently
+    clamped k once a caller requested more cells (constant-population
+    blocking asks for ceil(4N/1024) cells, crossing 4096 at N ~ 1.05M
+    vectors) and trained with ~1 sample/cell near the clamp. The cap
+    must scale with the request so every Lloyd mean averages >= a few
+    vectors and k is never silently reduced."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        IVF_TRAIN_CAP,
+        ivf_train_cap,
+    )
+
+    assert ivf_train_cap(16) == IVF_TRAIN_CAP  # small asks keep the floor
+    assert ivf_train_cap(1024) == IVF_TRAIN_CAP
+    # past the floor the sample tracks 4x the requested cell count
+    assert ivf_train_cap(4096) == 4 * 4096
+    assert ivf_train_cap(1_000_000) == 4_000_000
+    # monotone: more cells never means fewer training samples
+    caps = [ivf_train_cap(k) for k in (1, 10, 1024, 2048, 4096, 10_000)]
+    assert caps == sorted(caps)
+
+
+def test_ivf_kmeans_honors_large_cell_request(spark):
+    """k above the old fixed cap must yield k centroids when the corpus
+    has enough vectors (the silent min(k, 4096-sample) clamp is gone).
+    Uses a tiny synthetic corpus with n_cells > corpus/4 to exercise
+    the corpus-bounded branch too."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        ivf_centroids_kmeans,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(4)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_centroids_kmeans(emb, n_cells=32).count()
+    assert got == 32
+    # more cells than vectors: clamped to the corpus (cannot exceed n)
+    got2 = ivf_centroids_kmeans(emb, n_cells=100).count()
+    assert got2 == 64
