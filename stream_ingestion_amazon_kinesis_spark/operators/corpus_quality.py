@@ -482,3 +482,115 @@ def length_dist_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Gopher-style quality-rule funnel -------------------------------
+#
+# The four rules are the fixture-scaled analogs of the Gopher / MassiveText
+# repetition-and-signal heuristics (Rae et al. 2021, §A1.1): token-count
+# band, mean-word-length band, distinct-token ratio floor, and a
+# stopword-coverage floor. Thresholds are integers and every ratio test
+# is cross-multiplied, so both engines decide each rule with exact
+# integer comparisons (no float division anywhere).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 90
+GOPHER_MWL_LO = 4  # mean word length lower bound (inclusive)
+GOPHER_MWL_HI = 5  # mean word length upper bound (inclusive)
+GOPHER_DISTINCT_NUM = 7  # distinct ratio >= 7/20 = 0.35
+GOPHER_DISTINCT_DEN = 20
+GOPHER_STOPWORDS = ("a", "the", "value", "key", "data")
+GOPHER_MIN_STOP_HITS = 2
+
+
+@register(
+    "gopher_quality_funnel",
+    oracle=f"""
+    WITH s AS (
+        SELECT len(toks) AS n,
+               list_sum(list_transform(toks, x -> len(x))) AS sl,
+               len(list_distinct(toks)) AS nd,
+               len(list_distinct(list_filter(toks,
+                   x -> x IN ('a','the','value','key','data')))) AS n_stop
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)),
+    p AS (
+        SELECT n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS p1,
+               {GOPHER_MWL_LO} * n <= sl AND sl <= {GOPHER_MWL_HI} * n AS p2,
+               {GOPHER_DISTINCT_DEN} * nd >= {GOPHER_DISTINCT_NUM} * n AS p3,
+               n_stop >= {GOPHER_MIN_STOP_HITS} AS p4
+        FROM s),
+    c AS (
+        SELECT COUNT(*) AS c0,
+               COUNT(*) FILTER (p1) AS c1,
+               COUNT(*) FILTER (p1 AND p2) AS c2,
+               COUNT(*) FILTER (p1 AND p2 AND p3) AS c3,
+               COUNT(*) FILTER (p1 AND p2 AND p3 AND p4) AS c4
+        FROM p)
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS rule, c0 AS survivors,
+               CAST(0 AS BIGINT) AS failed_here FROM c
+        UNION ALL
+        SELECT 1, 'token_count_band', c1, c0 - c1 FROM c
+        UNION ALL
+        SELECT 2, 'mean_word_length_band', c2, c1 - c2 FROM c
+        UNION ALL
+        SELECT 3, 'distinct_ratio_floor', c3, c2 - c3 FROM c
+        UNION ALL
+        SELECT 4, 'stopword_coverage', c4, c3 - c4 FROM c)
+    ORDER BY stage
+    """,
+    description="G17 Gopher-style quality-filter funnel: token-count band, "
+    "mean-word-length band, distinct-ratio floor, stopword coverage — "
+    "cumulative survivor counts per stage, exact integer rule math",
+)
+def gopher_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter funnel over the corpus, the shape every
+    training-data pipeline publishes as its filtering report: each stage
+    applies one heuristic rule on top of all previous ones and records
+    survivors + documents dropped at that stage.
+
+    Scale: one narrow pass computes the four per-document statistics
+    inside whole-stage codegen (token array folds, no Python); a single
+    map-side-combined aggregate reduces them to five counters; the
+    funnel rows are unpivoted from that one-row relation. No shuffle
+    touches document text. Every rule is an integer comparison
+    (cross-multiplied ratios), so the funnel is bit-identical across
+    engines and partition counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    s = docs.select(
+        F.size(toks).cast("long").alias("n"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sl"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(
+            F.array_distinct(F.array_intersect(toks, stop_arr))
+        ).cast("long").alias("n_stop"),
+    )
+    p1 = F.col("n").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    p2 = (F.lit(GOPHER_MWL_LO) * F.col("n") <= F.col("sl")) & (
+        F.col("sl") <= F.lit(GOPHER_MWL_HI) * F.col("n")
+    )
+    p3 = F.lit(GOPHER_DISTINCT_DEN) * F.col("nd") >= F.lit(
+        GOPHER_DISTINCT_NUM
+    ) * F.col("n")
+    p4 = F.col("n_stop") >= GOPHER_MIN_STOP_HITS
+    c = s.agg(
+        F.count("*").alias("c0"),
+        F.count_if(p1).alias("c1"),
+        F.count_if(p1 & p2).alias("c2"),
+        F.count_if(p1 & p2 & p3).alias("c3"),
+        F.count_if(p1 & p2 & p3 & p4).alias("c4"),
+    )
+    return c.selectExpr(
+        "stack(5, "
+        "0L, 'ingest', c0, 0L, "
+        "1L, 'token_count_band', c1, c0 - c1, "
+        "2L, 'mean_word_length_band', c2, c1 - c2, "
+        "3L, 'distinct_ratio_floor', c3, c2 - c3, "
+        "4L, 'stopword_coverage', c4, c3 - c4) "
+        "AS (stage, rule, survivors, failed_here)"
+    ).orderBy("stage")

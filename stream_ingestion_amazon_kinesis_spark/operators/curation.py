@@ -740,3 +740,118 @@ def delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_extendedprice"),
     )
     return cust_row.unionByName(ord_row).unionByName(li_row).orderBy("entity")
+
+
+# --- DSIR-style importance weighting --------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al. 2023) scores
+# raw-pool documents by how target-like their hashed n-gram feature
+# distribution is. The fixture analog: target = English docs, raw pool
+# = everything else; features = unigrams hashed into 256 buckets by the
+# first two hex chars of md5 (identical strings on both engines, no
+# hex->int conversion needed). The textbook score is
+# sum_t log(p_target(b_t)/p_raw(b_t)); logs are transcendental and not
+# cross-engine exact, so the engine scores with the integer difference
+# form sum_t (ppm_target(b_t) - ppm_raw(b_t)) — order-isomorphic to a
+# first-order expansion of the log ratio, and exactly reproducible:
+# ppm_X(b) = (count_X(b) * 1_000_000) div total_X in BIGINT space.
+DSIR_TOP_K = 20
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source,
+               substr(md5(unnest(string_split_regex(trim(text), '\\s+'))),
+                      1, 2) AS bucket
+        FROM documents),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM tok
+            WHERE lang = 'en' GROUP BY bucket),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM tok
+            WHERE lang <> 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+                   (SELECT SUM(cr) FROM raw) AS tr),
+    ppm AS (
+        SELECT r.bucket,
+               (COALESCE(t.ct, 0) * 1000000) // tot.tt
+                   - (r.cr * 1000000) // tot.tr AS w_ppm
+        FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot),
+    scored AS (
+        SELECT k.doc_id,
+               ANY_VALUE(k.lang) AS lang,
+               ANY_VALUE(k.source) AS source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(p.w_ppm) AS BIGINT) AS importance_ppm
+        FROM tok k JOIN ppm p ON k.bucket = p.bucket
+        WHERE k.lang <> 'en'
+        GROUP BY k.doc_id)
+    SELECT doc_id, lang, source, n_tokens, importance_ppm
+    FROM scored
+    ORDER BY importance_ppm DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+    description="G17 DSIR-style data selection: hashed-unigram importance "
+    "scores (target=en vs raw pool) in exact integer ppm space, top-20 "
+    "most target-like raw documents",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling scores for the raw pool against a target
+    domain, the data-selection step that upweights target-like documents
+    before training.
+
+    Scale: the bucket weight relation is AT MOST 256 rows regardless of
+    corpus size (hash-bucketed features are the whole point of DSIR —
+    the model is a fixed-width table, not a vocabulary), so it
+    broadcasts; per-doc scoring is one explode + broadcast-join + one 
+    map-side-combined groupBy(doc_id); the readout is a
+    TakeOrderedAndProject over the scored relation. Token counting and
+    scoring reuse the same exploded relation (one pass over text).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens("text")).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.md5(F.encode(F.col("t"), "UTF-8")), 1, 2).alias("bucket"),
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = (
+        tok.filter(F.col("lang") != "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+    )
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    tr = raw.agg(F.sum("cr").alias("tr"))
+    ppm = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            F.expr(
+                "(coalesce(ct, 0L) * 1000000L) div tt"
+                " - (cr * 1000000L) div tr"
+            ).alias("w_ppm"),
+        )
+    )
+    scored = (
+        tok.filter(F.col("lang") != "en")
+        .join(F.broadcast(ppm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.first("source").alias("source"),
+            F.count("*").alias("n_tokens"),
+            F.sum("w_ppm").cast("bigint").alias("importance_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("importance_ppm").desc(), "doc_id"
+    ).limit(DSIR_TOP_K)

@@ -118,6 +118,8 @@ BNLJ_OK = {
     "decile_lift_purchases",  # crossJoins of single-row totals (n_tot, total_conv)
     "median_order_by_customer_decile",  # crossJoin of the single-row customer count
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
+    "dsir_importance_weights",  # crossJoins of single-row corpus totals;
+    # bucket-weight relation is <=256 rows by construction
 }
 
 
