@@ -1186,3 +1186,375 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("accuracy_ppm", F.expr("(1000000 * n_correct) div n"))
         .orderBy("true_label")
     )
+
+
+# --- Distributed Lloyd's k-means, exact integer space ----------------
+#
+# The oracle-checkable counterpart of `ivf_centroids_kmeans` (which
+# trains on a bounded sample, driver-side): full-corpus Lloyd
+# iterations as DataFrame ops, bit-identical across engines because all
+# geometry runs on integer-quantized coordinates — qv[d] =
+# floor(x_d * 10^4 + 0.5) in BIGINT, distances are integer sums of
+# squares, centroid updates are truncating integer means (Spark `div`
+# == DuckDB `//` toward zero, verified for negative sums). Two
+# iterations are unrolled; init = the K smallest vec_ids (stable,
+# data-independent of partitioning).
+KMEANS_K = 8
+KMEANS_SCALE = 10000
+_KM_DIMS = list(range(1, EMB_DIM + 1))
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE + F.lit(0.5)),
+    )
+    return emb.select("vec_id", qv.alias("qv"))
+
+
+def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: corpus x broadcast K-row centroid
+    table, integer squared-L2, tiebreak on cluster id."""
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    j = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cluster", dist.alias("dist")
+    )
+    best = F.min_by(
+        F.struct("cluster", "qv", "dist"), F.struct("dist", "cluster")
+    ).alias("a")
+    return j.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.qv").alias("qv"),
+        F.col("a.dist").alias("dist"),
+    )
+
+
+def _km_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """Truncating integer per-dim means; clusters that received no
+    vectors keep their previous centroid."""
+    sums = assigned.groupBy("cluster").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.element_at("qv", d)).alias(f"s{d}")
+            for d in _KM_DIMS
+        ],
+    )
+    new_cv = F.array(*[F.expr(f"s{d} div cnt") for d in _KM_DIMS])
+    return (
+        prev.select("cluster", F.col("cv").alias("prev_cv"))
+        .join(sums, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(
+                F.when(F.col("cnt").isNotNull(), new_cv), F.col("prev_cv")
+            ).alias("cv"),
+        )
+    )
+
+
+def _km_oracle() -> str:
+    zip_sq = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+        SELECT q.vec_id, c.cluster, {zip_sq} AS dist
+        FROM q, {cent_cte} c),
+    {out} AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM {out}_d) WHERE rn = 1)"""
+
+    def update(assign_cte: str, prev_cte: str, out: str) -> str:
+        return f"""
+    {out}_u AS (
+        SELECT a.cluster, g.i AS dim,
+               CAST(SUM(q.qv[g.i]) // COUNT(*) AS BIGINT) AS m
+        FROM {assign_cte} a JOIN q USING (vec_id),
+             UNNEST(generate_series(1, {EMB_DIM})) AS g(i)
+        GROUP BY a.cluster, g.i),
+    {out} AS (
+        SELECT p.cluster,
+               COALESCE(n.cv, p.cv) AS cv
+        FROM {prev_cte} p LEFT JOIN (
+            SELECT cluster, list(m ORDER BY dim) AS cv
+            FROM {out}_u GROUP BY cluster) n USING (cluster))"""
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, qv AS cv FROM q
+           WHERE vec_id < {KMEANS_K}),{assign("c0", "a1")},{update("a1", "c0", "c1")},{assign("c1", "a2")},{update("a2", "c1", "c2")}
+    SELECT a.cluster,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           ANY_VALUE(CAST(list_sum(list_transform(c.cv, x -> abs(x)))
+                     AS BIGINT)) AS centroid_l1
+    FROM a2 a JOIN c2 c USING (cluster)
+    GROUP BY a.cluster
+    ORDER BY a.cluster
+    """
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    oracle=_km_oracle(),
+    description="G17 distributed Lloyd k-means (2 unrolled iterations) in "
+    "exact integer-quantized space: per-cluster sizes, inertia, and "
+    "centroid L1 checksums, bit-identical across engines and partitionings",
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd iterations as declarative DataFrame ops — the
+    embedding-clustering primitive under SemDeDup-style semantic dedup
+    and coarse-quantizer training, here in the exact-arithmetic form
+    that admits a value-level oracle.
+
+    Scale: each iteration is one broadcast of the K-row centroid table
+    (never data-sized), one narrow O(N*K) distance projection fused in
+    whole-stage codegen, and one map-side-combined groupBy(cluster) with
+    64 per-dim integer sums — shuffle volume is O(K * dim * partitions),
+    independent of N. No collect anywhere: the centroid relation flows
+    iteration-to-iteration as a DataFrame. Assignment ties break on
+    cluster id; empty clusters inherit their previous centroid, so the
+    whole computation is deterministic at any parallelism. The
+    production quantizer (ivf_centroids_kmeans, similarity.py:115) runs
+    more iterations on a bounded sample instead — this operator is the
+    full-corpus exact twin at 2 iterations.
+    """
+    q = _km_quantized(spark, sf_dir)
+    c0 = q.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a1 = _km_assign(q, c0)
+    c1 = _km_update(a1, c0)
+    a2 = _km_assign(q, c1)
+    c2 = _km_update(a2, c1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .join(
+            c2.select(
+                "cluster",
+                F.aggregate(
+                    F.col("cv"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.abs(x),
+                ).alias("centroid_l1"),
+            ),
+            "cluster",
+        )
+        .select("cluster", "n_vecs", "inertia", "centroid_l1")
+        .orderBy("cluster")
+    )
+
+
+# --- MMR diversified re-ranking --------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
+# the candidate maximizing lambda*rel - (1-lambda)*max_sim_to_selected.
+# lambda = 0.7 is carried as integer weights (7, 3) over ppm-scaled
+# similarities: every cosine is rounded to 6 decimals first (the
+# cross-engine-stable contract the ANN family uses), then lifted to an
+# integer via floor(x*1e6 + 0.5), so the greedy argmax compares exact
+# BIGINTs — no float ties can diverge between engines.
+MMR_CAND = 20
+MMR_K = 5
+MMR_LAMBDA_NUM = 7  # score = 7*rel_ppm - 3*max_sim_ppm (lambda = 0.7 x10)
+MMR_DIV_NUM = 3
+
+
+def _ppm(col: F.Column) -> F.Column:
+    return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
+
+
+def _mmr_oracle() -> str:
+    cos = "ROUND(list_cosine_similarity({a}, {b}), 6)"
+    ppm = "CAST(floor(" + cos + " * 1000000 + 0.5) AS BIGINT)"
+    stages = []
+    prev = "sel1"
+    for i in range(2, MMR_K + 1):
+        stages.append(f"""
+    p{i} AS (
+        SELECT c.query_id, c.neighbor_id,
+               {MMR_LAMBDA_NUM} * ANY_VALUE(c.rel_ppm)
+                   - {MMR_DIV_NUM} * MAX(m.sim_ppm) AS score
+        FROM cands c
+        JOIN {prev} sp ON sp.query_id = c.query_id
+        JOIN sims m ON m.query_id = c.query_id
+             AND m.a = c.neighbor_id AND m.b = sp.neighbor_id
+        LEFT JOIN {prev} ex ON ex.query_id = c.query_id
+             AND ex.neighbor_id = c.neighbor_id
+        WHERE ex.neighbor_id IS NULL
+        GROUP BY c.query_id, c.neighbor_id),
+    pick{i} AS (
+        SELECT query_id, neighbor_id, score FROM (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rn
+            FROM p{i}) WHERE rn = 1),
+    sel{i} AS (
+        SELECT query_id, neighbor_id, pick_rank, score FROM {prev}
+        UNION ALL
+        SELECT query_id, neighbor_id, CAST({i} AS BIGINT), score
+        FROM pick{i})""")
+        prev = f"sel{i}"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < {N_QUERIES}),
+    cands AS (
+        SELECT query_id, neighbor_id, rel_ppm, cv FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {ppm.format(a="q.qv", b="e.v")} AS rel_ppm,
+                   e.v AS cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {ppm.format(a="q.qv", b="e.v")} DESC,
+                                e.vec_id) AS rn
+            FROM qs q JOIN e ON q.query_id <> e.vec_id)
+        WHERE rn <= {MMR_CAND}),
+    sims AS (
+        SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+               {ppm.format(a="x.cv", b="y.cv")} AS sim_ppm
+        FROM cands x JOIN cands y
+          ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+    sel1 AS (
+        SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick_rank,
+               {MMR_LAMBDA_NUM} * rel_ppm AS score FROM (
+            SELECT query_id, neighbor_id, rel_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel_ppm DESC, neighbor_id)
+                       AS rn
+            FROM cands) WHERE rn = 1),{",".join(stages)}
+    SELECT query_id, pick_rank, neighbor_id, score AS mmr_score10
+    FROM sel{MMR_K}
+    ORDER BY query_id, pick_rank
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    description="G17 maximal-marginal-relevance re-ranking: top-20 cosine "
+    "candidates per query, greedy MMR (lambda=0.7) selection of 5 in exact "
+    "integer ppm space",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval re-ranking — the post-ANN step that
+    stops a result page (or a RAG context window) from filling up with
+    near-duplicates of one hit.
+
+    Scale: stage 1 is the brute/IVF candidate fetch (top-MMR_CAND per
+    query via TakeOrdered semantics — here the same broadcast-queries
+    scan ann_topk_cosine uses); stage 2 builds the per-query pairwise
+    sim relation, which is bounded by queries x MMR_CAND^2 rows no
+    matter the corpus size; stage 3 runs the inherently-sequential
+    greedy loop per query group via applyInPandas — each group is a
+    <=MMR_CAND^2-row slice, so the Python stage touches a bounded
+    relation, never the corpus. All scores are exact integers; the
+    oracle unrolls the same greedy selection as 5 SQL stages.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel = _ppm(F.round(cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("rel_ppm"), "neighbor_id")
+    cands = (
+        e.join(F.broadcast(qs), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rel.alias("rel_ppm"),
+            "v",
+            "nrm",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+    )
+    a = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("rel_ppm").alias("a_rel"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = _ppm(F.round(cosine_pre(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 6))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("query_id", "a", "a_rel", "b", sim.alias("sim_ppm"))
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        rel_of = {}
+        sim_of = {}
+        for row in pdf.itertuples(index=False):
+            rel_of[int(row.a)] = int(row.a_rel)
+            sim_of[(int(row.a), int(row.b))] = int(row.sim_ppm)
+        remaining = sorted(rel_of)
+        selected: list[int] = []
+        out = []
+        for pick_rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best_id, best_score = None, None
+            for c in remaining:
+                if not selected:
+                    score = MMR_LAMBDA_NUM * rel_of[c]
+                else:
+                    score = MMR_LAMBDA_NUM * rel_of[c] - MMR_DIV_NUM * max(
+                        sim_of[(c, s)] for s in selected
+                    )
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((qid, pick_rank, best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "pick_rank", "neighbor_id", "mmr_score10"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, pick_rank long, neighbor_id long, mmr_score10 long",
+        )
+        .orderBy("query_id", "pick_rank")
+    )

@@ -37,6 +37,11 @@ REPRESENTATIVES = [
     # round-4: mapInPandas codec roundtrip — integer unit sums must not
     # depend on how docs land in Arrow batches/partitions
     "multimodal_real_decode_stats",
+    # round-8 additions: integer-quantized Lloyd iterations (truncating
+    # integer centroid means must not see partial-agg order), greedy MMR
+    # over per-query Arrow groups
+    "kmeans_lloyd_clusters",
+    "mmr_diversified_topk",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Structural invariants for the round-8 pipeline additions
+(gopher_quality_funnel, dsir_importance_weights, kmeans_lloyd_clusters,
+mmr_diversified_topk). Value-level correctness is carried by the DuckDB
+oracles (test_oracle_parity / the driver gate); these tests pin the
+semantic properties an oracle diff can't name: funnel monotonicity,
+selection-pool discipline, Lloyd-step improvement, MMR greedy shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_ingestion_amazon_kinesis_spark.operators.corpus_quality import (
+    gopher_quality_funnel,
+)
+from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+    dsir_importance_weights,
+)
+from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+    KMEANS_K,
+    MMR_K,
+    MMR_LAMBDA_NUM,
+    N_QUERIES,
+    _km_assign,
+    _km_quantized,
+    kmeans_lloyd_clusters,
+    mmr_diversified_topk,
+)
+from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+
+def test_funnel_is_monotone_and_consistent(spark, sf_dir):
+    rows = gopher_quality_funnel(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    surv = [r["survivors"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:])), "funnel must shrink"
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["failed_here"] == prev["survivors"] - cur["survivors"]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert surv[0] == n_docs
+    assert surv[-1] > 0, "thresholds must not reject the whole corpus"
+
+
+def test_dsir_selects_from_raw_pool_only(spark, sf_dir):
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["lang"] != "en" for r in rows), "target docs must not score"
+    scores = [r["importance_ppm"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kmeans_partitions_corpus_and_lloyd_step_improves(spark, sf_dir):
+    out = kmeans_lloyd_clusters(spark, sf_dir).collect()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in out) == emb_n
+    assert all(r["inertia"] >= 0 for r in out)
+    assert len(out) <= KMEANS_K
+    # Lloyd guarantee: cost after (update + reassign) <= initial-centroid
+    # cost. Truncating integer means perturb each centroid coordinate by
+    # < 1 quantum, negligible against the distances involved.
+    q = _km_quantized(spark, sf_dir)
+    c0 = q.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    init_cost = _km_assign(q, c0).agg(F.sum("dist")).collect()[0][0]
+    final_cost = sum(r["inertia"] for r in out)
+    assert final_cost <= init_cost
+
+
+def test_mmr_greedy_shape(spark, sf_dir):
+    rows = mmr_diversified_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == N_QUERIES
+    for qid, picks in by_q.items():
+        assert [p["pick_rank"] for p in picks] == list(range(1, MMR_K + 1))
+        ids = [p["neighbor_id"] for p in picks]
+        assert len(set(ids)) == MMR_K, "picks must be distinct"
+        assert qid not in ids, "query must not retrieve itself"
+        # pick 1 is pure relevance (no diversity term yet), so its score
+        # is exactly 7 * rel_ppm of the top candidate — a multiple of 7,
+        # unlike later scores which mix in the 3*max_sim penalty.
+        assert picks[0]["mmr_score10"] % MMR_LAMBDA_NUM == 0
+    # Pick 1 must agree with the brute-force cosine top-1 (same rounding
+    # contract, same id tiebreak).
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import ann_topk_cosine
+
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann_topk_cosine(spark, sf_dir).filter(F.col("rnk") == 1).collect()
+    }
+    for qid, picks in by_q.items():
+        assert picks[0]["neighbor_id"] == top1[qid]
