@@ -1258,14 +1258,12 @@ def _km_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def _km_oracle() -> str:
+def _lloyd_assign_sql(cent_cte: str, out: str) -> str:
     zip_sq = (
         "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
         " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
     )
-
-    def assign(cent_cte: str, out: str) -> str:
-        return f"""
+    return f"""
     {out}_d AS (
         SELECT q.vec_id, c.cluster, {zip_sq} AS dist
         FROM q, {cent_cte} c),
@@ -1276,8 +1274,9 @@ def _km_oracle() -> str:
                                       ORDER BY dist, cluster) AS rn
             FROM {out}_d) WHERE rn = 1)"""
 
-    def update(assign_cte: str, prev_cte: str, out: str) -> str:
-        return f"""
+
+def _lloyd_update_sql(assign_cte: str, prev_cte: str, out: str) -> str:
+    return f"""
     {out}_u AS (
         SELECT a.cluster, g.i AS dim,
                CAST(SUM(q.qv[g.i]) // COUNT(*) AS BIGINT) AS m
@@ -1291,14 +1290,32 @@ def _km_oracle() -> str:
             SELECT cluster, list(m ORDER BY dim) AS cv
             FROM {out}_u GROUP BY cluster) n USING (cluster))"""
 
-    return f"""
+
+def _lloyd_prefix_sql(k: int, n_iters: int, extra_assign: bool) -> str:
+    """`WITH` prefix shared by the Lloyd-family oracles: quantize, init
+    centroids c0 = the k smallest vec_ids, then n_iters x
+    (assign a_i <- c_{i-1}, update c_i <- a_i), optionally one trailing
+    assign a_{n+1} <- c_n (the final cluster membership read)."""
+    parts = [
+        f"""
     WITH q AS (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS qv
         FROM embeddings),
     c0 AS (SELECT vec_id AS cluster, qv AS cv FROM q
-           WHERE vec_id < {KMEANS_K}),{assign("c0", "a1")},{update("a1", "c0", "c1")},{assign("c1", "a2")},{update("a2", "c1", "c2")}
+           WHERE vec_id < {k})"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(_lloyd_assign_sql(f"c{i - 1}", f"a{i}"))
+        parts.append(_lloyd_update_sql(f"a{i}", f"c{i - 1}", f"c{i}"))
+    if extra_assign:
+        parts.append(_lloyd_assign_sql(f"c{n_iters}", f"a{n_iters + 1}"))
+    return ",".join(parts)
+
+
+def _km_oracle() -> str:
+    return f"""{_lloyd_prefix_sql(KMEANS_K, 1, True)},{_lloyd_update_sql("a2", "c1", "c2")}
     SELECT a.cluster,
            COUNT(*) AS n_vecs,
            CAST(SUM(a.dist) AS BIGINT) AS inertia,
@@ -1557,4 +1574,116 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, pick_rank long, neighbor_id long, mmr_score10 long",
         )
         .orderBy("query_id", "pick_rank")
+    )
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup ----------------------
+#
+# SemDeDup (Abbas et al. 2023): k-means the embedding space, then inside
+# each cluster drop every vector that has a sufficiently-similar
+# neighbor, keeping one representative per near-duplicate neighborhood.
+# Keep rule here: a vector is removed iff a LOWER-id member of its
+# cluster is within the cosine bar — deterministic, order-free, and
+# exactly the canonical-keeper convention the text-dedup family uses.
+# The 0.35 bar matches embedding_neardup_pairs' loose fixture bar (the
+# synthetic embeddings top out near cos 0.5; a production corpus would
+# run ~0.9).
+SEMDEDUP_K = 64
+SEMDEDUP_T_PPM = 350000
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=f"""{{prefix}},
+    members AS (
+        SELECT a.cluster, a.vec_id, e.v
+        FROM a2 a JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings) e USING (vec_id)),
+    removed AS (
+        SELECT DISTINCT hi.cluster, hi.vec_id
+        FROM members hi JOIN members lo
+          ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+        WHERE CAST(floor(ROUND(list_cosine_similarity(hi.v, lo.v), 6)
+                         * 1000000 + 0.5) AS BIGINT) >= {SEMDEDUP_T_PPM})
+    SELECT m.cluster,
+           COUNT(*) AS n_vecs,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS n_kept
+    FROM members m LEFT JOIN removed r
+      ON m.cluster = r.cluster AND m.vec_id = r.vec_id
+    GROUP BY m.cluster
+    ORDER BY m.cluster
+    """.format(prefix=_lloyd_prefix_sql(SEMDEDUP_K, 1, True)),
+    description="G17 SemDeDup semantic dedup: integer-exact k-means "
+    "clustering (K=64, 1 Lloyd iteration) as the blocking key, "
+    "within-cluster cosine prune keeping the lowest-id representative",
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune semantic dedup — the embedding-space analog of
+    MinHash-LSH blocking: the k-means cell is the candidate block, so
+    pair comparisons never leave a cluster and total verify cost is
+    sum(|cluster|^2) instead of N^2.
+
+    Scale: clustering reuses the exact-integer Lloyd machinery
+    (broadcast K-row centroids, O(N*K) codegen distances, O(K*dim)
+    shuffle). The prune self-join is keyed by cluster id; at 100 TB the
+    cluster count must scale like N/target_population exactly as the
+    IVF near-dup blocking does (embedding_neardup_ivf pins cell
+    population; a fixed K would make clusters grow with N and the
+    within-cluster Gram quadratic) — K is a constant here only because
+    the oracle must enumerate init centroids. Cosines are rounded to
+    6 decimals then lifted to integer ppm before the threshold compare,
+    so keep/remove decisions are bit-identical across engines.
+    """
+    q = _km_quantized(spark, sf_dir)
+    c0 = q.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a1 = _km_assign(q, c0)
+    c1 = _km_update(a1, c0)
+    a2 = _km_assign(q, c1)
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = a2.select("vec_id", "cluster").join(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            norm(F.col("embedding")).alias("nrm"),
+        ),
+        "vec_id",
+    )
+    hi = members.select(
+        "cluster",
+        F.col("vec_id").alias("hi_id"),
+        F.col("v").alias("hv"),
+        F.col("nrm").alias("hn"),
+    )
+    lo = members.select(
+        "cluster",
+        F.col("vec_id").alias("lo_id"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("ln"),
+    )
+    sim_ppm = _ppm(
+        F.round(cosine_pre(F.col("hv"), F.col("lv"), F.col("hn"), F.col("ln")), 6)
+    )
+    removed = (
+        hi.join(lo, "cluster")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(sim_ppm >= SEMDEDUP_T_PPM)
+        .select("cluster", F.col("hi_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    return (
+        members.select("cluster", "vec_id")
+        .join(removed, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).cast("bigint").alias("n_removed"),
+            (F.count("*") - F.sum(F.coalesce("is_removed", F.lit(0))))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
     )

@@ -1474,3 +1474,106 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_ppm").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- Span novelty: per-source memorization-risk profile ---------------
+SPAN_NOVELTY_N = 8  # tokens per span (matches dedup.exact_passage_spans)
+
+
+@register(
+    "span_novelty_by_source",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {SPAN_NOVELTY_N - 1}),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                     || ' ' || t[i+7]))) AS span
+        FROM (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= {SPAN_NOVELTY_N}),
+    df AS (SELECT span, COUNT(*) AS n_docs FROM sh GROUP BY span),
+    per_doc AS (
+        SELECT sh.doc_id, ANY_VALUE(sh.source) AS source,
+               COUNT(*) AS n_spans,
+               COUNT(*) FILTER (df.n_docs >= 2) AS n_shared
+        FROM sh JOIN df USING (span)
+        GROUP BY sh.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_spans,
+           (1000000 * CAST(SUM(n_spans) - SUM(n_shared) AS BIGINT))
+               // CAST(SUM(n_spans) AS BIGINT) AS novelty_ppm
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="G17 span-novelty profile: fraction of each source's 8-token "
+    "spans that appear in no other document — the memorization-risk / "
+    "boilerplate screen, exact integer ppm",
+)
+def span_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source is corpus-unique at the passage level —
+    the aggregate readout of the Lee et al. 2022 memorization scan
+    (exact_passage_spans lists the shared spans; this scores sources by
+    how much of their text is NOT shared).
+
+    Scale: one span explode (distinct-per-doc, md5-digested before any
+    exchange), one map-side-combined groupBy(span) for document
+    frequency, one co-partitioned join back (both sides hash-partitioned
+    by the digest after the groupBy), then two shrinking aggregates
+    (doc, then source). Everything is linear in total span count; no
+    self-join, so a span shared by k docs costs k join rows, not k^2.
+    The novelty ratio is integer ppm over non-negative sums —
+    truncating division matches on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    from ..functions.text import shingles
+
+    sh = (
+        spread(docs.filter(F.size(toks) >= SPAN_NOVELTY_N))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles("text", SPAN_NOVELTY_N))).alias(
+                "span"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.encode(F.col("span"), "UTF-8")).alias("span_md5"),
+        )
+    )
+    df_counts = sh.groupBy("span_md5").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        sh.join(df_counts, "span_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count("*").alias("n_spans"),
+            F.count_if(F.col("n_docs") >= 2).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.sum("n_shared").cast("bigint").alias("shared_spans"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_spans",
+            "shared_spans",
+            F.expr(
+                "(1000000 * (total_spans - shared_spans)) div total_spans"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -92,3 +92,32 @@ def test_mmr_greedy_shape(spark, sf_dir):
     }
     for qid, picks in by_q.items():
         assert picks[0]["neighbor_id"] == top1[qid]
+
+
+def test_semdedup_counts_are_consistent(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        semdedup_cluster_prune,
+    )
+
+    rows = semdedup_cluster_prune(spark, sf_dir).collect()
+    assert all(r["n_kept"] + r["n_removed"] == r["n_vecs"] for r in rows)
+    assert all(r["n_kept"] >= 1 for r in rows), (
+        "every non-empty cluster keeps at least its lowest-id member"
+    )
+    assert sum(r["n_removed"] for r in rows) > 0, "bar must discriminate"
+
+
+def test_span_novelty_ratios_are_sane(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.operators.text_analysis import (
+        span_novelty_by_source,
+    )
+
+    rows = span_novelty_by_source(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["shared_spans"] <= r["total_spans"]
+        assert 0 <= r["novelty_ppm"] <= 1000000
+        expected = (
+            1000000 * (r["total_spans"] - r["shared_spans"])
+        ) // r["total_spans"]
+        assert r["novelty_ppm"] == expected
