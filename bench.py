@@ -82,6 +82,12 @@ HEADLINE = [
     "session_window_variable_gap",
     "containment_neardup_pairs",
     "autocorr_hourly_counts",
+    # round-8 continuation: exact-integer Lloyd clustering, SemDeDup
+    # blocking, greedy MMR re-ranking, span-novelty memorization screen
+    "kmeans_lloyd_clusters",
+    "semdedup_cluster_prune",
+    "mmr_diversified_topk",
+    "span_novelty_by_source",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -1235,17 +1235,20 @@ def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _km_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+def _km_update(
+    assigned: DataFrame, prev: DataFrame, dims: list[int] | None = None
+) -> DataFrame:
     """Truncating integer per-dim means; clusters that received no
     vectors keep their previous centroid."""
+    dims = dims if dims is not None else _KM_DIMS
     sums = assigned.groupBy("cluster").agg(
         F.count("*").alias("cnt"),
         *[
             F.sum(F.element_at("qv", d)).alias(f"s{d}")
-            for d in _KM_DIMS
+            for d in dims
         ],
     )
-    new_cv = F.array(*[F.expr(f"s{d} div cnt") for d in _KM_DIMS])
+    new_cv = F.array(*[F.expr(f"s{d} div cnt") for d in dims])
     return (
         prev.select("cluster", F.col("cv").alias("prev_cv"))
         .join(sums, "cluster", "left")
@@ -1401,6 +1404,37 @@ def _ppm(col: F.Column) -> F.Column:
     return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
 
 
+def _mmr_greedy_py(
+    rel_of: dict[int, int], sim_of: dict[tuple[int, int], int], k: int
+) -> list[tuple[int, int, int]]:
+    """Pure greedy MMR over one candidate slice: at each step pick the
+    candidate maximizing 7*rel - 3*max_sim_to_selected (pick 1 has no
+    diversity term), tiebreak smallest id (iteration order over the
+    sorted remaining list + strict `>` does exactly that). Exact integer
+    arithmetic — the same selection the unrolled SQL oracle makes.
+    Returns [(pick_rank, candidate_id, score), ...]."""
+    remaining = sorted(rel_of)
+    selected: list[int] = []
+    out: list[tuple[int, int, int]] = []
+    for pick_rank in range(1, k + 1):
+        if not remaining:
+            break
+        best_id, best_score = None, None
+        for c in remaining:
+            if not selected:
+                score = MMR_LAMBDA_NUM * rel_of[c]
+            else:
+                score = MMR_LAMBDA_NUM * rel_of[c] - MMR_DIV_NUM * max(
+                    sim_of[(c, s)] for s in selected
+                )
+            if best_score is None or score > best_score:
+                best_id, best_score = c, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+        out.append((pick_rank, best_id, best_score))
+    return out
+
+
 def _mmr_oracle() -> str:
     cos = "ROUND(list_cosine_similarity({a}, {b}), 6)"
     ppm = "CAST(floor(" + cos + " * 1000000 + 0.5) AS BIGINT)"
@@ -1544,25 +1578,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in pdf.itertuples(index=False):
             rel_of[int(row.a)] = int(row.a_rel)
             sim_of[(int(row.a), int(row.b))] = int(row.sim_ppm)
-        remaining = sorted(rel_of)
-        selected: list[int] = []
-        out = []
-        for pick_rank in range(1, MMR_K + 1):
-            if not remaining:
-                break
-            best_id, best_score = None, None
-            for c in remaining:
-                if not selected:
-                    score = MMR_LAMBDA_NUM * rel_of[c]
-                else:
-                    score = MMR_LAMBDA_NUM * rel_of[c] - MMR_DIV_NUM * max(
-                        sim_of[(c, s)] for s in selected
-                    )
-                if best_score is None or score > best_score:
-                    best_id, best_score = c, score
-            selected.append(best_id)
-            remaining.remove(best_id)
-            out.append((qid, pick_rank, best_id, best_score))
+        out = [
+            (qid, pick_rank, cand_id, score)
+            for pick_rank, cand_id, score in _mmr_greedy_py(rel_of, sim_of, MMR_K)
+        ]
         return pd.DataFrame(
             out, columns=["query_id", "pick_rank", "neighbor_id", "mmr_score10"]
         )

@@ -1,0 +1,156 @@
+"""Property-based checks for the round-8 Lloyd/MMR primitives.
+
+- `_km_assign` / `_km_update` against a pure-Python reference with
+  C-style truncating division on adversarial integer vectors (negative
+  coordinates, tie distances, empty clusters, n < k).
+- `_mmr_greedy_py` against an independent per-step argmax re-check
+  (every pick must maximize the MMR objective given the previous picks,
+  with the smallest-id tiebreak) on random integer rel/sim tables,
+  including heavy score ties.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+    MMR_DIV_NUM,
+    MMR_LAMBDA_NUM,
+    _km_assign,
+    _km_update,
+    _mmr_greedy_py,
+)
+
+DIM = 4
+K = 3
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def _ref_assign(vecs, cents):
+    out = {}
+    for vid, v in vecs.items():
+        best = None
+        for cid in sorted(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(v, cents[cid]))
+            if best is None or (d, cid) < best[:2]:
+                best = (d, cid)
+        out[vid] = best
+    return out
+
+
+def _ref_update(vecs, assign, prev):
+    nxt = {}
+    for cid, cv in prev.items():
+        members = [vecs[vid] for vid, (_, c) in assign.items() if c == cid]
+        if not members:
+            nxt[cid] = list(cv)
+        else:
+            nxt[cid] = [
+                _trunc_div(sum(m[d] for m in members), len(members))
+                for d in range(DIM)
+            ]
+    return nxt
+
+
+vec_strategy = st.lists(
+    st.lists(st.integers(-5, 5), min_size=DIM, max_size=DIM),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=vec_strategy)
+def test_lloyd_step_matches_python_reference(spark, raw):
+    vecs = {i: v for i, v in enumerate(raw)}
+    cents = {i: v for i, v in list(vecs.items())[:K]}
+    q = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, qv array<long>"
+    )
+    c0 = spark.createDataFrame(
+        [(i, v) for i, v in cents.items()], "cluster long, cv array<long>"
+    )
+    got_assign = {
+        r["vec_id"]: (r["dist"], r["cluster"])
+        for r in _km_assign(q, c0).collect()
+    }
+    want_assign = _ref_assign(vecs, cents)
+    assert got_assign == want_assign
+
+    a1 = _km_assign(q, c0)
+    got_cents = {
+        r["cluster"]: list(r["cv"])
+        for r in _km_update(a1, c0, dims=list(range(1, DIM + 1))).collect()
+    }
+    want_cents = _ref_update(vecs, want_assign, cents)
+    assert got_cents == want_cents
+
+
+mmr_strategy = st.integers(2, 8).flatmap(
+    lambda n: st.tuples(
+        st.lists(
+            st.integers(-1000000, 1000000), min_size=n, max_size=n
+        ),
+        st.lists(
+            st.integers(-1000000, 1000000),
+            min_size=n * (n - 1),
+            max_size=n * (n - 1),
+        ),
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=mmr_strategy)
+def test_mmr_greedy_each_pick_is_argmax(data):
+    rels, sims = data
+    n = len(rels)
+    rel_of = {i: rels[i] for i in range(n)}
+    sim_of = {}
+    it = iter(sims)
+    for a in range(n):
+        for b in range(n):
+            if a != b:
+                sim_of[(a, b)] = next(it)
+    k = min(5, n)
+    picks = _mmr_greedy_py(rel_of, sim_of, k)
+    assert [p[0] for p in picks] == list(range(1, k + 1))
+    selected = []
+    for _, cand, score in picks:
+        # Independent re-derivation of this step's argmax.
+        def objective(c):
+            if not selected:
+                return MMR_LAMBDA_NUM * rel_of[c]
+            return MMR_LAMBDA_NUM * rel_of[c] - MMR_DIV_NUM * max(
+                sim_of[(c, s)] for s in selected
+            )
+
+        remaining = [c for c in rel_of if c not in selected]
+        best = min(remaining, key=lambda c: (-objective(c), c))
+        assert cand == best
+        assert score == objective(cand)
+        selected.append(cand)
+    assert len(set(p[1] for p in picks)) == k
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rel=st.integers(-1000, 1000),
+    n=st.integers(1, 6),
+)
+def test_mmr_tie_break_prefers_smallest_id(rel, n):
+    # All candidates identical: every step must pick the smallest
+    # remaining id.
+    rel_of = {i: rel for i in range(n)}
+    sim_of = {(a, b): 0 for a in range(n) for b in range(n) if a != b}
+    picks = _mmr_greedy_py(rel_of, sim_of, n)
+    assert [p[1] for p in picks] == list(range(n))
