@@ -1205,7 +1205,10 @@ _KM_DIMS = list(range(1, EMB_DIM + 1))
 
 
 def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread BEFORE the per-vector array math: the fixture parquet is a
+    # single row-group, so without it every O(N*K) distance fold pins to
+    # one core (spread is a no-op when the scan already has splits).
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     qv = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * KMEANS_SCALE + F.lit(0.5)),
@@ -1360,8 +1363,13 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
     )
     a1 = _km_assign(q, c0)
-    c1 = _km_update(a1, c0)
-    a2 = _km_assign(q, c1)
+    # c1 feeds both the second assignment and the empty-cluster coalesce
+    # of c2; a2 feeds both the final census and c2. localCheckpoint each
+    # once (K-row / N-row bounded-width relations — the iterative-reuse
+    # pattern neardup_components and the graph family use) so the Lloyd
+    # chain executes once, not once per consumer.
+    c1 = _km_update(a1, c0).localCheckpoint(eager=True)
+    a2 = _km_assign(q, c1).localCheckpoint(eager=True)
     c2 = _km_update(a2, c1)
     return (
         a2.groupBy("cluster")
@@ -1662,13 +1670,20 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = _km_update(a1, c0)
     a2 = _km_assign(q, c1)
     emb = load_table(spark, sf_dir, "embeddings")
-    members = a2.select("vec_id", "cluster").join(
-        emb.select(
+    # members is consumed three times (both prune-join sides + the final
+    # census); localCheckpoint stops each consumer from re-running the
+    # whole Lloyd assignment chain. Bounded width: one row per vector.
+    members = (
+        a2.select("vec_id", "cluster")
+        .join(
+            emb.select(
+                "vec_id",
+                F.col("embedding").alias("v"),
+                norm(F.col("embedding")).alias("nrm"),
+            ),
             "vec_id",
-            F.col("embedding").alias("v"),
-            norm(F.col("embedding")).alias("nrm"),
-        ),
-        "vec_id",
+        )
+        .localCheckpoint(eager=True)
     )
     hi = members.select(
         "cluster",
