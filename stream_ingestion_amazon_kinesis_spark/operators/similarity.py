@@ -1450,7 +1450,7 @@ def _mmr_oracle() -> str:
     prev = "sel1"
     for i in range(2, MMR_K + 1):
         stages.append(f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
         SELECT c.query_id, c.neighbor_id,
                {MMR_LAMBDA_NUM} * ANY_VALUE(c.rel_ppm)
                    - {MMR_DIV_NUM} * MAX(m.sim_ppm) AS score
@@ -1468,7 +1468,7 @@ def _mmr_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id) AS rn
             FROM p{i}) WHERE rn = 1),
-    sel{i} AS (
+    sel{i} AS MATERIALIZED (
         SELECT query_id, neighbor_id, pick_rank, score FROM {prev}
         UNION ALL
         SELECT query_id, neighbor_id, CAST({i} AS BIGINT), score
@@ -1479,7 +1479,7 @@ def _mmr_oracle() -> str:
                FROM embeddings),
     qs AS (SELECT vec_id AS query_id, v AS qv FROM e
            WHERE vec_id < {N_QUERIES}),
-    cands AS (
+    cands AS MATERIALIZED (
         SELECT query_id, neighbor_id, rel_ppm, cv FROM (
             SELECT q.query_id, e.vec_id AS neighbor_id,
                    {ppm.format(a="q.qv", b="e.v")} AS rel_ppm,
@@ -1490,12 +1490,12 @@ def _mmr_oracle() -> str:
                                 e.vec_id) AS rn
             FROM qs q JOIN e ON q.query_id <> e.vec_id)
         WHERE rn <= {MMR_CAND}),
-    sims AS (
+    sims AS MATERIALIZED (
         SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
                {ppm.format(a="x.cv", b="y.cv")} AS sim_ppm
         FROM cands x JOIN cands y
           ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
         SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick_rank,
                {MMR_LAMBDA_NUM} * rel_ppm AS score FROM (
             SELECT query_id, neighbor_id, rel_ppm,
