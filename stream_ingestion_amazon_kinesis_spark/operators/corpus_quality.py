@@ -502,9 +502,7 @@ GOPHER_STOPWORDS = ("a", "the", "value", "key", "data")
 GOPHER_MIN_STOP_HITS = 2
 
 
-@register(
-    "gopher_quality_funnel",
-    oracle=f"""
+GOPHER_FUNNEL_ORACLE = f"""
     WITH s AS (
         SELECT len(toks) AS n,
                list_sum(list_transform(toks, x -> len(x))) AS sl,
@@ -538,7 +536,12 @@ GOPHER_MIN_STOP_HITS = 2
         UNION ALL
         SELECT 4, 'stopword_coverage', c4, c3 - c4 FROM c)
     ORDER BY stage
-    """,
+    """
+
+
+@register(
+    "gopher_quality_funnel",
+    oracle=GOPHER_FUNNEL_ORACLE,
     description="G17 Gopher-style quality-filter funnel: token-count band, "
     "mean-word-length band, distinct-ratio floor, stopword coverage — "
     "cumulative survivor counts per stage, exact integer rule math",
@@ -558,6 +561,14 @@ def gopher_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and partition counts.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return funnel_rows(gopher_counters(docs))
+
+
+def gopher_counters(docs: DataFrame) -> DataFrame:
+    """Single-row relation (c0..c4) of cumulative rule survivors —
+    shared by the batch funnel and its live streaming twin (the rule
+    projections and the counting agg are the SAME exprs, so the two
+    paths cannot drift)."""
     toks = tokens("text")
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     s = docs.select(
@@ -578,14 +589,18 @@ def gopher_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GOPHER_DISTINCT_NUM
     ) * F.col("n")
     p4 = F.col("n_stop") >= GOPHER_MIN_STOP_HITS
-    c = s.agg(
+    return s.agg(
         F.count("*").alias("c0"),
         F.count_if(p1).alias("c1"),
         F.count_if(p1 & p2).alias("c2"),
         F.count_if(p1 & p2 & p3).alias("c3"),
         F.count_if(p1 & p2 & p3 & p4).alias("c4"),
     )
-    return c.selectExpr(
+
+
+def funnel_rows(counters: DataFrame) -> DataFrame:
+    """Unpivot the (c0..c4) counter row into the 5-stage funnel."""
+    return counters.selectExpr(
         "stack(5, "
         "0L, 'ingest', c0, 0L, "
         "1L, 'token_count_band', c1, c0 - c1, "

@@ -1623,3 +1623,76 @@ def streaming_session_variable_gap_live(spark: SparkSession, sf_dir: str) -> Dat
     query.processAllAvailable()
     query.stop()
     return spark.table(sink)
+
+
+def _staged_documents_json(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents fixture as JSON-lines once per
+    (sf, fixture-fingerprint) — same idempotent cache contract as
+    `_staged_events_json` (no timestamps, so no precision variants)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_stage",
+        tag,
+        f"documents_{fixture_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.select(
+            F.to_json(F.struct(*docs.columns)).alias("value")
+        ).write.mode("overwrite").text(path)
+    return path
+
+
+DOCUMENTS_JSON_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+from .corpus_quality import GOPHER_FUNNEL_ORACLE
+
+
+@register(
+    "streaming_quality_funnel_live",
+    oracle=GOPHER_FUNNEL_ORACLE,  # the batch funnel's oracle, verbatim
+    description="G12+G17 the Gopher quality funnel executed by the real "
+    "micro-batch engine: documents replayed through readStream.json, the "
+    "SAME counter aggregate as the batch funnel in complete output mode, "
+    "funnel rows unpivoted from the drained sink",
+)
+def streaming_quality_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filtering report computed incrementally — the shape a
+    production ingest runs (filter counters maintained as documents
+    stream in) rather than as a batch audit. The rule projections and
+    counting aggregate are imported from the batch operator
+    (`corpus_quality.gopher_counters`), so the streaming path exercises
+    the identical exprs under the incremental execution engine:
+    per-micro-batch partial aggregation + state merge must reproduce the
+    batch counts exactly when the stream drains.
+
+    Scale: the streaming state is ONE row of five counters regardless of
+    corpus size; each micro-batch does a map-side-combined partial count
+    over its files. maxFilesPerTrigger forces multiple micro-batches so
+    the state-merge path actually executes."""
+    from .corpus_quality import funnel_rows, gopher_counters
+
+    staging = _staged_documents_json(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(staging)
+    )
+    counters = gopher_counters(stream)
+    sink = f"live_{uuid.uuid4().hex[:12]}"
+    query = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return funnel_rows(spark.table(sink))
+

@@ -54,6 +54,7 @@ SIDE_EFFECT = {
     "streaming_session_variable_gap_live",
     "streaming_scd2_pointintime_live",
     "streaming_observe_quality_live",
+    "streaming_quality_funnel_live",
     "sql_ddl_ctas_insert_roundtrip",
     "binaryfile_scan_media",
     "csv_corrupt_quarantine_scan",
