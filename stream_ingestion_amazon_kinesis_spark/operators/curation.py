@@ -855,3 +855,102 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("importance_ppm").desc(), "doc_id"
     ).limit(DSIR_TOP_K)
+
+
+# --- Epoch shuffle audit ---------------------------------------------
+#
+# Training runs re-shuffle the corpus every epoch. The production form
+# is "order by hash(key, epoch)" — deterministic (resumable mid-epoch,
+# reproducible across cluster sizes), epoch-dependent (different global
+# order each epoch), and free of any coordinator-side RNG state. This
+# audit materializes two epochs' orders and reports the per-shard
+# composition: positions must tile 1..N (a permutation), shard sizes
+# must balance, and the doc-id mix per shard must differ across epochs.
+# The epoch varies the (odd) MULTIPLIER, not an additive salt: adding a
+# constant mod 2^32 is an order-preserving shift (wrap-around aside),
+# which left epoch orders near-identical; distinct odd multipliers give
+# genuinely different bijections of the key space.
+EPOCH_SHARDS = 16
+_EPOCH_SALT = 40503  # Knuth's 16-bit multiplicative constant
+
+
+@register(
+    "epoch_shuffle_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    e AS (SELECT CAST(0 AS BIGINT) AS epoch UNION ALL SELECT 1),
+    h AS (SELECT e.epoch, d.doc_id,
+                 (d.doc_id * ({_KNUTH} + 2 * {_EPOCH_SALT} * e.epoch))
+                     % 4294967296 AS hk
+          FROM d, e),
+    r AS (SELECT epoch, doc_id, hk,
+                 ROW_NUMBER() OVER (PARTITION BY epoch
+                                    ORDER BY hk, doc_id) AS pos
+          FROM h),
+    s AS (SELECT epoch, ((pos - 1) * {EPOCH_SHARDS}) // n.n AS shard,
+                 doc_id, pos
+          FROM r, n)
+    SELECT epoch, shard,
+           COUNT(*) AS n_docs,
+           MIN(pos) AS min_pos,
+           MAX(pos) AS max_pos,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM s
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+    description="G17 deterministic epoch shuffle: hash(doc_id, epoch) global "
+    "order via distributed rank, position-contiguous shard split, per-shard "
+    "composition audit across two epochs",
+)
+def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of the corpus's training order, audited shard by
+    shard. Position = exact global rank of the arithmetic hash — NOT a
+    single-partition window: `_distributed_rank` (range-bucket local
+    ranks + broadcast offsets) keeps the order computation fully
+    parallel, which is the point of auditing the production shuffle
+    shape rather than calling orderBy and hoping.
+
+    Scale: per epoch, one narrow hash projection, one distributed rank
+    (bounded approxQuantile boundary collect, ~#cores bucket offsets
+    broadcast), one crossJoin of the single-row corpus count for the
+    position->shard split, one map-side-combined groupBy over
+    EPOCH_SHARDS groups. Shard sizes differ by at most 1 by
+    construction; the sum_doc_id column is the cheap cross-epoch
+    composition witness (same shard, different epochs => different
+    membership => different sums, while the per-epoch grand total is
+    invariant)."""
+    from .analytics import _distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("n"))
+    per_epoch = []
+    for epoch in (0, 1):
+        h = docs.select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            "doc_id",
+            (
+                (F.col("doc_id") * (_KNUTH + 2 * _EPOCH_SALT * epoch))
+                % F.lit(4294967296)
+            ).alias("hk"),
+        )
+        per_epoch.append(_distributed_rank(h, ["hk", "doc_id"], "pos"))
+    ranked = per_epoch[0].unionByName(per_epoch[1])
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "epoch",
+            F.expr(f"((pos - 1) * {EPOCH_SHARDS}) div n").alias("shard"),
+            "doc_id",
+            "pos",
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -121,3 +121,36 @@ def test_span_novelty_ratios_are_sane(spark, sf_dir):
             1000000 * (r["total_spans"] - r["shared_spans"])
         ) // r["total_spans"]
         assert r["novelty_ppm"] == expected
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        EPOCH_SHARDS,
+        epoch_shuffle_audit,
+    )
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+    rows = epoch_shuffle_audit(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert sorted(by_epoch) == [0, 1]
+    sums = {}
+    for epoch, shards in by_epoch.items():
+        # positions tile 1..N contiguously across shards => permutation
+        shards.sort(key=lambda r: r["shard"])
+        assert shards[0]["min_pos"] == 1
+        assert shards[-1]["max_pos"] == n_docs
+        for a, b in zip(shards, shards[1:]):
+            assert b["min_pos"] == a["max_pos"] + 1
+        assert sum(r["n_docs"] for r in shards) == n_docs
+        # balance: shard sizes differ by at most 1
+        sizes = [r["n_docs"] for r in shards]
+        assert max(sizes) - min(sizes) <= 1
+        assert len(shards) == min(EPOCH_SHARDS, n_docs)
+        sums[epoch] = [r["sum_doc_id"] for r in shards]
+    # epoch-dependence: at least one shard's membership changed
+    assert sums[0] != sums[1]
+    # conservation: each epoch's grand total is the same doc-id mass
+    assert sum(sums[0]) == sum(sums[1])

@@ -124,6 +124,7 @@ BNLJ_OK = {
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
     "dsir_importance_weights",  # crossJoins of single-row corpus totals;
     # bucket-weight relation is <=256 rows by construction
+    "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
 }
 
 
