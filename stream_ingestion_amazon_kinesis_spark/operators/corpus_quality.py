@@ -577,9 +577,8 @@ def gopher_counters(docs: DataFrame) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("sl"),
         F.size(F.array_distinct(toks)).cast("long").alias("nd"),
-        F.size(
-            F.array_distinct(F.array_intersect(toks, stop_arr))
-        ).cast("long").alias("n_stop"),
+        # array_intersect already returns distinct elements
+        F.size(F.array_intersect(toks, stop_arr)).cast("long").alias("n_stop"),
     )
     p1 = F.col("n").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
     p2 = (F.lit(GOPHER_MWL_LO) * F.col("n") <= F.col("sl")) & (

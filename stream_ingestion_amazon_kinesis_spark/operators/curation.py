@@ -803,10 +803,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bucket weight relation is AT MOST 256 rows regardless of
     corpus size (hash-bucketed features are the whole point of DSIR —
     the model is a fixed-width table, not a vocabulary), so it
-    broadcasts; per-doc scoring is one explode + broadcast-join + one 
+    broadcasts; per-doc scoring is one explode + broadcast-join + one
     map-side-combined groupBy(doc_id); the readout is a
-    TakeOrderedAndProject over the scored relation. Token counting and
-    scoring reuse the same exploded relation (one pass over text).
+    TakeOrderedAndProject over the scored relation. The exploded token
+    relation is consumed exactly twice (bucket stats, scoring) — the
+    totals never re-read the corpus.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
@@ -817,27 +818,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.substring(F.md5(F.encode(F.col("t"), "UTF-8")), 1, 2).alias("bucket"),
     )
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # One groupBy yields both arms' bucket counts (ct=0 naturally stands
+    # in for the oracle's COALESCE on target-absent buckets); the grand
+    # totals ride an UNORDERED window over the <=256-row stats relation,
+    # so the corpus-wide token relation is consumed exactly twice
+    # (bucket stats + scoring) instead of once per sub-aggregate.
+    stats = tok.groupBy("bucket").agg(
+        F.count_if(F.col("lang") == "en").alias("ct"),
+        F.count_if(F.col("lang") != "en").alias("cr"),
     )
-    raw = (
-        tok.filter(F.col("lang") != "en")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("cr"))
-    )
-    tt = tgt.agg(F.sum("ct").alias("tt"))
-    tr = raw.agg(F.sum("cr").alias("tr"))
+    w_all = Window.partitionBy()
     ppm = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
+        stats.withColumn("tt", F.sum("ct").over(w_all))
+        .withColumn("tr", F.sum("cr").over(w_all))
+        .filter(F.col("cr") > 0)
         .select(
             "bucket",
             F.expr(
-                "(coalesce(ct, 0L) * 1000000L) div tt"
-                " - (cr * 1000000L) div tr"
+                "(ct * 1000000L) div tt - (cr * 1000000L) div tr"
             ).alias("w_ppm"),
         )
     )

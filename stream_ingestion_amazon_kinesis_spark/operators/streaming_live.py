@@ -1628,7 +1628,8 @@ def streaming_session_variable_gap_live(spark: SparkSession, sf_dir: str) -> Dat
 def _staged_documents_json(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents fixture as JSON-lines once per
     (sf, fixture-fingerprint) — same idempotent cache contract as
-    `_staged_events_json` (no timestamps, so no precision variants)."""
+    `_staged_events_json`, keyed on the DOCUMENTS table's fingerprint
+    (the default fingerprint tracks events — wrong table here)."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -1636,7 +1637,7 @@ def _staged_documents_json(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "spark_graft_stream_stage",
         tag,
-        f"documents_{fixture_fingerprint(sf_dir)}",
+        f"documents_{fixture_fingerprint(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")

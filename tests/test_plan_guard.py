@@ -122,8 +122,6 @@ BNLJ_OK = {
     "decile_lift_purchases",  # crossJoins of single-row totals (n_tot, total_conv)
     "median_order_by_customer_decile",  # crossJoin of the single-row customer count
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
-    "dsir_importance_weights",  # crossJoins of single-row corpus totals;
-    # bucket-weight relation is <=256 rows by construction
     "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
 }
 
@@ -154,6 +152,8 @@ GLOBAL_WINDOW_OK = {
     # bounded by a fixed model/schema dimension
     "pca_power_iteration_topdims": "rank over the EMB_DIM(64)-row "
     "dimension relation",
+    "dsir_importance_weights": "unordered totals window over the "
+    "<=256-row hashed-bucket stats relation (fixed feature width)",
     # labeled audit twins / demonstration anchors — the scale-safe form
     # is registered separately and checked against the SAME oracle
     "equi_depth_deciles_price": "audit twin of "
