@@ -23,35 +23,52 @@ from ..streaming.pipeline import read_event_stream
 
 
 
-def _staged_events_json(spark: SparkSession, sf_dir: str, micros: bool = False) -> str:
-    """Stage the events fixture as JSON-lines once per (sf, precision,
-    fixture-fingerprint) — the live queries replay it through the
-    streaming engine repeatedly and the export itself is invariant for
-    a given fixture generation. `_SUCCESS` marker makes the cache
-    idempotent across processes; the fingerprint in the path makes a
-    regenerated fixture miss the cache; `micros=True` keeps full
-    microsecond timestamps (default to_json truncates to millis, which
-    only matters when a query COMPARES timestamps, e.g. a join
-    condition)."""
+def _staged_json(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    table: str,
+    transform=None,
+    to_json_opts: dict | None = None,
+) -> str:
+    """Shared staging-cache core: export `table` (optionally transformed)
+    as JSON-lines under /tmp once per (sf tag, prefix, TABLE-fingerprint).
+    `_SUCCESS` makes the cache idempotent across processes; the
+    fingerprint keys on the staged table itself, so regenerating that
+    table's parquet invalidates the cache (the bug class this factoring
+    exists to prevent: a copy-pasted helper once fingerprinted events
+    while staging documents)."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    suffix = "us" if micros else "ms"
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream_stage",
         tag,
-        f"events_{suffix}_{fixture_fingerprint(sf_dir)}",
+        f"{prefix}_{fixture_fingerprint(sf_dir, table)}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        events = load_table(spark, sf_dir, "events")
-        opts = (
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"} if micros else {}
-        )
-        events.select(
-            F.to_json(F.struct(*events.columns), opts).alias("value")
+        df = load_table(spark, sf_dir, table)
+        if transform is not None:
+            df = transform(df)
+        df.select(
+            F.to_json(F.struct(*df.columns), to_json_opts or {}).alias("value")
         ).write.mode("overwrite").text(path)
     return path
+
+
+def _staged_events_json(spark: SparkSession, sf_dir: str, micros: bool = False) -> str:
+    """Stage the events fixture as JSON-lines; `micros=True` keeps full
+    microsecond timestamps (default to_json truncates to millis, which
+    only matters when a query COMPARES timestamps, e.g. a join
+    condition)."""
+    suffix = "us" if micros else "ms"
+    opts = (
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"} if micros else None
+    )
+    return _staged_json(
+        spark, sf_dir, f"events_{suffix}", "events", to_json_opts=opts
+    )
 
 
 @register(
@@ -469,25 +486,11 @@ def streaming_rest_pages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_events_json_doubled(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture TWICE (every record duplicated) so the
-    live dedup query has real duplicates to remove. Cached per sf like
-    `_staged_events_json` (fingerprint-keyed, so a regenerated fixture
-    invalidates the staged copy)."""
-    import os
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream_stage",
-        tag,
-        f"events_dup_{fixture_fingerprint(sf_dir)}",
+    live dedup query has real duplicates to remove."""
+    return _staged_json(
+        spark, sf_dir, "events_dup", "events",
+        transform=lambda df: df.unionAll(df),
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        events = load_table(spark, sf_dir, "events")
-        doubled = events.unionAll(events)
-        doubled.select(
-            F.to_json(F.struct(*doubled.columns)).alias("value")
-        ).write.mode("overwrite").text(path)
-    return path
 
 
 @register(
@@ -1626,25 +1629,9 @@ def streaming_session_variable_gap_live(spark: SparkSession, sf_dir: str) -> Dat
 
 
 def _staged_documents_json(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the documents fixture as JSON-lines once per
-    (sf, fixture-fingerprint) — same idempotent cache contract as
-    `_staged_events_json`, keyed on the DOCUMENTS table's fingerprint
-    (the default fingerprint tracks events — wrong table here)."""
-    import os
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream_stage",
-        tag,
-        f"documents_{fixture_fingerprint(sf_dir, 'documents')}",
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents")
-        docs.select(
-            F.to_json(F.struct(*docs.columns)).alias("value")
-        ).write.mode("overwrite").text(path)
-    return path
+    """Stage the documents fixture as JSON-lines (no timestamps, so no
+    precision variants), keyed on the DOCUMENTS table's fingerprint."""
+    return _staged_json(spark, sf_dir, "documents", "documents")
 
 
 DOCUMENTS_JSON_SCHEMA = (
