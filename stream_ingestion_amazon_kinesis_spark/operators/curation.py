@@ -21,6 +21,12 @@ from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread
 from .dedup import TOKEN_DF_CAP_SQL
+from .corpus_quality import (
+    GOPHER_DISTINCT_DEN,
+    GOPHER_DISTINCT_NUM,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MIN_TOKENS,
+)
 
 # Contamination unit: 5-token grams (docs shorter than 5 tokens carry no
 # grams and drop out of the report — mirrored by generate_series in the
@@ -951,4 +957,107 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         )
         .orderBy("epoch", "shard")
+    )
+
+
+# --- Quality-weighted deterministic sampling --------------------------
+#
+# Soft filtering: instead of a hard keep/drop rule, each document gets a
+# keep-rate from its quality tier and survives iff a uniform hash draw
+# lands under the rate — the standard way to downsample low-quality
+# mass without zeroing it (cf. the quality-classifier sampling in
+# CCNet/FineWeb-style pipelines). Deterministic: the "draw" is the
+# first 6 md5 hex digits of the doc id, so reruns, engines, and
+# cluster sizes all keep exactly the same documents.
+QW_RATES_PPM = {0: 1000000, 1: 500000, 2: 125000}  # tier -> keep rate
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, len(toks) AS n,
+               len(list_distinct(toks)) AS nd
+        FROM (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)),
+    t AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+                         AND {GOPHER_DISTINCT_DEN} * nd
+                             >= {GOPHER_DISTINCT_NUM} * n THEN 0
+                    WHEN n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+                         THEN 1
+                    ELSE 2 END AS BIGINT) AS tier
+        FROM s),
+    d AS (
+        SELECT source, tier,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 1000000 AS draw
+        FROM t),
+    k AS (
+        SELECT source, tier, draw,
+               draw < CASE tier WHEN 0 THEN {QW_RATES_PPM[0]}
+                                WHEN 1 THEN {QW_RATES_PPM[1]}
+                                ELSE {QW_RATES_PPM[2]} END AS kept
+        FROM d)
+    SELECT source, tier,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept
+    FROM k
+    GROUP BY source, tier
+    ORDER BY source, tier
+    """,
+    description="G17 quality-weighted deterministic sampling: 3 quality "
+    "tiers from integer rule math, per-tier keep rates applied via an "
+    "md5-derived uniform draw — per-(source, tier) kept census",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered soft filtering — the downsampling step between a quality
+    classifier and the training mix, with a reproducible hash draw in
+    place of RNG state.
+
+    Scale: one narrow pass assigns the tier (integer rule math shared
+    with the Gopher funnel's thresholds), the draw is a hex-prefix of
+    md5(doc_id) reduced mod 1e6 (identical string->int path on both
+    engines), and the census is one map-side-combined groupBy over
+    |sources| x 3 groups. Nothing but the census crosses a shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+    )
+    in_band = F.col("n").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    diverse = (
+        F.lit(GOPHER_DISTINCT_DEN) * F.col("nd")
+        >= F.lit(GOPHER_DISTINCT_NUM) * F.col("n")
+    )
+    tier = (
+        F.when(in_band & diverse, F.lit(0))
+        .when(in_band, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    rate = (
+        F.when(tier == 0, QW_RATES_PPM[0])
+        .when(tier == 1, QW_RATES_PPM[1])
+        .otherwise(QW_RATES_PPM[2])
+    )
+    return (
+        s.select("source", tier.alias("tier"), draw.alias("draw"), rate.alias("rate"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("draw") < F.col("rate")).alias("n_kept"),
+        )
+        .orderBy("source", "tier")
     )

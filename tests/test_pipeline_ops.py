@@ -154,3 +154,29 @@ def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark, sf_dir):
     assert sums[0] != sums[1]
     # conservation: each epoch's grand total is the same doc-id mass
     assert sum(sums[0]) == sum(sums[1])
+
+
+def test_quality_weighted_sample_rates_are_ordered(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        QW_RATES_PPM,
+        quality_weighted_sample,
+    )
+
+    rows = quality_weighted_sample(spark, sf_dir).collect()
+    assert rows, "census must not be empty"
+    totals = {}
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if r["tier"] == 0:
+            # rate 1.0 => everything kept
+            assert r["n_kept"] == r["n_docs"]
+        t = totals.setdefault(r["tier"], [0, 0])
+        t[0] += r["n_docs"]
+        t[1] += r["n_kept"]
+    # realized keep fractions respect the configured rate ordering
+    # (wide tolerance: the draw is uniform-ish, not exact)
+    fracs = {t: kept / max(n, 1) for t, (n, kept) in totals.items()}
+    for lo, hi in [(2, 1), (1, 0)]:
+        if lo in fracs and hi in fracs:
+            assert fracs[lo] <= fracs[hi] + 0.15
+    assert set(totals) <= set(QW_RATES_PPM)
