@@ -333,13 +333,19 @@ def main() -> None:
         )
 
     # Repeat the headline scalars at the very end of the line so even a
-    # heavily tail-truncated capture retains them.
+    # heavily tail-truncated capture retains them. Calibration fields
+    # live HERE too (verdict r8 #4): the driver keeps only the tail of
+    # stdout, and in r8 calibration_sec sat early in the object and fell
+    # outside the captured window, making the cross-round normalized
+    # comparison impossible from artifacts alone.
     out["headline"] = {
         "metric": "headline_queries_total_runtime",
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
         "n_queries": len(timings),
+        "calibration_sec": calibration_sec,
+        "value_normalized": out["value_normalized"],
     }
     print(json.dumps(out))
 

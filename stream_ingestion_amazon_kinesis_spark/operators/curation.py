@@ -43,6 +43,23 @@ _KNUTH = 2654435761
 PACK_BIN_TOKENS = 512
 
 
+def _mulmod32(col: str, mult, idiv: str) -> str:
+    """`(col * mult) mod 2^32` as engine-portable SQL that never
+    overflows int64 for ANY non-negative BIGINT col (ADVICE r8: the
+    naive product wraps silently in non-ANSI Spark but RAISES in DuckDB
+    once col >= ~3.5e9, so the engines would diverge at extreme corpus
+    scale). 16-bit split: with d = col mod 2^32, d_hi = d div 2^16,
+    d_lo = d mod 2^16, (d*m) mod 2^32 =
+    ((d_hi*m mod 2^32) * 2^16 + d_lo*m) mod 2^32; every intermediate is
+    < 2^49. Identical values to the naive product wherever that product
+    fits. `mult` may be an int or a SQL expression (< 2^32); `idiv` is
+    the engine's integer-division operator ("div" Spark, "//" DuckDB)."""
+    d_hi = f"(({col} % 4294967296) {idiv} 65536)"
+    hi = f"(({d_hi} * ({mult})) % 4294967296)"
+    lo = f"(({col} % 65536) * ({mult}))"
+    return f"(({hi} * 65536 + {lo}) % 4294967296)"
+
+
 def _grams(text_col) -> F.Column:
     """Distinct CONTAM_N-token grams as array<string>; empty for short
     docs. Guarded sequence: Spark's sequence(1, stop) DESCENDS when
@@ -131,7 +148,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_shard_assignment",
     oracle=f"""
     WITH d AS (
-        SELECT (doc_id * {_KNUTH}) % 4294967296 % {N_SHARDS} AS shard,
+        SELECT {_mulmod32("doc_id", _KNUTH, "//")} % {N_SHARDS} AS shard,
                doc_id,
                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
                n_chars
@@ -158,7 +175,7 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be .write.partitionBy('shard'); the stats rollup is one
     map-side-combined shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = (F.col("doc_id") * _KNUTH) % F.lit(4294967296) % N_SHARDS
+    shard = F.expr(_mulmod32("doc_id", _KNUTH, "div")) % N_SHARDS
     d = docs.select(
         shard.alias("shard"),
         "doc_id",
@@ -578,8 +595,8 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3),
     pairs AS (
         SELECT doc_a, doc_b, source,
-               (doc_a * {_KNUTH}) % 4294967296 % 10 = 0 AS eval_a,
-               (doc_b * {_KNUTH}) % 4294967296 % 10 = 0 AS eval_b
+               {_mulmod32("doc_a", _KNUTH, "//")} % 10 = 0 AS eval_a,
+               {_mulmod32("doc_b", _KNUTH, "//")} % 10 = 0 AS eval_b
         FROM shared
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
@@ -618,7 +635,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
 
     def is_eval(col: str):
-        return (F.col(col) * _KNUTH) % F.lit(4294967296) % 10 == 0
+        return F.expr(_mulmod32(col, _KNUTH, "div")) % 10 == 0
 
     flagged = (
         pairs.join(
@@ -885,8 +902,9 @@ _EPOCH_SALT = 40503  # Knuth's 16-bit multiplicative constant
     n AS (SELECT COUNT(*) AS n FROM d),
     e AS (SELECT CAST(0 AS BIGINT) AS epoch UNION ALL SELECT 1),
     h AS (SELECT e.epoch, d.doc_id,
-                 (d.doc_id * ({_KNUTH} + 2 * {_EPOCH_SALT} * e.epoch))
-                     % 4294967296 AS hk
+                 {_mulmod32("d.doc_id",
+                            f"{_KNUTH} + 2 * {_EPOCH_SALT} * e.epoch",
+                            "//")} AS hk
           FROM d, e),
     r AS (SELECT epoch, doc_id, hk,
                  ROW_NUMBER() OVER (PARTITION BY epoch
@@ -934,9 +952,8 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = docs.select(
             F.lit(epoch).cast("long").alias("epoch"),
             "doc_id",
-            (
-                (F.col("doc_id") * (_KNUTH + 2 * _EPOCH_SALT * epoch))
-                % F.lit(4294967296)
+            F.expr(
+                _mulmod32("doc_id", _KNUTH + 2 * _EPOCH_SALT * epoch, "div")
             ).alias("hk"),
         )
         per_epoch.append(_distributed_rank(h, ["hk", "doc_id"], "pos"))

@@ -1571,9 +1571,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("bn"),
     )
     sim = _ppm(F.round(cosine_pre(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 6))
+    # Self-pairs (a == b) are kept on purpose: rel_of must be derivable
+    # from every candidate, and a query whose pool has exactly one
+    # member produces zero cross pairs — dropping it here would silently
+    # erase the query from the output while the SQL oracle (whose sel1
+    # reads cands, not sims) still emits its pick 1 (ADVICE r8). The
+    # greedy builder below skips self rows when collecting sim_of.
     pairs = (
         a.join(b, "query_id")
-        .filter(F.col("a") != F.col("b"))
         .select("query_id", "a", "a_rel", "b", sim.alias("sim_ppm"))
     )
 
@@ -1585,7 +1590,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_of = {}
         for row in pdf.itertuples(index=False):
             rel_of[int(row.a)] = int(row.a_rel)
-            sim_of[(int(row.a), int(row.b))] = int(row.sim_ppm)
+            if int(row.a) != int(row.b):
+                sim_of[(int(row.a), int(row.b))] = int(row.sim_ppm)
         out = [
             (qid, pick_rank, cand_id, score)
             for pick_rank, cand_id, score in _mmr_greedy_py(rel_of, sim_of, MMR_K)

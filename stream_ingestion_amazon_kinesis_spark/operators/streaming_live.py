@@ -37,15 +37,27 @@ def _staged_json(
     fingerprint keys on the staged table itself, so regenerating that
     table's parquet invalidates the cache (the bug class this factoring
     exists to prevent: a copy-pasted helper once fingerprinted events
-    while staging documents)."""
+    while staging documents). The to_json options and the transform are
+    ALSO folded into the key (a short stable hash) so two call sites
+    sharing a prefix but exporting different shapes can never replay
+    each other's staged files (ADVICE r8); the transform contributes its
+    qualified name — keep transforms as named module-level functions,
+    not lambdas that could collide on `<lambda>`."""
+    import hashlib
     import os
 
+    shape = repr(sorted((to_json_opts or {}).items()))
+    if transform is not None:
+        shape += f"|{getattr(transform, '__module__', '')}." + getattr(
+            transform, "__qualname__", repr(transform)
+        )
+    shape_key = hashlib.md5(shape.encode()).hexdigest()[:8]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream_stage",
         tag,
-        f"{prefix}_{fixture_fingerprint(sf_dir, table)}",
+        f"{prefix}_{shape_key}_{fixture_fingerprint(sf_dir, table)}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = load_table(spark, sf_dir, table)

@@ -1529,11 +1529,23 @@ def span_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, so a span shared by k docs costs k join rows, not k^2.
     The novelty ratio is integer ppm over non-negative sums —
     truncating division matches on both engines.
+
+    Oracle asymmetry note (ADVICE r8): the engine counts document
+    frequency over md5(span) while the oracle groups raw span strings —
+    an md5 collision between distinct spans would make the engine
+    overcount sharing relative to the oracle. Probability ~2^-128 per
+    pair; digest-before-exchange is the repo convention (same asymmetry
+    as exact_passage_spans), accepted deliberately.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     from ..functions.text import shingles
 
+    # localCheckpoint: sh feeds both the document-frequency groupBy and
+    # the join probe side; without materialization the shingle explode
+    # (the dominant cost — verdict r8 measured 8.05 s at sf1) runs twice
+    # unless exchange reuse happens to fire. Bounded width: one
+    # (doc_id, source, 32-char digest) row per distinct span occurrence.
     sh = (
         spread(docs.filter(F.size(toks) >= SPAN_NOVELTY_N))
         .select(
@@ -1548,6 +1560,7 @@ def span_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.md5(F.encode(F.col("span"), "UTF-8")).alias("span_md5"),
         )
+        .localCheckpoint(eager=True)
     )
     df_counts = sh.groupBy("span_md5").agg(F.count("*").alias("n_docs"))
     per_doc = (

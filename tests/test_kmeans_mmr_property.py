@@ -142,6 +142,49 @@ def test_mmr_greedy_each_pick_is_argmax(data):
     assert len(set(p[1] for p in picks)) == k
 
 
+def test_mmr_single_candidate_pool_still_emits_pick_one(spark, tmp_path):
+    """Degenerate 2-vector corpus (ADVICE r8): each query's candidate
+    pool has exactly one member, so the pairwise sim relation would be
+    empty under an a != b filter — the engine must still emit pick_rank
+    1 per query, exactly like the SQL oracle whose sel1 reads cands."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        _mmr_oracle,
+        mmr_diversified_topk,
+    )
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.5, 0.25], [0.5, 1.0, 0.0, 0.75]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    got = mmr_diversified_topk(spark, str(tmp_path)).collect()
+    assert [(r["query_id"], r["pick_rank"], r["neighbor_id"]) for r in got] == [
+        (0, 1, 1),
+        (1, 1, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(_mmr_oracle()).fetchall()
+    con.close()
+    assert [
+        (r["query_id"], r["pick_rank"], r["neighbor_id"], r["mmr_score10"])
+        for r in got
+    ] == [tuple(w) for w in want]
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     rel=st.integers(-1000, 1000),

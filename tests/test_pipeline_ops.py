@@ -180,3 +180,36 @@ def test_quality_weighted_sample_rates_are_ordered(spark, sf_dir):
         if lo in fracs and hi in fracs:
             assert fracs[lo] <= fracs[hi] + 0.15
     assert set(totals) <= set(QW_RATES_PPM)
+
+
+def test_mulmod32_matches_bigint_math_in_both_engines(spark):
+    """ADVICE r8: the naive doc_id * _KNUTH wraps in Spark but raises in
+    DuckDB once doc_id >= ~3.5e9. The split formula must equal Python
+    bigint (d * m) % 2^32 for extreme ids in BOTH engines."""
+    import duckdb
+
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        _EPOCH_SALT,
+        _KNUTH,
+        _mulmod32,
+    )
+
+    ids = [0, 1, 65535, 65536, 2**31 - 1, 2**31, 3_500_000_000,
+           2**32 - 1, 2**32, 10**15, 2**62, 2**63 - 1]
+    for mult in (_KNUTH, _KNUTH + 2 * _EPOCH_SALT):
+        want = [(d * mult) % 4294967296 for d in ids]
+        got_duck = [
+            duckdb.sql(
+                f"SELECT {_mulmod32(str(d), mult, '//')}"
+            ).fetchone()[0]
+            for d in ids
+        ]
+        assert got_duck == want
+        sdf = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+        got_spark = [
+            r[0]
+            for r in sdf.select(
+                F.expr(_mulmod32("doc_id", mult, "div"))
+            ).collect()
+        ]
+        assert got_spark == want
