@@ -27,7 +27,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine_pandas, cosine_pre, norm
 from ..plans.registry import register
-from ..sources.catalog import load_table, spread
+from ..sources.catalog import load_table, spread, table_rowcount
 
 N_QUERIES = 8
 TOP_K = 5
@@ -1297,11 +1297,14 @@ def _lloyd_update_sql(assign_cte: str, prev_cte: str, out: str) -> str:
             FROM {out}_u GROUP BY cluster) n USING (cluster))"""
 
 
-def _lloyd_prefix_sql(k: int, n_iters: int, extra_assign: bool) -> str:
+def _lloyd_prefix_sql(k: int | str, n_iters: int, extra_assign: bool) -> str:
     """`WITH` prefix shared by the Lloyd-family oracles: quantize, init
     centroids c0 = the k smallest vec_ids, then n_iters x
     (assign a_i <- c_{i-1}, update c_i <- a_i), optionally one trailing
-    assign a_{n+1} <- c_n (the final cluster membership read)."""
+    assign a_{n+1} <- c_n (the final cluster membership read). `k` may
+    be an int or a SQL scalar-subquery string, which is how the
+    corpus-derived-K oracles (semdedup) stay exact without enumerating
+    centroids."""
     parts = [
         f"""
     WITH q AS (
@@ -1620,110 +1623,163 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the canonical-keeper convention the text-dedup family uses.
 # The 0.35 bar matches embedding_neardup_pairs' loose fixture bar (the
 # synthetic embeddings top out near cos 0.5; a production corpus would
-# run ~0.9).
-SEMDEDUP_K = 64
-SEMDEDUP_T_PPM = 350000
+# run ~0.9). The bar is carried as the exact rational 7/20 and compared
+# in SQUARED integer space (see _semdedup_oracle) so every arithmetic
+# step is integer-exact in Spark, DuckDB, AND numpy — which is what
+# lets the within-cluster Gram run as int64 matmul instead of a
+# per-pair float fold.
+SEMDEDUP_T_NUM = 7  # cos bar = 7/20 = 0.35
+SEMDEDUP_T_DEN = 20
+# Per-cluster canonical-representative cap: a vector is pruned against
+# at most this many lowest-id cluster members. With K ~ sqrt(N) the cap
+# only binds past ~16M vectors; it bounds the Gram block width (and the
+# oracle mirrors it via a rank filter) the same way the LSH family caps
+# oversized buckets.
+SEMDEDUP_LO_CAP = 4096
+SEMDEDUP_K_MIN = 64
+SEMDEDUP_K_MAX = 4096
+_SEMDEDUP_K_SQL = (
+    f"(SELECT LEAST({SEMDEDUP_K_MAX}, GREATEST({SEMDEDUP_K_MIN},"
+    " CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM q)"
+)
 
 
-@register(
-    "semdedup_cluster_prune",
-    oracle=f"""{{prefix}},
-    members AS (
-        SELECT a.cluster, a.vec_id, e.v
-        FROM a2 a JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                        FROM embeddings) e USING (vec_id)),
-    removed AS (
-        SELECT DISTINCT hi.cluster, hi.vec_id
-        FROM members hi JOIN members lo
+def semdedup_k(n: int) -> int:
+    """Corpus-derived cluster count: clamp(ceil(sqrt(n)), 64, 4096) —
+    the same sqrt sizing ivf_n_cells uses, so cluster population grows
+    like sqrt(N) instead of N (the r8 verdict's one slope-flagged
+    quadratic was this operator's fixed K=64). ceil(sqrt()) over IEEE
+    doubles is correctly rounded per IEEE-754, so Python here and
+    `ceil(sqrt())` in the DuckDB oracle (_SEMDEDUP_K_SQL) always agree.
+    """
+    import math
+
+    return min(SEMDEDUP_K_MAX, max(SEMDEDUP_K_MIN, math.ceil(math.sqrt(n))))
+
+
+def _semdedup_oracle() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(hi.qv, lo.qv),"
+        " p -> p[1]*p[2])) AS BIGINT)"
+    )
+    t2_num = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
+    t2_den = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
+    return f"""{_lloyd_prefix_sql(_SEMDEDUP_K_SQL, 1, True)},
+    m AS (
+        SELECT a.cluster, a.vec_id, q.qv,
+               CAST(list_sum(list_transform(q.qv, x -> x*x)) AS BIGINT)
+                   AS nrm2,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                  ORDER BY a.vec_id) AS rn
+        FROM a2 a JOIN q USING (vec_id)),
+    pairs AS (
+        SELECT hi.cluster, hi.vec_id, {dot} AS d,
+               hi.nrm2 AS na, lo.nrm2 AS nb
+        FROM m hi JOIN m lo
           ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
-        WHERE CAST(floor(ROUND(list_cosine_similarity(hi.v, lo.v), 6)
-                         * 1000000 + 0.5) AS BIGINT) >= {SEMDEDUP_T_PPM})
+         AND lo.rn <= {SEMDEDUP_LO_CAP}),
+    removed AS (
+        SELECT DISTINCT cluster, vec_id FROM pairs
+        WHERE d > 0 AND {t2_den} * d * d >= {t2_num} * na * nb)
     SELECT m.cluster,
            COUNT(*) AS n_vecs,
            CAST(COUNT(r.vec_id) AS BIGINT) AS n_removed,
            CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS n_kept
-    FROM members m LEFT JOIN removed r
+    FROM m LEFT JOIN removed r
       ON m.cluster = r.cluster AND m.vec_id = r.vec_id
     GROUP BY m.cluster
     ORDER BY m.cluster
-    """.format(prefix=_lloyd_prefix_sql(SEMDEDUP_K, 1, True)),
+    """
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=_semdedup_oracle(),
     description="G17 SemDeDup semantic dedup: integer-exact k-means "
-    "clustering (K=64, 1 Lloyd iteration) as the blocking key, "
-    "within-cluster cosine prune keeping the lowest-id representative",
+    "clustering (corpus-derived K ~ sqrt(N), 1 Lloyd iteration) as the "
+    "blocking key, within-cluster integer-Gram cosine prune keeping the "
+    "lowest-id representative",
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-prune semantic dedup — the embedding-space analog of
     MinHash-LSH blocking: the k-means cell is the candidate block, so
-    pair comparisons never leave a cluster and total verify cost is
-    sum(|cluster|^2) instead of N^2.
+    pair comparisons never leave a cluster.
 
-    Scale: clustering reuses the exact-integer Lloyd machinery
-    (broadcast K-row centroids, O(N*K) codegen distances, O(K*dim)
-    shuffle). The prune self-join is keyed by cluster id; at 100 TB the
-    cluster count must scale like N/target_population exactly as the
-    IVF near-dup blocking does (embedding_neardup_ivf pins cell
-    population; a fixed K would make clusters grow with N and the
-    within-cluster Gram quadratic) — K is a constant here only because
-    the oracle must enumerate init centroids. Cosines are rounded to
-    6 decimals then lifted to integer ppm before the threshold compare,
-    so keep/remove decisions are bit-identical across engines.
+    Scale (r8 verdict #1 fix — this was the one slope-flagged
+    quadratic): K is corpus-derived, clamp(ceil(sqrt(N)), 64, 4096), so
+    cluster population grows like sqrt(N) and total prune work is
+    O(N^1.5) instead of the fixed-K O(N^2/K); assignment stays one
+    broadcast of the K-row centroid table + O(N*K) codegen distances.
+    The prune itself runs per-cluster via applyInPandas on the
+    QUANTIZED integer vectors: the similarity bar cos >= 7/20 is
+    decided as d > 0 AND 400*d^2 >= 49*|a|^2*|b|^2 — pure int64
+    arithmetic (max intermediate 4.8e18 for unit-norm embeddings at
+    scale 1e4), so the numpy Gram matmul is EXACT (integer addition is
+    associative; no float summation-order hazard) and bit-identical to
+    the DuckDB oracle's per-pair list fold. Each pandas group holds one
+    cluster (~sqrt(N) rows); the Gram is computed against at most
+    SEMDEDUP_LO_CAP lowest-id members in 1024-row blocks, bounding
+    memory at any corpus size, and the oracle mirrors the cap with a
+    rank filter. Census happens inside the same pandas pass, so the
+    operator's shuffle volume is one hash exchange of (cluster, qv)
+    rows plus the K-row centroid traffic.
     """
     q = _km_quantized(spark, sf_dir)
-    c0 = q.filter(F.col("vec_id") < SEMDEDUP_K).select(
+    n = table_rowcount(sf_dir, "embeddings")
+    k = semdedup_k(n)
+    c0 = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
     )
     a1 = _km_assign(q, c0)
     c1 = _km_update(a1, c0)
     a2 = _km_assign(q, c1)
-    emb = load_table(spark, sf_dir, "embeddings")
-    # members is consumed three times (both prune-join sides + the final
-    # census); localCheckpoint stops each consumer from re-running the
-    # whole Lloyd assignment chain. Bounded width: one row per vector.
-    members = (
-        a2.select("vec_id", "cluster")
-        .join(
-            emb.select(
-                "vec_id",
-                F.col("embedding").alias("v"),
-                norm(F.col("embedding")).alias("nrm"),
-            ),
-            "vec_id",
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        n_c = len(Q)
+        nrm2 = (Q * Q).sum(axis=1)
+        cap = min(n_c, SEMDEDUP_LO_CAP)
+        q_lo, n_lo = Q[:cap], nrm2[:cap]
+        t2_num = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM
+        t2_den = SEMDEDUP_T_DEN * SEMDEDUP_T_DEN
+        removed = np.zeros(n_c, dtype=bool)
+        for s in range(0, n_c, 1024):
+            e = min(s + 1024, n_c)
+            g = Q[s:e] @ q_lo.T
+            hit = (g > 0) & (t2_den * g * g >= t2_num * nrm2[s:e, None] * n_lo[None, :])
+            # lo must be a strictly lower id: rows are vec_id-sorted, so
+            # lo column j qualifies for global row i iff j < i.
+            hit &= np.arange(cap)[None, :] < np.arange(s, e)[:, None]
+            removed[s:e] = hit.any(axis=1)
+        n_removed = int(removed.sum())
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "n_vecs": [n_c],
+                "n_removed": [n_removed],
+                "n_kept": [n_c - n_removed],
+            }
         )
-        .localCheckpoint(eager=True)
-    )
-    hi = members.select(
-        "cluster",
-        F.col("vec_id").alias("hi_id"),
-        F.col("v").alias("hv"),
-        F.col("nrm").alias("hn"),
-    )
-    lo = members.select(
-        "cluster",
-        F.col("vec_id").alias("lo_id"),
-        F.col("v").alias("lv"),
-        F.col("nrm").alias("ln"),
-    )
-    sim_ppm = _ppm(
-        F.round(cosine_pre(F.col("hv"), F.col("lv"), F.col("hn"), F.col("ln")), 6)
-    )
-    removed = (
-        hi.join(lo, "cluster")
-        .filter(F.col("lo_id") < F.col("hi_id"))
-        .filter(sim_ppm >= SEMDEDUP_T_PPM)
-        .select("cluster", F.col("hi_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_removed", F.lit(1))
-    )
+
+    # Pre-partition by cluster with a data-derived partition count (one
+    # partition per ~500 vectors, capped at the session's shuffle
+    # width): FlatMapGroupsInPandas accepts the existing hash
+    # distribution, so this replaces its own 32-way exchange — at small
+    # SF the per-task Arrow-stream setup (~30 ms x tasks) would
+    # otherwise dominate the whole operator.
+    n_part = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        n // 500))
     return (
-        members.select("cluster", "vec_id")
-        .join(removed, ["cluster", "vec_id"], "left")
+        a2.select("cluster", "vec_id", "qv")
+        .repartition(n_part, "cluster")
         .groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.sum(F.coalesce("is_removed", F.lit(0))).cast("bigint").alias("n_removed"),
-            (F.count("*") - F.sum(F.coalesce("is_removed", F.lit(0))))
-            .cast("bigint")
-            .alias("n_kept"),
+        .applyInPandas(
+            prune,
+            "cluster long, n_vecs long, n_removed long, n_kept long",
         )
         .orderBy("cluster")
     )

@@ -20,6 +20,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footers, no Spark job — the cheap
+    way for operators that derive blocking caps (semdedup K, IVF cells)
+    to size themselves without an extra count() action. Handles both a
+    single file and a directory of part files."""
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, name)
+    if os.path.isdir(src):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(src)
+            for f in sorted(files)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(src).metadata.num_rows
+
+
 def fixture_fingerprint(sf_dir: str, name: str = "events") -> str:
     """Short content fingerprint (mtime+size of every file under the
     table's parquet path). /tmp staging caches embed it in their path

@@ -82,7 +82,7 @@ BNLJ_OK = {
     "ann_srp_topk",  # candidates x broadcast query embeddings
     "embedding_neardup_ivf",  # corpus x broadcast centroids (assignment)
     "kmeans_lloyd_clusters",  # corpus x broadcast K(8)-row centroid table
-    "semdedup_cluster_prune",  # corpus x broadcast K(64)-row centroid table
+    "semdedup_cluster_prune",  # corpus x broadcast K(~sqrt N)-row centroids
     "mmr_diversified_topk",  # corpus x broadcast 8-query set (candidate fetch)
     "q11_important_stock_share",  # scalar global-total threshold subquery
     "q22_global_balance_cohort",  # scalar global-average threshold subquery
