@@ -35,3 +35,23 @@ def frac(col: Column) -> Column:
 
 def as_double(col: Column) -> Column:
     return col.cast("double")
+
+
+def mulmod32_sql(col: str, mult, idiv: str) -> str:
+    """`(col * mult) mod 2^32` as engine-portable SQL that never
+    overflows int64 for ANY non-negative BIGINT col (the naive product
+    wraps silently in non-ANSI Spark but RAISES in DuckDB once
+    col >= ~3.5e9, so the engines would diverge at extreme scale).
+    16-bit split: with d = col mod 2^32, d_hi = d div 2^16,
+    d_lo = d mod 2^16, (d*m) mod 2^32 =
+    ((d_hi*m mod 2^32) * 2^16 + d_lo*m) mod 2^32; every intermediate is
+    < 2^49. Identical values to the naive product wherever that product
+    fits. `mult` may be an int or a SQL expression (< 2^32); `idiv` is
+    the engine's integer-division operator ("div" Spark, "//" DuckDB).
+    Used by the arithmetic-hash family (shard assignment, epoch
+    shuffle, MinHash permutations) whose oracles must compute the exact
+    same hash in DuckDB."""
+    d_hi = f"(({col} % 4294967296) {idiv} 65536)"
+    hi = f"(({d_hi} * ({mult})) % 4294967296)"
+    lo = f"(({col} % 65536) * ({mult}))"
+    return f"(({hi} * 65536 + {lo}) % 4294967296)"

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import mulmod32_sql
 from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread
@@ -43,21 +44,10 @@ _KNUTH = 2654435761
 PACK_BIN_TOKENS = 512
 
 
-def _mulmod32(col: str, mult, idiv: str) -> str:
-    """`(col * mult) mod 2^32` as engine-portable SQL that never
-    overflows int64 for ANY non-negative BIGINT col (ADVICE r8: the
-    naive product wraps silently in non-ANSI Spark but RAISES in DuckDB
-    once col >= ~3.5e9, so the engines would diverge at extreme corpus
-    scale). 16-bit split: with d = col mod 2^32, d_hi = d div 2^16,
-    d_lo = d mod 2^16, (d*m) mod 2^32 =
-    ((d_hi*m mod 2^32) * 2^16 + d_lo*m) mod 2^32; every intermediate is
-    < 2^49. Identical values to the naive product wherever that product
-    fits. `mult` may be an int or a SQL expression (< 2^32); `idiv` is
-    the engine's integer-division operator ("div" Spark, "//" DuckDB)."""
-    d_hi = f"(({col} % 4294967296) {idiv} 65536)"
-    hi = f"(({d_hi} * ({mult})) % 4294967296)"
-    lo = f"(({col} % 65536) * ({mult}))"
-    return f"(({hi} * 65536 + {lo}) % 4294967296)"
+# Overflow-free (col * mult) mod 2^32 shared by the arithmetic-hash
+# family (ADVICE r8); lives in functions.numeric so dedup's MinHash
+# permutations use the identical split formula.
+_mulmod32 = mulmod32_sql
 
 
 def _grams(text_col) -> F.Column:
