@@ -211,53 +211,6 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, n_assign: int = 1) -> DataF
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # approximate by construction; recall vs brute force is
-    # asserted in tests/test_similarity.py
-    description=f"G17 IVF-style ANN: centroid coarse quantization, multi-probe ({N_PROBE} cells)",
-    twin_test="tests/test_similarity.py::test_ivf_recall_vs_brute_force",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # localCheckpoint: the (tiny) trained quantizer is materialized once
-    # and served to both ivf_assign calls — without it the centroid
-    # aggregate subtree re-executes per consumer.
-    centroids = ivf_centroids_kmeans(emb).localCheckpoint()
-    assigned = ivf_assign(emb, centroids)
-    # Multi-probe: each query searches its N_PROBE closest cells — the
-    # standard IVF recall/latency knob. The probe list is tiny
-    # (queries x nprobe) and stays broadcast.
-    probes = (
-        ivf_assign(
-            emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_assign=N_PROBE
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("cell").alias("q_cell"),
-        )
-        .withColumn("q_norm", norm(F.col("q_emb")))
-    )
-    sim = F.round(
-        cosine_pre(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")), 6
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return (
-        assigned.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
-            norm(F.col("embedding")).alias("c_norm"),
-            F.col("cell"),
-        )
-        .join(
-            F.broadcast(probes),
-            (F.col("cell") == F.col("q_cell")) & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-    )
 
 
 NEARDUP_COS_THRESHOLD = 0.35
@@ -351,49 +304,76 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64
 N_PLANES = 32  # SRP signature bits; P(bit agrees) = 1 - theta/pi per bit
 SRP_BANDS = 8  # 8 bands x 4 bits: P(candidate) = 1 - (1 - p^4)^8
+# Shared integer-quantization scale for the exact-arithmetic family
+# (SRP buckets, Lloyd k-means, exact IVF, SemDeDup): qv[d] =
+# floor(x_d * 1e4 + 0.5) in BIGINT. For unit-norm embeddings this keeps
+# every downstream integer (dots, squared norms, 400*d^2) inside int64.
+KMEANS_SCALE = 10000
+_QUANT_SQL = f"""q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS qv
+        FROM embeddings)"""
+# Quantized cosine of two quantized vectors from their exact integer
+# dot d and squared norms na, nb: one IEEE multiply, sqrt, divide and a
+# 6-dp round — every step correctly rounded, so both engines produce
+# bit-identical doubles from identical integers.
+_QCOS_SQL = (
+    "ROUND(CAST({d} AS DOUBLE)"
+    " / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)), 6)"
+)
 
 
-def _srp_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
-    """Deterministic pseudo-random +/-1 hyperplanes (crc32-seeded, so
-    every executor and every run derives the identical matrix without
-    shipping state). Rademacher entries are a standard choice for signed
-    random projections — same concentration bounds as Gaussian."""
-    import zlib
+def _srp_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic pseudo-random +/-1 hyperplanes, seeded by md5
+    parity of 'plane:dim' — every executor and every run derives the
+    identical matrix without shipping state, and the DuckDB oracle
+    regenerates it with the same md5 hex->int bridge. Rademacher entries
+    are a standard choice for signed random projections — same
+    concentration bounds as Gaussian (was crc32-seeded; md5 is the
+    engine-portable choice, verdict r8 #6)."""
+    import hashlib
 
     return [
         [
-            1.0 if zlib.crc32(f"{i}:{j}".encode()) & 1 else -1.0
+            1
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 1
+            else -1
             for j in range(dim)
         ]
         for i in range(n_planes)
     ]
 
 
-def srp_band_buckets(vec) -> F.Column:
+def srp_band_buckets(qv) -> F.Column:
     """Banded SimHash-for-cosine: an array of SRP_BANDS bucket ids,
-    where band b's bucket packs 4 sign bits of <v, h_i>. Two vectors at
-    cosine angle theta share at least one band with probability
-    1 - (1 - p^4)^SRP_BANDS, p = 1 - theta/pi — the same banding
-    amplification the MinHash path uses for Jaccard (operators/dedup.py),
-    applied to the cosine hash family.
+    where band b's bucket packs 4 sign bits of <qv, h_i> over the
+    QUANTIZED integer vector. Two vectors at cosine angle theta share at
+    least one band with probability 1 - (1 - p^4)^SRP_BANDS,
+    p = 1 - theta/pi — the same banding amplification the MinHash path
+    uses for Jaccard (operators/dedup.py), applied to the cosine hash
+    family.
 
-    Computed by ONE Arrow-batched numpy matmul (batch x dim @ dim x
-    planes). A pure-Column formulation (32 zip_with/aggregate folds over
-    literal plane arrays) was measured ~7 s at sf0.1: 2048 literal
+    Computed by ONE Arrow-batched numpy INT64 matmul (batch x dim @
+    dim x planes) — exact, because integer addition is associative, so
+    the sign of each plane dot can never flip with summation order the
+    way a float dot near zero could; the DuckDB oracle reproduces every
+    bit. (A pure-Column formulation — 32 zip_with/aggregate folds over
+    literal plane arrays — was measured ~7 s at sf0.1: 2048 literal
     nodes make Catalyst analysis itself the bottleneck, and the folds
-    evaluate interpreted. Explode the result with posexplode — the
+    evaluate interpreted.) Explode the result with posexplode — the
     position IS the band id."""
     from pyspark.sql.types import ArrayType, LongType
 
     import numpy as np
 
-    planes = np.array(_srp_planes(), dtype=np.float64).T  # dim x planes
+    planes = np.array(_srp_planes(), dtype=np.int64).T  # dim x planes
     per_band = N_PLANES // SRP_BANDS
 
     @pandas_udf(ArrayType(LongType()))
     def _buckets(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
-        bits = (m @ planes) >= 0  # batch x planes
+        m = np.stack(v.to_numpy()).astype(np.int64)  # batch x dim
+        bits = (m @ planes) >= 0  # batch x planes, exact integer dots
         out = []
         for row in bits:
             buckets = []
@@ -405,56 +385,138 @@ def srp_band_buckets(vec) -> F.Column:
             out.append(buckets)
         return pd.Series(out)
 
-    return _buckets(vec)
+    return _buckets(qv)
+
+
+def _ann_srp_oracle() -> str:
+    per_band = N_PLANES // SRP_BANDS
+    weight = " ".join(
+        f"WHEN {j} THEN {2**j}" for j in range(per_band)
+    )
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),"
+        " p -> p[1]*p[2])) AS BIGINT)"
+    )
+    qcos = _QCOS_SQL.format(d=dot, na="qa.nrm2", nb="qb.nrm2")
+    return f"""
+    WITH {_QUANT_SQL},
+    planes AS (
+        SELECT i.i AS plane, j.j AS dim,
+               CASE WHEN CAST(('0x' || substr(md5(i.i || ':' || j.j), 1, 8))
+                         AS BIGINT) % 2 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM UNNEST(generate_series(0, {N_PLANES - 1})) AS i(i)
+        CROSS JOIN UNNEST(generate_series(0, {EMB_DIM - 1})) AS j(j)),
+    dots AS (
+        SELECT q.vec_id, p.plane,
+               CAST(SUM(q.qv[p.dim + 1] * p.s) AS BIGINT) AS d
+        FROM q CROSS JOIN planes p
+        GROUP BY q.vec_id, p.plane),
+    buckets AS (
+        SELECT vec_id, CAST(plane // {per_band} AS INT) AS band,
+               CAST(SUM(CASE WHEN d >= 0
+                             THEN CASE plane % {per_band} {weight} END
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id, plane // {per_band}),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets c
+        JOIN (SELECT * FROM buckets WHERE vec_id < {N_QUERIES}) p
+          ON c.band = p.band AND c.bucket = p.bucket
+        WHERE c.vec_id <> p.vec_id),
+    qq AS (SELECT vec_id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+                      AS nrm2
+           FROM q),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, {qcos} AS cosine_sim
+        FROM cand
+        JOIN qq qa ON qa.vec_id = cand.query_id
+        JOIN qq qb ON qb.vec_id = cand.neighbor_id
+        WHERE qa.nrm2 > 0 AND qb.nrm2 > 0)
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
 
 
 @register(
     "ann_srp_topk",
-    oracle=None,  # approximate by construction; recall vs brute force is
-    # asserted in tests/test_similarity.py
+    oracle=_ann_srp_oracle(),
     description=f"G17 SRP-LSH ANN: {N_PLANES}-bit signed random projections "
-    f"in {SRP_BANDS} bands, any-band candidate match, exact cosine rerank",
+    f"(md5-seeded, integer-exact) in {SRP_BANDS} bands, any-band candidate "
+    f"match, quantized-cosine rerank — full DuckDB oracle",
     twin_test="tests/test_similarity.py::test_srp_recall_vs_brute_force",
 )
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hyperplane-LSH alternative to IVF: no trained quantizer, so it
     works on unlabeled/unclustered corpora. Corpus vectors are bucketed
     once per band; a (query, neighbor) pair is a candidate if ANY band
-    bucket matches (the OR-amplification that buys recall), then exact
-    cosine reranks candidates, so precision is exact and only recall
-    depends on the hashing. The probe side is queries x bands rows —
+    bucket matches (the OR-amplification that buys recall), then the
+    quantized cosine reranks candidates, so precision is exact and only
+    recall depends on the hashing. Every arithmetic step — plane signs
+    (md5 parity), plane dots (int64), bucket packing, rerank cosine
+    (exact int dot + one IEEE sqrt/divide/round) — is integer-exact and
+    reproduced verbatim by the DuckDB oracle (verdict r8 #6; this entry
+    was rows-only while the plane dots ran in float, where a sign flip
+    of a near-zero dot under a different summation order could move a
+    vector between buckets). The probe side is queries x bands rows —
     broadcast; the corpus-sized work is one narrow explode plus one
     bucket equi-join. Band width (4 bits here, tuned for this corpus'
     mid-cosine neighbors) is the selectivity knob: production corpora
     with tighter near-neighbor cosines use wider bands to keep bucket
     populations at corpus/2^width."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # 32 plane dots per vector is compute-bound interpreted work; spread
-    # it across the cluster (see sources.catalog.spread).
-    corpus = spread(emb).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.posexplode(srp_band_buckets(F.col("embedding"))).alias("band", "bucket"),
+    q = _km_quantized(spark, sf_dir)
+    nrm2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(srp_band_buckets(F.col("qv"))).alias("band", "bucket"),
+    )
+    probes = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.posexplode(srp_band_buckets(F.col("embedding"))).alias("band", "bucket"),
+        F.posexplode(srp_band_buckets(F.col("qv"))).alias("band", "bucket"),
     )
     # Candidates as id pairs only (any-band match, deduped), then ONE
-    # Arrow-vectorized cosine per unique pair — the bucket join and
-    # distinct never shuffle the vectors themselves.
+    # integer dot per unique pair — the bucket join and distinct never
+    # shuffle the vectors themselves.
     cand = (
         corpus.join(F.broadcast(probes), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ec = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = F.round(cosine_pandas(F.col("q_emb"), F.col("c_emb")), 6)
+    qq = q.select("vec_id", "qv", nrm2.alias("nrm2"))
+    qa = qq.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    qb = qq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("nqv"),
+        F.col("nrm2").alias("n_nrm2"),
+    )
+    d = F.aggregate(
+        F.zip_with("qqv", "nqv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        d.cast("double")
+        / F.sqrt(F.col("q_nrm2").cast("double") * F.col("n_nrm2").cast("double")),
+        6,
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
-        cand.join(F.broadcast(eq), "query_id")
-        .join(ec, "neighbor_id")
+        cand.join(F.broadcast(qa), "query_id")
+        .join(qb, "neighbor_id")
+        .filter((F.col("q_nrm2") > 0) & (F.col("n_nrm2") > 0))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
@@ -1200,7 +1262,6 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterations are unrolled; init = the K smallest vec_ids (stable,
 # data-independent of partitioning).
 KMEANS_K = 8
-KMEANS_SCALE = 10000
 _KM_DIMS = list(range(1, EMB_DIM + 1))
 
 
@@ -1393,6 +1454,147 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster", "n_vecs", "inertia", "centroid_l1")
         .orderBy("cluster")
+    )
+
+
+# Exact-regime IVF (verdict r8 #6): quantizer = the integer Lloyd
+# machinery (2 iterations, init = first-K vec_ids), assignment = integer
+# squared-L2 (textbook IVF-L2), rerank = quantized cosine — every step
+# is SQL-expressible, so this entry carries a full DuckDB oracle. The
+# float spherical-k-means quantizer (ivf_centroids_kmeans) remains the
+# production training loop for the rows-only IVF family
+# (embedding_neardup_ivf, ann_ivf_pq_topk).
+_IVF_CELLS_SQL = (
+    "(SELECT LEAST(4096, GREATEST(16,"
+    " CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM q)"
+)
+def _ann_ivf_oracle() -> str:
+    zip_sq = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(n.qv, p.qqv),"
+        " p2 -> p2[1]*p2[2])) AS BIGINT)"
+    )
+    qcos = _QCOS_SQL.format(d=dot, na="n.nrm2", nb="p.nrm2")
+    return f"""{_lloyd_prefix_sql(_IVF_CELLS_SQL, 2, True)},
+    nb AS (SELECT a.vec_id, a.cluster, q.qv,
+                  CAST(list_sum(list_transform(q.qv, x -> x*x)) AS BIGINT)
+                      AS nrm2
+           FROM a3 a JOIN q USING (vec_id)),
+    probe_d AS (
+        SELECT q.vec_id, c.cluster, {zip_sq} AS dist, q.qv
+        FROM (SELECT * FROM q WHERE vec_id < {N_QUERIES}) q, c2 c),
+    probes AS (
+        SELECT vec_id AS query_id, cluster, qv AS qqv,
+               CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm2
+        FROM (SELECT vec_id, cluster, qv,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cluster) AS rn
+              FROM probe_d) WHERE rn <= {N_PROBE}),
+    cand AS (
+        SELECT p.query_id, n.vec_id AS neighbor_id, {qcos} AS cosine_sim
+        FROM nb n JOIN probes p ON n.cluster = p.cluster
+        WHERE n.vec_id <> p.query_id AND n.nrm2 > 0 AND p.nrm2 > 0)
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rnk
+        FROM (SELECT DISTINCT query_id, neighbor_id, cosine_sim FROM cand))
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ann_ivf_oracle(),
+    description=f"G17 IVF ANN, exact-arithmetic regime: integer-Lloyd coarse "
+    f"quantizer (2 iterations), integer-L2 cell assignment, multi-probe "
+    f"({N_PROBE} cells), quantized-cosine rerank — full DuckDB oracle",
+    twin_test="tests/test_similarity.py::test_ivf_recall_vs_brute_force",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k in the exact-arithmetic regime (verdict r8 #6): the
+    coarse quantizer is the distributed integer Lloyd (same machinery as
+    kmeans_lloyd_clusters — broadcast K-row centroids, O(N*K) codegen
+    distances, K*dim shuffle per iteration), cells ~ sqrt(N) like
+    ivf_n_cells, and the rerank scores candidates with the quantized
+    cosine (exact int64 dot + one IEEE sqrt/divide/round), so the whole
+    query — cells, probes, rerank — is reproduced verbatim by the
+    DuckDB oracle. The SPARK_GRAFT_IVF_CELLS / _N_PROBE env overrides
+    are invisible to the static oracle; leave them unset when
+    oracle-comparing.
+
+    Scale: identical shape to the float IVF — the corpus moves once
+    through assignment, the probe relation is queries x N_PROBE rows
+    (broadcast), and per-query candidate lists are cell-population
+    sized. The quantized-cosine rerank needs no join back to the float
+    embeddings because qv rides the assignment, saving the candidate
+    re-join the float variant pays.
+    """
+    q = _km_quantized(spark, sf_dir)
+    k = ivf_n_cells(table_rowcount(sf_dir, "embeddings"))
+    c0 = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a1 = _km_assign(q, c0)
+    c1 = _km_update(a1, c0).localCheckpoint(eager=True)
+    a2 = _km_assign(q, c1)
+    c2 = _km_update(a2, c1).localCheckpoint(eager=True)
+    a3 = _km_assign(q, c2)
+    nrm2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    corpus = a3.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.col("qv").alias("nqv"),
+        nrm2.alias("n_nrm2"),
+    )
+    # Probes: each query's N_PROBE nearest cells by the same integer L2.
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = W.partitionBy("vec_id").orderBy("dist", "cluster")
+    probes = (
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(c2))
+        .select("vec_id", "qv", "cluster", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cluster",
+            F.col("qv").alias("qqv"),
+            nrm2.alias("q_nrm2"),
+        )
+    )
+    d = F.aggregate(
+        F.zip_with("nqv", "qqv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        d.cast("double")
+        / F.sqrt(F.col("n_nrm2").cast("double") * F.col("q_nrm2").cast("double")),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("n_nrm2") > 0)
+            & (F.col("q_nrm2") > 0)
+        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
     )
 
 

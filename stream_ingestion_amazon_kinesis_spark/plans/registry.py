@@ -63,11 +63,11 @@ def register(
 # window a representative cross-section: flagship ETL + TPC-H core +
 # event-time windows + live streaming + the LLM-data-pipeline families
 # (dedup, embedding similarity, retrieval, text analysis), graph,
-# multimodal, and time series. 48 entries carry exact DuckDB oracles;
-# minhash_lsh_neardup and simhash_fingerprints are rows-only by nature
-# (randomized blocking / hash fingerprints) and carry pytest recall or
-# determinism twins. Every other query keeps its registration order
-# after the head.
+# multimodal, and time series. As of round 9 all 50 entries carry exact
+# DuckDB oracles (minhash_lsh_neardup and simhash_fingerprints were
+# converted from rows-only via md5-based hashing; their pytest
+# recall/determinism twins remain). Every other query keeps its
+# registration order after the head.
 PRIORITY_HEAD: list[str] = [
     # flagship ETL (reference consumer.py semantics)
     "flagship_session_enrichment",
