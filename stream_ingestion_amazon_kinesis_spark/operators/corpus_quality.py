@@ -597,6 +597,28 @@ def gopher_counters(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_pass_flag() -> F.Column:
+    """Per-document boolean: passes all four Gopher rules — the quality
+    gate of the composed streaming curation pipeline
+    (operators/streaming_live.py). Same expressions as gopher_counters'
+    stage predicates, so the gate and the funnel cannot drift."""
+    toks = tokens("text")
+    n = F.size(toks).cast("long")
+    sl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("long")
+    return (
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & (F.lit(GOPHER_MWL_LO) * n <= sl)
+        & (sl <= F.lit(GOPHER_MWL_HI) * n)
+        & (F.lit(GOPHER_DISTINCT_DEN) * nd >= F.lit(GOPHER_DISTINCT_NUM) * n)
+        & (n_stop >= F.lit(GOPHER_MIN_STOP_HITS))
+    )
+
+
 def funnel_rows(counters: DataFrame) -> DataFrame:
     """Unpivot the (c0..c4) counter row into the 5-stage funnel."""
     return counters.selectExpr(

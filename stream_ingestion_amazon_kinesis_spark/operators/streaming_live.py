@@ -1696,3 +1696,149 @@ def streaming_quality_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame
     query.stop()
     return funnel_rows(spark.table(sink))
 
+
+
+def _double(df: DataFrame) -> DataFrame:
+    """Duplicate every record — the at-least-once replay the reference's
+    TRIM_HORIZON consumer produces on restart (consumer.py:76)."""
+    return df.unionAll(df)
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    staging: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+    stop_mid_stream: bool = False,
+) -> None:
+    """The composed reference topology as ONE checkpointed Structured
+    Streaming query: JSON document source (staged doubled — real
+    duplicates) -> streaming exact dedup on doc_id -> Gopher quality
+    gate -> route-partitioned parquet sink (`route=kept|quarantine`
+    partition dirs are the two destination streams of consumer.py's
+    country demux, expressed as partitionBy instead of per-record
+    put_record). Exactly-once: offsets + dedup state live in the
+    checkpoint, the file sink commits atomically per epoch — a restart
+    from ANY stop point converges to the same file set (the pytest twin
+    kills the query mid-stream and resumes on the same checkpoint).
+
+    Scale: dedup state is one compact row per doc key (RocksDB-sharded;
+    a production run bounds it with dropDuplicatesWithinWatermark on an
+    ingest-time column — the documents fixture carries no event time,
+    so the unbounded variant is used and documented); the gate is a
+    narrow codegen projection; the sink shuffles nothing (task-local
+    partition dirs)."""
+    import os
+
+    from ..functions.text import tokens
+    from .corpus_quality import gopher_pass_flag
+
+    reader = spark.readStream.schema(DOCUMENTS_JSON_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(staging)
+    deduped = stream.dropDuplicates(["doc_id"])
+    routed = deduped.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.when(gopher_pass_flag(), F.lit("kept"))
+        .otherwise(F.lit("quarantine"))
+        .alias("route"),
+    )
+    query = (
+        routed.writeStream.format("parquet")
+        .partitionBy("route")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .start()
+    )
+    if stop_mid_stream:
+        import time
+
+        # Wait for at least one committed micro-batch, then stop — the
+        # restart twin resumes from the checkpoint.
+        for _ in range(600):
+            if any(p.numInputRows > 0 for p in query.recentProgress):
+                break
+            time.sleep(0.05)
+        query.stop()
+        query.awaitTermination(30)
+    else:
+        query.processAllAvailable()
+        query.stop()
+
+
+def curation_census(spark: SparkSession, data_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(data_dir)
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("route")
+    )
+
+
+from .corpus_quality import (  # noqa: E402
+    GOPHER_DISTINCT_DEN,
+    GOPHER_DISTINCT_NUM,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_TOKENS,
+    GOPHER_MWL_HI,
+    GOPHER_MWL_LO,
+)
+
+
+@register(
+    "streaming_curation_pipeline_live",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               list_sum(list_transform(toks, x -> len(x))) AS sl,
+               len(list_distinct(toks)) AS nd,
+               len(list_distinct(list_filter(toks,
+                   x -> x IN ('a','the','value','key','data')))) AS n_stop
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)),
+    r AS (
+        SELECT doc_id, n,
+               CASE WHEN n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+                     AND {GOPHER_MWL_LO} * n <= sl AND sl <= {GOPHER_MWL_HI} * n
+                     AND {GOPHER_DISTINCT_DEN} * nd >= {GOPHER_DISTINCT_NUM} * n
+                     AND n_stop >= {GOPHER_MIN_STOP_HITS}
+                    THEN 'kept' ELSE 'quarantine' END AS route
+        FROM s)
+    SELECT route, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r GROUP BY route ORDER BY route
+    """,
+    description="the full reference topology composed with curation ops, "
+    "run by the real micro-batch engine: doubled (at-least-once) document "
+    "source -> streaming exact dedup -> Gopher quality gate -> "
+    "route-partitioned exactly-once parquet sink; census of the sink files "
+    "must equal the batch oracle over the single-copy corpus",
+)
+def streaming_curation_pipeline_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See run_curation_pipeline — this registry entry stages the corpus
+    doubled, drives the checkpointed query to completion, then reads the
+    committed sink files back and reports the per-route census. The
+    oracle computes the same census in SQL over the SINGLE copy:
+    matching proves the stream (a) dropped every duplicate, (b) applied
+    the same quality gate, and (c) committed each surviving doc to
+    exactly one route partition."""
+    import os
+
+    staging = _staged_json(
+        spark, sf_dir, "docs_dup", "documents", transform=_double
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_curation_{uuid.uuid4().hex[:12]}"
+    )
+    run_curation_pipeline(spark, staging, out_dir)
+    return curation_census(spark, os.path.join(out_dir, "data"))

@@ -471,3 +471,57 @@ def test_state_soak_windowed_counts(spark, sf_dir, tmp_path):
         tmp_path,
     )
     _assert_state_plateaus(log)
+
+
+def test_curation_pipeline_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the composed curation pipeline mid-stream, resume on the
+    same checkpoint: the committed route-partitioned sink must hold
+    exactly the single-copy census — no lost docs, no double-commits,
+    regardless of where the first run stopped."""
+    from pyspark.sql import functions as F
+
+    from stream_ingestion_amazon_kinesis_spark.functions.text import tokens
+    from stream_ingestion_amazon_kinesis_spark.operators.corpus_quality import (
+        gopher_pass_flag,
+    )
+    from stream_ingestion_amazon_kinesis_spark.operators.streaming_live import (
+        _double,
+        _staged_json,
+        curation_census,
+        run_curation_pipeline,
+    )
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import load_table
+
+    staging = _staged_json(spark, sf_dir, "docs_dup", "documents", transform=_double)
+    out_dir = str(tmp_path / "curation")
+    # Phase 1: one file per micro-batch, stop after >= 1 committed batch.
+    run_curation_pipeline(
+        spark, staging, out_dir, max_files_per_trigger=1, stop_mid_stream=True
+    )
+    # Phase 2: same checkpoint, drain to completion.
+    run_curation_pipeline(spark, staging, out_dir)
+    got = {
+        r["route"]: (r["n_docs"], r["total_tokens"], r["id_checksum"])
+        for r in curation_census(spark, out_dir + "/data").collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r["route"]: (r["n_docs"], r["total_tokens"], r["id_checksum"])
+        for r in (
+            docs.select(
+                "doc_id",
+                F.size(tokens("text")).cast("long").alias("n_tokens"),
+                F.when(gopher_pass_flag(), "kept")
+                .otherwise("quarantine")
+                .alias("route"),
+            )
+            .groupBy("route")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
