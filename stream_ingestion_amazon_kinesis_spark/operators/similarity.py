@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine_pandas, cosine_pre, norm
+from ..functions.vectors import cosine_pre, norm
 from ..plans.registry import register
 from ..sources.catalog import load_table, spread, table_rowcount
 
