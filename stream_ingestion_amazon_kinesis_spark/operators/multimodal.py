@@ -183,21 +183,67 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Closed-form utf-8 byte sum of a text column (matches Python's
+# sum(text.encode()) for any unicode text) — shared by the multimodal
+# oracles, which verify byte-level decode math from the text alone.
+_UTF8_BYTESUM_SQL = """CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+                 c -> CAST(CASE
+                   WHEN ascii(c) < 128 THEN ascii(c)
+                   WHEN ascii(c) < 2048 THEN
+                     192 + (ascii(c) // 64) + 128 + (ascii(c) % 64)
+                   WHEN ascii(c) < 65536 THEN
+                     224 + (ascii(c) // 4096) + 128 + ((ascii(c) // 64) % 64)
+                     + 128 + (ascii(c) % 64)
+                   ELSE
+                     240 + (ascii(c) // 262144) + 128
+                     + ((ascii(c) // 4096) % 64) + 128
+                     + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64)
+                 END AS BIGINT))), 0) AS BIGINT)"""
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas decode plumbing — deterministic fake decoder,
-    # shape & values asserted in tests/test_multimodal.py
-    description="G17 multimodal decode/feature-extract via Arrow-batched mapInPandas",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               {_UTF8_BYTESUM_SQL} AS s
+        FROM documents),
+    f AS (
+        SELECT doc_id, n,
+               CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END
+                   AS feat_mean
+        FROM b)
+    SELECT CAST(64 AS INT) AS feat_dim,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
+           CAST(SUM(CAST(ROUND(feat_mean, 3) AS DECIMAL(18,3))) AS DOUBLE)
+               AS sum_feat_mean
+    FROM f
+    """,
+    description="G17 multimodal decode/feature-extract via Arrow-batched "
+    "mapInPandas — fake byte-mean decoder, verified against text-derived "
+    "closed-form utf-8 byte arithmetic",
     twin_test="tests/test_multimodal.py::test_fake_decode_deterministic",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-plumbing query (schema contract, Arrow batch shape,
+    partitioning) with an exact value gate: feat_mean = mean byte value
+    of the payload is one IEEE division of exact integers, so the
+    oracle reproduces it from the text via the closed-form utf-8 byte
+    sum; the per-doc means are rounded to 3 dp and summed as
+    DECIMAL(18,3) — exact at any partitioning (a raw float SUM would be
+    summation-order-dependent and was why this entry used to be
+    rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     feats = decode_features(media)
     return feats.groupBy("feat_dim").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.sum(F.round(F.col("feat_mean"), 3)), 3).alias("sum_feat_mean"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(F.round(F.col("feat_mean"), 3).cast("decimal(18,3)"))
+        .cast("double")
+        .alias("sum_feat_mean"),
     )
 
 

@@ -1598,6 +1598,179 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Exact-regime product quantization (ADC scan) --------------------
+#
+# The PQ counterpart of ann_ivf_topk's exact regime: split the
+# 64-dim quantized vector into PQ_M = 8 subspaces of 8 dims, train a
+# 16-code codebook per subspace with one integer-Lloyd iteration
+# (init = the first 16 vec_ids' subvectors), encode every vector as 8
+# code ids, then rank the whole corpus per query by the asymmetric
+# distance (ADC): sum over subspaces of the exact integer L2 between
+# the query subvector and the code centroid. Every step is int64
+# arithmetic, so the DuckDB oracle reproduces codebooks, codes, and
+# ADC scores bit-for-bit. The float IVF+PQ production path
+# (ann_ivf_pq_topk) stays rows-only with its recall twin; this is the
+# value-checkable regime.
+PQ_M = 8
+PQ_DIM = EMB_DIM // PQ_M
+PQ_K = 16
+
+
+def _pq_oracle() -> str:
+    sub_dims = ", ".join(f"qv[s.s * {PQ_DIM} + {j}]" for j in range(1, PQ_DIM + 1))
+    zip_sq = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    mean_dims = ", ".join(
+        f"CAST(SUM(sub.sv[{j}]) // COUNT(*) AS BIGINT)" for j in range(1, PQ_DIM + 1)
+    )
+    return f"""
+    WITH {_QUANT_SQL},
+    sub AS (
+        SELECT q.vec_id, s.s AS s, [{sub_dims}] AS sv
+        FROM q CROSS JOIN UNNEST(generate_series(0, {PQ_M - 1})) AS s(s)),
+    cb0 AS (SELECT s, vec_id AS code, sv AS cv FROM sub
+            WHERE vec_id < {PQ_K}),
+    a1 AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {zip_sq.format(a="sub.sv", b="c.cv")}, c.code)
+                       AS rn
+            FROM sub JOIN cb0 c ON c.s = sub.s) WHERE rn = 1),
+    c1 AS (
+        SELECT p.s, p.code, COALESCE(n.cv, p.cv) AS cv
+        FROM cb0 p LEFT JOIN (
+            SELECT a1.s, a1.code, [{mean_dims}] AS cv
+            FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s
+            GROUP BY a1.s, a1.code) n
+          ON n.s = p.s AND n.code = p.code),
+    a2 AS (
+        SELECT vec_id, s, code FROM (
+            SELECT sub.vec_id, sub.s, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sub.vec_id, sub.s
+                       ORDER BY {zip_sq.format(a="sub.sv", b="c.cv")}, c.code)
+                       AS rn
+            FROM sub JOIN c1 c ON c.s = sub.s) WHERE rn = 1),
+    dtab AS (
+        SELECT sub.vec_id AS query_id, sub.s, c.code,
+               {zip_sq.format(a="sub.sv", b="c.cv")} AS d
+        FROM sub JOIN c1 c ON c.s = sub.s
+        WHERE sub.vec_id < {N_QUERIES}),
+    score AS (
+        SELECT t.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        FROM a2 a JOIN dtab t ON t.s = a.s AND t.code = a.code
+        WHERE t.query_id <> a.vec_id
+        GROUP BY t.query_id, a.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM score)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle(),
+    description=f"G17 product quantization in the exact-arithmetic regime: "
+    f"{PQ_M}x{PQ_DIM}-dim subspaces, {PQ_K}-code integer-Lloyd codebooks, "
+    f"asymmetric-distance (ADC) corpus scan, top-{TOP_K} per query — full "
+    f"DuckDB oracle",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compresses each vector to PQ_M code ids (8 bytes/vector here
+    vs 512 for the raw floats) and scores a query against the WHOLE
+    corpus with one distance-table lookup per subspace — the memory
+    layout that makes billion-scale scans feasible. This entry runs the
+    whole pipeline in exact integer space (train, encode, ADC), so the
+    oracle value-checks it; the float IVF+PQ path (ann_ivf_pq_topk)
+    keeps the production recall knobs.
+
+    Scale: codebooks are PQ_M x PQ_K rows (broadcast); encoding is one
+    narrow pass over N x PQ_M subvector rows with a broadcast join +
+    map-side min; the ADC scan joins the N x PQ_M code relation to a
+    queries x PQ_M x PQ_K distance table (broadcast) and sums — shuffle
+    is one hash exchange of (query, neighbor) partial sums, linear in
+    N. No vector leaves its partition after encoding."""
+    q = _km_quantized(spark, sf_dir)
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.slice("qv", s * PQ_DIM + 1, PQ_DIM),
+    )
+    sub = q.select(
+        "vec_id", F.posexplode(slices).alias("s", "sv")
+    )
+    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cb):
+        best = F.min_by(F.struct("code", "sv"), F.struct("dist", "code")).alias("a")
+        return (
+            sub.join(F.broadcast(cb), "s")
+            .select("vec_id", "s", "code", "sv", dist.alias("dist"))
+            .groupBy("vec_id", "s")
+            .agg(best)
+            .select(
+                "vec_id",
+                "s",
+                F.col("a.code").alias("code"),
+                F.col("a.sv").alias("sv"),
+            )
+        )
+
+    a1 = assign(cb0)
+    sums = a1.groupBy("s", "code").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.element_at("sv", j)).alias(f"m{j}") for j in range(1, PQ_DIM + 1)],
+    )
+    new_cv = F.array(*[F.expr(f"m{j} div cnt") for j in range(1, PQ_DIM + 1)])
+    c1 = (
+        cb0.select("s", "code", F.col("cv").alias("prev_cv"))
+        .join(sums, ["s", "code"], "left")
+        .select(
+            "s",
+            "code",
+            F.coalesce(
+                F.when(F.col("cnt").isNotNull(), new_cv), F.col("prev_cv")
+            ).alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a2 = assign(c1)
+    dtab = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(c1), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            dist.alias("d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        a2.select(F.col("vec_id").alias("neighbor_id"), "s", "code")
+        .join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 # --- MMR diversified re-ranking --------------------------------------
 #
 # Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
