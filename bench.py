@@ -88,6 +88,10 @@ HEADLINE = [
     "semdedup_cluster_prune",
     "mmr_diversified_topk",
     "span_novelty_by_source",
+    # round-9 additions: exact-regime product quantization (ADC scan),
+    # the composed reference topology as one checkpointed streaming query
+    "ann_pq_adc_topk",
+    "streaming_curation_pipeline_live",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.
