@@ -42,6 +42,15 @@ REPRESENTATIVES = [
     # over per-query Arrow groups
     "kmeans_lloyd_clusters",
     "mmr_diversified_topk",
+    # round-9 additions: integer-Gram SemDeDup prune (numpy int64 matmul
+    # per cluster group), md5-affine MinHash signatures, exact-regime
+    # IVF/SRP/PQ (quantized-cosine and ADC ranking must not see Arrow
+    # batch or partial-agg boundaries)
+    "semdedup_cluster_prune",
+    "minhash_lsh_neardup",
+    "ann_ivf_topk",
+    "ann_srp_topk",
+    "ann_pq_adc_topk",
 ]
 
 
