@@ -1590,3 +1590,159 @@ def span_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- BPE merge training (tokenizer vocabulary induction) --------------
+#
+# Byte-pair-encoding training in the standard distributed form: reduce
+# the corpus to a WORD-FREQUENCY table (vocabulary-sized, not
+# corpus-sized), represent each word as delimited symbols, then per
+# merge round (a) count adjacent symbol pairs weighted by word
+# frequency, (b) pick the most frequent pair (ties: lexicographic), and
+# (c) merge every occurrence. Symbol sequences are carried as strings
+# where EVERY symbol wears its own delimiters — chr(1) sym chr(2) — so
+# a merge is one literal replace() whose pattern can never straddle a
+# symbol boundary (the leading chr(1)/trailing chr(2) anchor complete
+# symbols) and never misses back-to-back occurrences (adjacent patterns
+# share no characters, so non-overlapping left-to-right replace ==
+# greedy-left BPE in BOTH engines). ASCII corpus assumed for the
+# delimiters (the fixture's max code point is 121; a production corpus
+# would pick unused sentinels) and for string-order tiebreaks.
+BPE_MERGES = 4
+_BPE_S1 = "\x01"
+_BPE_S2 = "\x02"
+
+
+def _bpe_oracle() -> str:
+    stages = []
+    finals = []
+    for i in range(BPE_MERGES):
+        a = f"(SELECT a FROM r{i})"
+        b = f"(SELECT b FROM r{i})"
+        stages.append(f"""
+    sy{i} AS (
+        SELECT cnt, string_split(substr(seq, 2, length(seq) - 2),
+                                 chr(2) || chr(1)) AS sy
+        FROM s{i}),
+    p{i} AS (
+        SELECT sy[g.j] AS a, sy[g.j + 1] AS b,
+               CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM sy{i}, UNNEST(generate_series(1, len(sy) - 1)) AS g(j)
+        GROUP BY 1, 2),
+    r{i} AS (SELECT a, b, pair_count FROM p{i}
+             ORDER BY pair_count DESC, a, b LIMIT 1),
+    s{i + 1} AS (
+        SELECT word, cnt,
+               replace(seq,
+                       chr(1) || {a} || chr(2) || chr(1) || {b} || chr(2),
+                       chr(1) || {a} || {b} || chr(2)) AS seq
+        FROM s{i})""")
+        finals.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS left_sym,"
+            f" b AS right_sym, pair_count FROM r{i}"
+        )
+    return f"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+    s0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+               array_to_string(list_transform(string_split(word, ''),
+                   c -> chr(1) || c || chr(2)), '') AS seq
+        FROM w WHERE word <> '' GROUP BY word),{",".join(stages)}
+    SELECT * FROM ({" UNION ALL ".join(finals)})
+    ORDER BY merge_rank
+    """
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_bpe_oracle(),
+    description=f"G17 tokenizer vocabulary induction: {BPE_MERGES} BPE merge "
+    "rounds over the corpus word-frequency table — weighted adjacent-pair "
+    "counts, lexicographic tiebreak, delimiter-anchored literal-replace "
+    "merges; unrolled-stage DuckDB oracle",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, the way production tokenizer trainers
+    run it at corpus scale: all rounds operate on the word-FREQUENCY
+    relation (one row per distinct word — the corpus text is touched
+    exactly once, in the initial count), so each merge round is one
+    map-side-combined pair count over a vocabulary-sized input, one
+    1-row argmax, and one broadcast-join literal replace. K rounds = K
+    bounded passes; nothing corpus-sized moves after the first groupBy.
+    The per-symbol-delimiter string representation makes the merge a
+    single replace() with identical greedy-left semantics in Spark and
+    DuckDB (see module comment), so every round — including tiebreaks —
+    is value-checked by the unrolled oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    seq0 = F.concat_ws(
+        "",
+        F.transform(
+            F.split("word", ""),
+            lambda c: F.concat(F.lit(_BPE_S1), c, F.lit(_BPE_S2)),
+        ),
+    )
+    seqs = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select("word", "cnt", seq0.alias("seq"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for i in range(BPE_MERGES):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), _BPE_S2 + _BPE_S1
+        )
+        n = F.size(syms)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda j: F.struct(
+                        F.element_at(syms, j).alias("a"),
+                        F.element_at(syms, j + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("cnt", "p.a", "p.b")
+        rule = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(rule))
+            .select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(_BPE_S1), F.col("a"), F.lit(_BPE_S2),
+                        F.lit(_BPE_S1), F.col("b"), F.lit(_BPE_S2),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_S1), F.col("a"), F.col("b"), F.lit(_BPE_S2)
+                    ),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = rule.select(
+            F.lit(i + 1).cast("bigint").alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_rank")

@@ -213,3 +213,68 @@ def test_mulmod32_matches_bigint_math_in_both_engines(spark):
             ).collect()
         ]
         assert got_spark == want
+
+
+def test_bpe_merge_training_matches_reference_bpe(spark, tmp_path):
+    """Hand-checkable corpus incl. the greedy-left overlap case (aaa):
+    the engine's delimiter-anchored replace must merge like canonical
+    left-to-right BPE, and every round's argmax must honor the
+    (count desc, left, right) tiebreak."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_ingestion_amazon_kinesis_spark.operators.text_analysis import (
+        BPE_MERGES,
+        bpe_merge_training,
+    )
+
+    texts = ["aaa aaa bb", "abab abab", "aaa bb bb", "ba ba ba"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def ref_bpe(word_counts, k):
+        seqs = {w: list(w) for w in word_counts}
+        rules = []
+        for _ in range(k):
+            counts = {}
+            for w, syms in seqs.items():
+                for x, y in zip(syms, syms[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + word_counts[w]
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            rules.append((a, b, c))
+            for w, syms in seqs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[w] = out
+        return rules
+
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = [
+        (i + 1, a, b, c)
+        for i, (a, b, c) in enumerate(ref_bpe(wc, BPE_MERGES))
+    ]
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merge_training(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
