@@ -22,7 +22,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE
-from stream_ingestion_amazon_kinesis_spark.plans.registry import QUERIES, _load_all
+from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+    EXTRA_PLAN_BUILDERS,
+    QUERIES,
+    _load_all,
+)
 from stream_ingestion_amazon_kinesis_spark.session import get_spark
 
 
@@ -42,8 +46,13 @@ def main() -> None:
     pins: dict[str, dict[str, dict[str, int]]] = {}
     for sf_dir in sf_dirs:
         sf_key = os.path.basename(os.path.normpath(sf_dir))
-        for name in HEADLINE:
-            df = QUERIES[name].fn(spark, sf_dir)
+        builders = {name: QUERIES[name].fn for name in HEADLINE}
+        # Pre-checkpoint intermediate plans (`query::stage`) are pinned
+        # too — the eager localCheckpoints in those operators would
+        # otherwise hide their real shapes (verdict r9 #2).
+        builders.update(EXTRA_PLAN_BUILDERS)
+        for name, fn in builders.items():
+            df = fn(spark, sf_dir)
             pins.setdefault(name, {})[sf_key] = plan_counts(df)
             print(f"{sf_key} {name}: {pins[name][sf_key]}")
     out = os.path.join(

@@ -500,6 +500,11 @@ GOPHER_DISTINCT_NUM = 7  # distinct ratio >= 7/20 = 0.35
 GOPHER_DISTINCT_DEN = 20
 GOPHER_STOPWORDS = ("a", "the", "value", "key", "data")
 GOPHER_MIN_STOP_HITS = 2
+# SQL IN-list derived from the tuple above so the engine exprs and every
+# oracle share ONE source of truth (ADVICE r9: the list used to be a
+# hardcoded literal in two oracles — editing GOPHER_STOPWORDS would have
+# desynchronized them and only been caught at gate time).
+GOPHER_STOPWORDS_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
 
 
 GOPHER_FUNNEL_ORACLE = f"""
@@ -508,7 +513,7 @@ GOPHER_FUNNEL_ORACLE = f"""
                list_sum(list_transform(toks, x -> len(x))) AS sl,
                len(list_distinct(toks)) AS nd,
                len(list_distinct(list_filter(toks,
-                   x -> x IN ('a','the','value','key','data')))) AS n_stop
+                   x -> x IN ({GOPHER_STOPWORDS_SQL})))) AS n_stop
         FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
               FROM documents)),
     p AS (

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import mulmod32_sql
 from ..functions.text import shingles, tokens
-from ..plans.registry import register
+from ..plans.registry import guard_oracle_env_override, register
 from ..sources.catalog import load_table, spread
 
 
@@ -456,6 +456,7 @@ def _minhash_oracle() -> str:
     twin_test="tests/test_dedup.py::test_minhash_lsh_recall",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    guard_oracle_env_override("minhash_lsh_neardup", "SPARK_GRAFT_LSH_BUCKET_CAP")
     docs = load_table(spark, sf_dir, "documents")
     cap = lsh_bucket_cap(docs.count())
     sig = minhash_signatures(docs)

@@ -211,13 +211,13 @@ _UTF8_BYTESUM_SQL = """CAST(COALESCE(list_sum(list_transform(string_split(text, 
         FROM documents),
     f AS (
         SELECT doc_id, n,
-               CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END
-                   AS feat_mean
+               CASE WHEN n > 0 THEN (2000 * s + n) // (2 * n)
+                    ELSE 0 END AS milli
         FROM b)
     SELECT CAST(64 AS INT) AS feat_dim,
            COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS total_bytes,
-           CAST(SUM(CAST(ROUND(feat_mean, 3) AS DECIMAL(18,3))) AS DOUBLE)
+           CAST(CAST(SUM(milli) AS DOUBLE) / 1000 AS DOUBLE)
                AS sum_feat_mean
     FROM f
     """,
@@ -229,21 +229,40 @@ _UTF8_BYTESUM_SQL = """CAST(COALESCE(list_sum(list_transform(string_split(text, 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode-plumbing query (schema contract, Arrow batch shape,
     partitioning) with an exact value gate: feat_mean = mean byte value
-    of the payload is one IEEE division of exact integers, so the
-    oracle reproduces it from the text via the closed-form utf-8 byte
-    sum; the per-doc means are rounded to 3 dp and summed as
-    DECIMAL(18,3) — exact at any partitioning (a raw float SUM would be
-    summation-order-dependent and was why this entry used to be
-    rows-only)."""
+    of the payload. The 3-dp rounding is done in EXACT INTEGER space on
+    both sides (ADVICE r9: Spark F.round on double is exact BigDecimal
+    HALF_UP while DuckDB ROUND multiplies/divides in IEEE — a 1-ulp gap
+    near a .0005 boundary): milli = (2000*s + n) div (2*n) is half-up
+    of 1000*s/n from pure integers. The exact byte sum s is recovered
+    from the decoder's feat_mean (= fl(s/n)) via floor(feat_mean*n+0.5)
+    — the relative error of the two IEEE ops is ~2^-52*s << 0.5, so the
+    recovery is exact for any s < 2^51 (byte sums here are <= 255*n).
+    The milli units then SUM as int64 — partitioning-invariant — and
+    one final IEEE division by 1000 is bit-identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     feats = decode_features(media)
-    return feats.groupBy("feat_dim").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
-        F.sum(F.round(F.col("feat_mean"), 3).cast("decimal(18,3)"))
-        .cast("double")
-        .alias("sum_feat_mean"),
+    milli = F.when(
+        F.col("n_bytes") > 0,
+        F.expr(
+            "(2000 * CAST(floor(feat_mean * n_bytes + 0.5d) AS BIGINT)"
+            " + n_bytes) div (2 * CAST(n_bytes AS BIGINT))"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        feats.select(
+            "feat_dim",
+            F.col("n_bytes").cast("bigint").alias("n"),
+            milli.cast("bigint").alias("milli"),
+        )
+        .groupBy("feat_dim")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_bytes"),
+            (F.sum("milli").cast("double") / F.lit(1000.0))
+            .cast("double")
+            .alias("sum_feat_mean"),
+        )
     )
 
 

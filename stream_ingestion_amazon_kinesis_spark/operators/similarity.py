@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine_pre, norm
-from ..plans.registry import register
+from ..plans.registry import guard_oracle_env_override, register
 from ..sources.catalog import load_table, spread, table_rowcount
 
 N_QUERIES = 8
@@ -373,6 +373,17 @@ def srp_band_buckets(qv) -> F.Column:
     @pandas_udf(ArrayType(LongType()))
     def _buckets(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.int64)  # batch x dim
+        # Overflow envelope (ADVICE r9, analogous to the SemDeDup Gram
+        # assert): plane entries are +/-1, so each dot accumulates at
+        # most dim * max|q|; int64 wraps silently in numpy where the
+        # SQL oracle raises. The bound is enormous (2^63/64 ~ 1.4e17)
+        # — it only trips if the quantization contract itself breaks.
+        if m.size and int(np.abs(m).max()) > (2**63 - 1) // EMB_DIM:
+            raise ValueError(
+                "srp_band_buckets: quantized coordinate "
+                f"{int(np.abs(m).max())} exceeds the int64-exact plane-"
+                f"dot envelope ((2^63-1)/{EMB_DIM})"
+            )
         bits = (m @ planes) >= 0  # batch x planes, exact integer dots
         out = []
         for row in bits:
@@ -1523,9 +1534,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_n_cells, and the rerank scores candidates with the quantized
     cosine (exact int64 dot + one IEEE sqrt/divide/round), so the whole
     query — cells, probes, rerank — is reproduced verbatim by the
-    DuckDB oracle. The SPARK_GRAFT_IVF_CELLS / _N_PROBE env overrides
-    are invisible to the static oracle; leave them unset when
-    oracle-comparing.
+    DuckDB oracle. SPARK_GRAFT_IVF_N_PROBE stays oracle-synced (it is
+    interpolated into the oracle at import), but SPARK_GRAFT_IVF_CELLS
+    is engine-only — the oracle derives cells adaptively — so setting
+    it raises unless SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1 acknowledges
+    the desync (ADVICE r9).
 
     Scale: identical shape to the float IVF — the corpus moves once
     through assignment, the probe relation is queries x N_PROBE rows
@@ -1534,6 +1547,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings because qv rides the assignment, saving the candidate
     re-join the float variant pays.
     """
+    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
     q = _km_quantized(spark, sf_dir)
     k = ivf_n_cells(table_rowcount(sf_dir, "embeddings"))
     c0 = q.filter(F.col("vec_id") < k).select(
@@ -2117,6 +2131,21 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
         n_c = len(Q)
         nrm2 = (Q * Q).sum(axis=1)
+        # Overflow envelope (ADVICE r9): numpy int64 WRAPS silently where
+        # DuckDB raises, so a non-conforming corpus would otherwise
+        # surface as a confusing engine/oracle value mismatch. The
+        # binding constraint is 49*na*nb <= 2^63-1 (and 400*g*g with
+        # |g| <= sqrt(na*nb) by Cauchy-Schwarz), i.e.
+        # nrm2 <= sqrt((2^63-1)/49) ~= 4.34e8 — quantized norm <= ~2.08
+        # at KMEANS_SCALE=1e4; unit-norm embeddings sit at ~1e8 with 4x
+        # headroom. Fail loudly in BOTH engines instead.
+        if n_c and int(nrm2.max()) > 430_000_000:
+            raise ValueError(
+                "semdedup_cluster_prune: quantized squared norm "
+                f"{int(nrm2.max())} exceeds the int64-exact envelope "
+                "(430_000_000 = norm ~2.08 at scale 1e4); embeddings "
+                "must be ~unit-norm for the integer Gram to be exact"
+            )
         cap = min(n_c, SEMDEDUP_LO_CAP)
         q_lo, n_lo = Q[:cap], nrm2[:cap]
         t2_num = SEMDEDUP_T_NUM * SEMDEDUP_T_NUM

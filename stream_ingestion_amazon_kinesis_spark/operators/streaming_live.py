@@ -1790,6 +1790,7 @@ from .corpus_quality import (  # noqa: E402
     GOPHER_MIN_TOKENS,
     GOPHER_MWL_HI,
     GOPHER_MWL_LO,
+    GOPHER_STOPWORDS_SQL,
 )
 
 
@@ -1802,7 +1803,7 @@ from .corpus_quality import (  # noqa: E402
                list_sum(list_transform(toks, x -> len(x))) AS sl,
                len(list_distinct(toks)) AS nd,
                len(list_distinct(list_filter(toks,
-                   x -> x IN ('a','the','value','key','data')))) AS n_stop
+                   x -> x IN ({GOPHER_STOPWORDS_SQL})))) AS n_stop
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
               FROM documents)),
     r AS (
@@ -1831,8 +1832,16 @@ def streaming_curation_pipeline_live(spark: SparkSession, sf_dir: str) -> DataFr
     oracle computes the same census in SQL over the SINGLE copy:
     matching proves the stream (a) dropped every duplicate, (b) applied
     the same quality gate, and (c) committed each surviving doc to
-    exactly one route partition."""
+    exactly one route partition.
+
+    Disk hygiene (ADVICE r9): this entry rides the bench HEADLINE and
+    the multi-SF gates, so a leaked uuid-named sink dir per invocation
+    would accumulate doubled-corpus parquet copies. The census is a
+    <=2-row relation — collect it (bounded by the route cardinality,
+    not the corpus), rmtree the sink+checkpoint, and return the rows as
+    a local DataFrame."""
     import os
+    import shutil
 
     staging = _staged_json(
         spark, sf_dir, "docs_dup", "documents", transform=_double
@@ -1840,5 +1849,11 @@ def streaming_curation_pipeline_live(spark: SparkSession, sf_dir: str) -> DataFr
     out_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_curation_{uuid.uuid4().hex[:12]}"
     )
-    run_curation_pipeline(spark, staging, out_dir)
-    return curation_census(spark, os.path.join(out_dir, "data"))
+    try:
+        run_curation_pipeline(spark, staging, out_dir)
+        census = curation_census(spark, os.path.join(out_dir, "data"))
+        rows = census.collect()
+        schema = census.schema
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

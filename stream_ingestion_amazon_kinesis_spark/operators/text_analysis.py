@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
-from ..plans.registry import register
+from ..plans.registry import EXTRA_PLAN_BUILDERS, register
 from ..sources.catalog import load_table, spread
 
 STOPWORDS = ("the", "a")
@@ -1608,12 +1608,19 @@ def span_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greedy-left BPE in BOTH engines). ASCII corpus assumed for the
 # delimiters (the fixture's max code point is 121; a production corpus
 # would pick unused sentinels) and for string-order tiebreaks.
-BPE_MERGES = 4
+BPE_MERGES = 16  # realistic merge-table depth (was 4; verdict r9 #5)
 _BPE_S1 = "\x01"
 _BPE_S2 = "\x02"
 
 
 def _bpe_oracle() -> str:
+    # Each round's s{i} is referenced twice (pair counting AND the next
+    # merge) and r{i} three times (two scalar subqueries + the final
+    # UNION arm), so WITHOUT materialization DuckDB's CTE inlining
+    # expands the stage tree exponentially — at 16 merges that is ~4^16
+    # scans of `documents` ("Too many open files" long before any
+    # result). AS MATERIALIZED computes every stage exactly once, the
+    # same linear K-pass shape the Spark side runs via localCheckpoint.
     stages = []
     finals = []
     for i in range(BPE_MERGES):
@@ -1629,9 +1636,9 @@ def _bpe_oracle() -> str:
                CAST(SUM(cnt) AS BIGINT) AS pair_count
         FROM sy{i}, UNNEST(generate_series(1, len(sy) - 1)) AS g(j)
         GROUP BY 1, 2),
-    r{i} AS (SELECT a, b, pair_count FROM p{i}
+    r{i} AS MATERIALIZED (SELECT a, b, pair_count FROM p{i}
              ORDER BY pair_count DESC, a, b LIMIT 1),
-    s{i + 1} AS (
+    s{i + 1} AS MATERIALIZED (
         SELECT word, cnt,
                replace(seq,
                        chr(1) || {a} || chr(2) || chr(1) || {b} || chr(2),
@@ -1645,7 +1652,7 @@ def _bpe_oracle() -> str:
     WITH w AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
         FROM documents),
-    s0 AS (
+    s0 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                array_to_string(list_transform(string_split(word, ''),
                    c -> chr(1) || c || chr(2)), '') AS seq
@@ -1675,6 +1682,38 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     single replace() with identical greedy-left semantics in Spark and
     DuckDB (see module comment), so every round — including tiebreaks —
     is value-checked by the unrolled oracle."""
+    seqs = bpe_word_seqs(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for i in range(BPE_MERGES):
+        rule = bpe_pair_rule(seqs).localCheckpoint(eager=True)
+        seqs = bpe_apply_merge(seqs, rule)
+        # The rule is checkpointed every round (it is read three times:
+        # two merge-pattern references + the output row, and the eager
+        # cut stops the pair-count agg from re-running). The seqs
+        # relation only needs a cut every few rounds: un-checkpointed
+        # rounds chain as narrow 1-row-broadcast projections (bounded —
+        # every rule in the chain is already materialized), and at 16
+        # merges the every-round cut spent ~45% of the operator's
+        # wall-clock on Spark job scheduling of vocabulary-sized
+        # materializations (measured sf0.01: 5.8 s -> 3.4 s).
+        if (i + 1) % 4 == 0 and i + 1 < BPE_MERGES:
+            seqs = seqs.localCheckpoint(eager=True)
+        row = rule.select(
+            F.lit(i + 1).cast("bigint").alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_rank")
+
+
+def bpe_word_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 input: the word-frequency relation with per-symbol-
+    delimited sequences. Exposed un-checkpointed so the plan guard and
+    plan pins can inspect the REAL plan (verdict r9 #2: the operator's
+    eager localCheckpoints lineage-truncate every intermediate out of
+    the registry-wide guard's sight)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(tokens("text")).alias("word")).filter(
         F.col("word") != ""
@@ -1686,63 +1725,76 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: F.concat(F.lit(_BPE_S1), c, F.lit(_BPE_S2)),
         ),
     )
-    seqs = (
+    return (
         words.groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .select("word", "cnt", seq0.alias("seq"))
-        .localCheckpoint(eager=True)
     )
-    out = None
-    for i in range(BPE_MERGES):
-        syms = F.split(
-            F.expr("substring(seq, 2, length(seq) - 2)"), _BPE_S2 + _BPE_S1
-        )
-        n = F.size(syms)
-        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-            F.array().cast("array<int>")
-        )
-        pairs = seqs.select(
-            "cnt",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda j: F.struct(
-                        F.element_at(syms, j).alias("a"),
-                        F.element_at(syms, j + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-        ).select("cnt", "p.a", "p.b")
-        rule = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "a", "b")
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        seqs = (
-            seqs.crossJoin(F.broadcast(rule))
-            .select(
-                "word",
-                "cnt",
-                F.replace(
-                    F.col("seq"),
-                    F.concat(
-                        F.lit(_BPE_S1), F.col("a"), F.lit(_BPE_S2),
-                        F.lit(_BPE_S1), F.col("b"), F.lit(_BPE_S2),
-                    ),
-                    F.concat(
-                        F.lit(_BPE_S1), F.col("a"), F.col("b"), F.lit(_BPE_S2)
-                    ),
-                ).alias("seq"),
+
+
+def bpe_pair_rule(seqs: DataFrame) -> DataFrame:
+    """One merge round's rule relation: weighted adjacent-pair counts
+    over the vocabulary, argmax with lexicographic tiebreak — exactly
+    one row. The orderBy+limit(1) pins to TakeOrderedAndProject; the
+    pair count is a map-side-combined hash aggregate on (a, b)."""
+    syms = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), _BPE_S2 + _BPE_S1
+    )
+    n = F.size(syms)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = seqs.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at(syms, j).alias("a"),
+                    F.element_at(syms, j + 1).alias("b"),
+                ),
             )
-            .localCheckpoint(eager=True)
-        )
-        row = rule.select(
-            F.lit(i + 1).cast("bigint").alias("merge_rank"),
-            F.col("a").alias("left_sym"),
-            F.col("b").alias("right_sym"),
-            "pair_count",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("merge_rank")
+        ).alias("p"),
+    ).select("cnt", "p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(1)
+    )
+
+
+def bpe_apply_merge(seqs: DataFrame, rule: DataFrame) -> DataFrame:
+    """Apply one merge rule to every vocabulary sequence: a crossJoin
+    against the BROADCAST 1-row rule (a bounded nested-loop lookup by
+    construction — see the BNLJ_OK entry in tests/test_plan_guard.py)
+    followed by one delimiter-anchored literal replace."""
+    return seqs.crossJoin(F.broadcast(rule)).select(
+        "word",
+        "cnt",
+        F.replace(
+            F.col("seq"),
+            F.concat(
+                F.lit(_BPE_S1), F.col("a"), F.lit(_BPE_S2),
+                F.lit(_BPE_S1), F.col("b"), F.lit(_BPE_S2),
+            ),
+            F.concat(
+                F.lit(_BPE_S1), F.col("a"), F.col("b"), F.lit(_BPE_S2)
+            ),
+        ).alias("seq"),
+    )
+
+
+# Pre-checkpoint intermediate plans for the pin/guard machinery
+# (verdict r9 #2): round 0's rule (pair count + argmax) and merge
+# (1-row-broadcast replace) plans, built WITHOUT the eager checkpoints
+# so their real shapes are pinned and guarded. Later rounds are
+# structurally identical (same builders over a re-materialized seqs).
+EXTRA_PLAN_BUILDERS["bpe_merge_training::pairs0"] = (
+    lambda spark, sf_dir: bpe_pair_rule(bpe_word_seqs(spark, sf_dir))
+)
+EXTRA_PLAN_BUILDERS["bpe_merge_training::merge0"] = (
+    lambda spark, sf_dir: (lambda s: bpe_apply_merge(s, bpe_pair_rule(s)))(
+        bpe_word_seqs(spark, sf_dir)
+    )
+)

@@ -37,6 +37,40 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Pre-checkpoint intermediate plans for the pin/guard machinery
+# (verdict r9 #2): operators whose registry entry eagerly
+# localCheckpoints (lineage-truncating their real join/agg shapes out
+# of plan inspection) register their intermediate stages here, keyed
+# `query::stage`, with the same (spark, sf_dir) -> DataFrame builder
+# signature. scripts/gen_plan_pins.py and tests/test_plan_shapes.py
+# pick these up alongside the bench HEADLINE queries.
+EXTRA_PLAN_BUILDERS: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {}
+
+
+def guard_oracle_env_override(query: str, var: str) -> None:
+    """Fail fast when an engine-side env override would silently desync
+    an exact-oracle query from its STATIC DuckDB oracle (ADVICE r9: the
+    overrides were guarded only by a docstring convention, so running
+    the oracle gate with one set produced false value mismatches with
+    no hint at the cause). Perf experiments that don't oracle-compare
+    opt out explicitly with SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1."""
+    import os
+
+    if (
+        os.environ.get(var)
+        and os.environ.get("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES") != "1"
+    ):
+        raise RuntimeError(
+            f"{query}: env override {var}={os.environ[var]!r} is set, but "
+            "this query's DuckDB oracle derives the same parameter "
+            "adaptively and cannot see the override — an oracle comparison "
+            "would report a false value mismatch. Unset it, or set "
+            "SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1 to acknowledge (perf "
+            "experiments only, never while oracle-comparing)."
+        )
+
 
 def register(
     name: str,
@@ -55,20 +89,22 @@ def register(
 
 # The first 50 names in QUERIES iteration order are the external
 # correctness harness's per-round sample window. Module import order
-# used to decide that order, which left the window all-relational
-# (enrichment -> relational -> tpch_extra filled it before any
-# dedup/similarity/retrieval/streaming/graph module loaded) — so the
-# engine's north-star operator families never appeared in a
-# driver-stamped correctness record. This explicit head makes the
-# window a representative cross-section: flagship ETL + TPC-H core +
-# event-time windows + live streaming + the LLM-data-pipeline families
-# (dedup, embedding similarity, retrieval, text analysis), graph,
-# multimodal, and time series. As of round 9 all 50 entries carry exact
-# DuckDB oracles (minhash_lsh_neardup and simhash_fingerprints were
-# converted from rows-only via md5-based hashing; their pytest
-# recall/determinism twins remain). Every other query keeps its
-# registration order after the head.
-PRIORITY_HEAD: list[str] = [
+# used to decide that order, which left the window all-relational —
+# so the engine's north-star operator families never appeared in a
+# driver-stamped correctness record; rounds 8-9 fixed that with an
+# explicit 50-name head, and round 9's window went 50/50 exact. But a
+# STATIC head means the other ~310 oracle-backed queries never
+# accumulate a driver-stamped record (verdict r9 #4). The window is
+# now ANCHORS + ROTATION: ~26 flagship/family anchors stay pinned
+# (every operator family keeps a driver-checked representative every
+# round), and the remaining 24 slots rotate deterministically by round
+# number — derived from the committed CORRECTNESS_r*.json artifacts,
+# so each driver round automatically samples a fresh slice of the
+# registry and successive rounds cycle through the whole oracle-backed
+# surface (~13 rounds per full cycle). All rotated entries carry exact
+# DuckDB oracles by construction (rows-only queries are excluded from
+# the pool; their hard signals are their pytest twins).
+PRIORITY_ANCHORS: list[str] = [
     # flagship ETL (reference consumer.py semantics)
     "flagship_session_enrichment",
     "session_routing_split",
@@ -76,64 +112,92 @@ PRIORITY_HEAD: list[str] = [
     # TPC-H / relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_join_orders_with_big_lineitems",
-    "anti_join_customers_without_orders",
-    "outer_join_customer_order_stats",
-    "distinct_counts_lineitem",
-    "percentiles_order_price",
-    "rollup_nation_priority",
     "topk_orders_by_price",
     "salted_join_hot_keys",
     "range_join_price_bands",
-    "hinted_shuffle_hash_join",
-    "customer_value_deciles",
     # event-time windows + as-of
     "tumbling_window_events",
-    "sliding_window_events",
     "session_window_events",
-    "session_window_variable_gap",
     "asof_join_purchase_last_click",
-    # structured streaming (live micro-batch runs) + state reader
+    # structured streaming (live micro-batch runs) + composed topology
     "streaming_tumbling_counts_live",
     "streaming_dedup_live",
-    "streaming_chained_windows_live",
     "kinesis_sim_roundtrip",
-    "state_store_window_counts",
+    "streaming_curation_pipeline_live",
     # dedup family
     "exact_dedup_documents",
-    "jaccard_neardup_pairs",
     "minhash_lsh_neardup",
-    "prefix_filter_jaccard_pairs",
     "simhash_fingerprints",
-    "neardup_components",
-    "incremental_neardup_new_vs_old",
-    "containment_neardup_pairs",
-    # embedding similarity / ANN
-    "embedding_neardup_pairs",
+    # embedding similarity / ANN / semantic dedup
     "ann_topk_cosine",
-    "ann_range_search_cosine",
-    # retrieval
+    "ann_ivf_topk",
+    "semdedup_cluster_prune",
+    # retrieval + text analysis + tokenizer training
     "bm25_retrieval_topk",
-    "hybrid_rrf_retrieval",
-    # text analysis
     "document_quality_scores",
-    "language_id_heuristic",
-    "bpe_ish_token_count",
-    "rolling_hash_fingerprints",
-    "contamination_ngram_overlap",
-    "exact_passage_spans",
-    # graph
+    "bpe_merge_training",
+    # graph + multimodal
     "pagerank_supplier_cooccurrence",
-    "triangle_count_parts",
-    # multimodal + time series
     "multimodal_real_decode_stats",
-    "ohlc_hourly_bars",
 ]
+
+WINDOW_SIZE = 50
+
+
+def _latest_correctness_round() -> int:
+    """Highest N among committed CORRECTNESS_r{N}.json artifacts at the
+    repo root (0 if none — fresh checkout). The driver commits each
+    round's record, so maxN+1 IS the current round: the rotation
+    self-advances with no per-round code edit."""
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    best = 0
+    try:
+        for f in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+            if m:
+                best = max(best, int(m.group(1)))
+    except OSError:
+        pass
+    return best
+
+
+def rotation_pool() -> list[str]:
+    """Oracle-backed, non-anchor queries in sorted-name order — the
+    deterministic ring the rotating window slots walk through."""
+    anchors = set(PRIORITY_ANCHORS)
+    return [
+        n
+        for n in sorted(QUERIES)
+        if n not in anchors and QUERIES[n].oracle is not None
+    ]
+
+
+def priority_head(round_no: int) -> list[str]:
+    """The 50-name driver window for a given round: pinned anchors +
+    a rotation slice. Slice offset advances by the slot count each
+    round ((round-1)*slots mod |pool|, wrapping), so consecutive
+    rounds sample disjoint slices until the pool cycles."""
+    pool = rotation_pool()
+    slots = WINDOW_SIZE - len(PRIORITY_ANCHORS)
+    assert 0 < slots <= len(pool), (len(PRIORITY_ANCHORS), len(pool))
+    off = ((round_no - 1) * slots) % len(pool)
+    rot = [pool[(off + i) % len(pool)] for i in range(slots)]
+    return PRIORITY_ANCHORS + rot
+
+
+# Populated by _reorder_priority() once QUERIES is loaded — the window
+# actually in effect this round (introspection + tests).
+PRIORITY_HEAD: list[str] = []
 
 
 def _reorder_priority() -> None:
-    """Reorder QUERIES so PRIORITY_HEAD leads (idempotent)."""
+    """Reorder QUERIES so this round's priority_head leads (idempotent)."""
+    PRIORITY_HEAD[:] = priority_head(_latest_correctness_round() + 1)
     head = [n for n in PRIORITY_HEAD if n in QUERIES]
     if list(QUERIES)[: len(head)] == head:
         return

@@ -60,3 +60,25 @@ def test_cap_values_at_fixture_sizes():
     assert token_df_cap(5000) == 283
     assert token_df_cap(50000) == 895
     assert lsh_bucket_cap(5000) == 142
+
+
+def test_oracle_env_override_guard(monkeypatch):
+    """ADVICE r9: an engine-only env override (the static oracle derives
+    the same parameter adaptively and cannot see it) must fail FAST with
+    a clear message instead of surfacing as a confusing value mismatch
+    at gate time — unless the experimenter explicitly acknowledges."""
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        guard_oracle_env_override,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_IVF_CELLS", raising=False)
+    # unset -> no-op
+    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
+    # set -> loud failure naming the query, the var, and the opt-out
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", "128")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_IVF_CELLS"):
+        guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
+    # explicit acknowledgment -> allowed (perf experiments)
+    monkeypatch.setenv("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES", "1")
+    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")

@@ -250,6 +250,12 @@ def test_bpe_merge_training_matches_reference_bpe(spark, tmp_path):
             for w, syms in seqs.items():
                 for x, y in zip(syms, syms[1:]):
                     counts[(x, y)] = counts.get((x, y), 0) + word_counts[w]
+            if not counts:
+                # Corpus exhausted (every word one symbol) before k
+                # merges: canonical BPE stops; the engine's empty rule
+                # relation emits no row for the round, so both sides
+                # agree on the truncated merge table.
+                break
             best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             (a, b), c = best
             rules.append((a, b, c))

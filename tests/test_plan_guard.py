@@ -244,3 +244,60 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir, name):
             f"(orderBy+limit), use _distributed_rank/_distributed_prefix, "
             f"or whitelist with the boundedness reason: {glb[0]}"
         )
+
+
+# Pre-checkpoint intermediate plans (verdict r9 #2): operators that
+# eagerly localCheckpoint their rounds lineage-truncate the real
+# join/agg shapes out of the registry-wide check above. Their builders
+# register in EXTRA_PLAN_BUILDERS; `::merge0`-style stages that
+# intentionally crossJoin a BOUNDED broadcast side are listed here with
+# the reason, exactly like BNLJ_OK.
+EXTRA_BNLJ_OK = {
+    "bpe_merge_training::merge0": "vocabulary x broadcast 1-row merge "
+    "rule (argmax of the pair counts — LIMIT 1 by construction)",
+}
+
+
+def test_extra_plan_builders_guarded(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        EXTRA_PLAN_BUILDERS,
+    )
+
+    _load_all()
+    assert EXTRA_PLAN_BUILDERS, "expected registered intermediate plans"
+    for name, fn in sorted(EXTRA_PLAN_BUILDERS.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in EXTRA_BNLJ_OK:
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), f"{name}: unexpected nested-loop join"
+        glb = global_window_lines(plan)
+        assert not glb, f"{name}: global window over unlisted relation: {glb[0]}"
+
+
+def test_bpe_round0_shapes(spark, sf_dir):
+    """The BPE per-round plans the operator's eager checkpoints hide:
+    the rule is ONE map-side-combined hash aggregate + TakeOrdered (no
+    global sort), and the merge is the vocabulary against a BROADCAST
+    1-row rule (never a shuffled join)."""
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        EXTRA_PLAN_BUILDERS,
+    )
+
+    _load_all()
+    pairs = EXTRA_PLAN_BUILDERS["bpe_merge_training::pairs0"](spark, sf_dir)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, "expected partial+final agg"
+    assert "Sort " not in plan, "argmax must not global-sort the pairs"
+    merge = EXTRA_PLAN_BUILDERS["bpe_merge_training::merge0"](spark, sf_dir)
+    mplan = merge._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in mplan, mplan[:2000]
+    # 5 shuffles in the UN-checkpointed composition: both branches
+    # rebuild the word-frequency relation (spread + word groupBy each;
+    # the real operator's seqs checkpoint dedupes that) + the pair-agg
+    # exchange. Exact counts are pinned in plan_pins.json; this bound
+    # only catches a structural blowup (e.g. the broadcast hint lost ->
+    # a shuffled join appears).
+    assert mplan.count("Exchange") - mplan.count("BroadcastExchange") <= 5
