@@ -99,6 +99,9 @@ HEADLINE = [
     # streaming entries, with the real per-round plans pinned via
     # EXTRA_PLAN_BUILDERS)
     "bpe_merge_training",
+    # round-10 addition: two-level IVF — the ANN scale path past the
+    # flat quantizer's broadcast ceiling (verdict r9 #3)
+    "ann_ivf2_topk",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

@@ -51,6 +51,9 @@ REPRESENTATIVES = [
     "ann_ivf_topk",
     "ann_srp_topk",
     "ann_pq_adc_topk",
+    # round-10: two-level IVF — the fine-centroid equi-join and the
+    # partitioned fine-init rank must not see partition boundaries
+    "ann_ivf2_topk",
 ]
 
 

@@ -79,6 +79,8 @@ BNLJ_OK = {
     "knn_label_accuracy",  # all-pairs eval harness by design; production
     # path is the IVF cell join (see docstring)
     "ann_ivf_topk",  # corpus x broadcast centroid/probe sets
+    "ann_ivf2_topk",  # queries x broadcast k1-row COARSE centroids only
+    # (the C-row fine table reaches the corpus via equi-join, by design)
     "ann_srp_topk",  # candidates x broadcast query embeddings
     "embedding_neardup_ivf",  # corpus x broadcast centroids (assignment)
     "kmeans_lloyd_clusters",  # corpus x broadcast K(8)-row centroid table

@@ -21,6 +21,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall:.3f}"
 
 
+def test_ivf2_recall_vs_brute_force(spark, sf_dir):
+    """Two-level IVF (coarse+fine) must hold the SAME recall bar as the
+    flat IVF twin — the verdict r9 #3 acceptance criterion for removing
+    the flat quantizer's broadcast ceiling."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        ann_ivf2_topk,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf2_topk(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & ivf2) / len(brute)
+    assert recall >= 0.5, f"two-level IVF recall too low: {recall:.3f}"
+
+
 def test_ivf_neardup_recall_vs_label_blocked(spark, sf_dir):
     """The IVF-cell-blocked near-dup must recover nearly all pairs the
     label-blocked exact variant finds (the quantizer is label-seeded, so
