@@ -1613,7 +1613,7 @@ _BPE_S1 = "\x01"
 _BPE_S2 = "\x02"
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle(tail: str | None = None) -> str:
     # Each round's s{i} is referenced twice (pair counting AND the next
     # merge) and r{i} three times (two scalar subqueries + the final
     # UNION arm), so WITHOUT materialization DuckDB's CTE inlining
@@ -1648,7 +1648,7 @@ def _bpe_oracle() -> str:
             f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS left_sym,"
             f" b AS right_sym, pair_count FROM r{i}"
         )
-    return f"""
+    prefix = f"""
     WITH w AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
         FROM documents),
@@ -1656,10 +1656,13 @@ def _bpe_oracle() -> str:
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                array_to_string(list_transform(string_split(word, ''),
                    c -> chr(1) || c || chr(2)), '') AS seq
-        FROM w WHERE word <> '' GROUP BY word),{",".join(stages)}
+        FROM w WHERE word <> '' GROUP BY word),{",".join(stages)}"""
+    if tail is None:
+        tail = f"""
     SELECT * FROM ({" UNION ALL ".join(finals)})
     ORDER BY merge_rank
     """
+    return prefix + tail
 
 
 @register(
@@ -1682,10 +1685,30 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     single replace() with identical greedy-left semantics in Spark and
     DuckDB (see module comment), so every round — including tiebreaks —
     is value-checked by the unrolled oracle."""
-    seqs = bpe_word_seqs(spark, sf_dir).localCheckpoint(eager=True)
+    rules, _ = _bpe_train(spark, sf_dir)
     out = None
+    for i, rule in enumerate(rules):
+        row = rule.select(
+            F.lit(i + 1).cast("bigint").alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the BPE_MERGES training rounds; returns (per-round 1-row rule
+    relations, the fully-merged vocabulary seqs relation). Shared by the
+    merge-table query and the corpus-tokenization query."""
+    seqs = bpe_word_seqs(spark, sf_dir).localCheckpoint(eager=True)
+    rules: list[DataFrame] = []
     for i in range(BPE_MERGES):
         rule = bpe_pair_rule(seqs).localCheckpoint(eager=True)
+        rules.append(rule)
         seqs = bpe_apply_merge(seqs, rule)
         # The rule is checkpointed every round (it is read three times:
         # two merge-pattern references + the output row, and the eager
@@ -1698,14 +1721,83 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializations (measured sf0.01: 5.8 s -> 3.4 s).
         if (i + 1) % 4 == 0 and i + 1 < BPE_MERGES:
             seqs = seqs.localCheckpoint(eager=True)
-        row = rule.select(
-            F.lit(i + 1).cast("bigint").alias("merge_rank"),
-            F.col("a").alias("left_sym"),
-            F.col("b").alias("right_sym"),
-            "pair_count",
+    return rules, seqs
+
+
+_BPE_ENCODE_TAIL = f""",
+    ws AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY source, word),
+    nt AS (
+        SELECT word,
+               CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+                                     chr(2) || chr(1))) AS BIGINT) AS n_sym
+        FROM s{BPE_MERGES})
+    SELECT ws.source,
+           CAST(SUM(ws.cnt) AS BIGINT) AS total_words,
+           CAST(SUM(ws.cnt * nt.n_sym) AS BIGINT) AS total_tokens,
+           CAST((1000000 * SUM(ws.cnt * nt.n_sym)) // SUM(ws.cnt)
+                AS BIGINT) AS tokens_per_word_ppm
+    FROM ws JOIN nt USING (word)
+    GROUP BY ws.source
+    ORDER BY ws.source
+    """
+
+
+@register(
+    "bpe_encode_token_stats",
+    oracle=_bpe_oracle(tail=_BPE_ENCODE_TAIL),
+    description=f"G17 corpus tokenization with the learned BPE merge table "
+    f"({BPE_MERGES} merges): per-source word/token totals and exact "
+    f"tokens-per-word ppm — the token-budget estimate a training-data "
+    f"pipeline prices corpora with; full unrolled DuckDB oracle",
+)
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to tokenize the corpus — at the
+    VOCABULARY level, the way production token-count estimators run:
+    each distinct word is tokenized once (the fully-merged seqs relation
+    training already produced), then per-source token totals come from
+    one equi-join of the (source, word, cnt) relation against that
+    vocabulary and a weighted sum. Nothing corpus-sized is re-processed:
+    the corpus text is read once for the per-source word counts, the
+    merge loop stays vocabulary-sized, and the join is co-partitioned
+    on the word. Output: per-source total_words, total_tokens, and
+    tokens_per_word_ppm (exact integer division), the token-budget
+    numbers a pipeline uses to price a corpus against a training run."""
+    _, seqs = _bpe_train(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wordsrc = (
+        docs.select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    n_sym = F.size(
+        F.split(F.expr("substring(seq, 2, length(seq) - 2)"), _BPE_S2 + _BPE_S1)
+    ).cast("bigint")
+    vocab = seqs.select("word", n_sym.alias("n_sym"))
+    return (
+        wordsrc.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_words"),
+            F.sum(F.col("cnt") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("total_tokens"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("merge_rank")
+        .select(
+            "source",
+            "total_words",
+            "total_tokens",
+            F.expr("(1000000 * total_tokens) div total_words").alias(
+                "tokens_per_word_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 def bpe_word_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
