@@ -313,3 +313,170 @@ def hll_retention_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_retained"
         ),
     ).orderBy("week")
+
+
+# --- Exact-oracle HyperLogLog ----------------------------------------
+#
+# The built-in DataSketches entries above stay rows-only because their
+# binary sketch form is engine-specific. This one does NOT: an HLL
+# built from first principles on the md5 hex->int bridge (the same
+# string->int path the MinHash family uses), with m = 64 registers
+# addressed by the hash's top 6 bits and ranks from the low-26-bit
+# field via length(bin(r)) — an exact string op both engines share.
+# The estimator is Flajolet's alpha_64 * m^2 / sum(2^-M_j) evaluated in
+# PURE INTEGER arithmetic: the harmonic sum is scaled by 2^27 (absent
+# registers contribute 2^27 exactly), alpha_64 = 709/1000 as a
+# rational, and the estimate is one int64 floor division — so registers
+# AND estimate are bit-identical in Spark and DuckDB at any
+# partitioning. No small-range (linear counting) correction: the keyed
+# corpus (orders) is >> 2.5m at every shipped SF, and the raw regime is
+# the point of the exactness demonstration. Registers are max-merged
+# per group into the 'ALL' row — the mergeability property that makes
+# sketches the 100 TB distinct path, here value-checked exactly.
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers: stderr ~ 1.04/sqrt(64) = 13%
+HLL_W = 32 - HLL_P  # 26-bit rank field
+HLL_RMAX = HLL_W + 1
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000  # published alpha_64
+_HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)
+_HLL_2W = 1 << HLL_W  # bucket divisor
+_HLL_2RMAX = 1 << HLL_RMAX  # absent-register harmonic term
+
+
+def _hll_oracle() -> str:
+    return f"""
+    WITH k AS (
+        SELECT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS key
+        FROM lineitem),
+    h AS (
+        SELECT grp, key,
+               CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS h
+        FROM k),
+    rk AS (
+        SELECT grp, h // {_HLL_2W} AS bucket,
+               CASE WHEN h % {_HLL_2W} = 0 THEN {HLL_RMAX}
+                    ELSE {HLL_RMAX} - length(bin(h % {_HLL_2W})) END AS rank
+        FROM h),
+    regs AS (
+        SELECT grp, bucket, MAX(rank) AS m_j FROM rk GROUP BY grp, bucket),
+    allregs AS (
+        SELECT 'ALL' AS grp, bucket, MAX(m_j) AS m_j
+        FROM regs GROUP BY bucket),
+    mrg AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+    st AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_set,
+               CAST(SUM((bucket + 1) * m_j) AS BIGINT) AS register_checksum,
+               CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - m_j))
+                    AS BIGINT) AS s_present
+        FROM mrg GROUP BY grp),
+    ex AS (
+        SELECT grp, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact_distinct
+        FROM k GROUP BY grp
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT key) AS BIGINT) FROM k),
+    est AS (
+        SELECT grp, n_set, register_checksum,
+               {_HLL_EST_NUM} // ({HLL_ALPHA_DEN} *
+                   (s_present + ({HLL_M} - n_set) * {_HLL_2RMAX}))
+                   AS hll_estimate
+        FROM st)
+    SELECT e.grp, e.n_set AS n_registers_set, e.register_checksum,
+           e.hll_estimate, x.exact_distinct,
+           (1000000 * abs(e.hll_estimate - x.exact_distinct))
+               // x.exact_distinct AS error_ppm
+    FROM est e JOIN ex x USING (grp)
+    ORDER BY e.grp
+    """
+
+
+@register(
+    "hll_custom_exact_distinct",
+    oracle=_hll_oracle(),
+    description="G6 custom HyperLogLog (m=64, md5-derived buckets/ranks, "
+    "integer-rational alpha_64 estimator) with register-level max-merge "
+    "into the ALL rollup — the whole sketch, estimate, and error are "
+    "bit-identical across engines (full DuckDB oracle)",
+)
+def hll_custom_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HLL as declarative DataFrame ops: one narrow codegen
+    projection hashes each key (md5 bridge -> 32-bit int), registers
+    are a groupBy(grp, bucket) MAX — the classic map-side-combinable
+    sketch build: each partition reduces to <= m rows before the
+    exchange, which is WHY this is the 100 TB distinct path — and the
+    'ALL' rollup merges registers with a second max, never re-touching
+    the data. The estimator runs in exact integer arithmetic (see
+    module comment), so unlike the DataSketches entries this sketch is
+    oracle-exact end to end; the exact distinct per group rides the
+    same output row, making the HLL error a value-checked column
+    (error_ppm <= ~13% stderr band, pinned in tests/test_sketches.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_orderkey").cast("string").alias("key"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("key"), "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    r = h % F.lit(_HLL_2W)
+    rank = F.when(r == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - F.length(F.bin(r))
+    )
+    rk = keys.select(
+        "grp",
+        (h / F.lit(_HLL_2W)).cast("long").alias("bucket"),
+        rank.cast("long").alias("rank"),
+    )
+    regs = rk.groupBy("grp", "bucket").agg(F.max("rank").alias("m_j"))
+    allregs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("ALL").alias("grp"), "bucket", "m_j")
+    )
+    both = regs.unionByName(allregs)
+    st = both.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_set"),
+        F.sum((F.col("bucket") + 1) * F.col("m_j"))
+        .cast("bigint")
+        .alias("register_checksum"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - m_j AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    est = st.select(
+        "grp",
+        F.col("n_set").alias("n_registers_set"),
+        "register_checksum",
+        F.expr(
+            f"{_HLL_EST_NUM} div ({HLL_ALPHA_DEN} *"
+            f" (s_present + ({HLL_M} - n_set) * {_HLL_2RMAX}))"
+        ).alias("hll_estimate"),
+    )
+    ex = (
+        keys.groupBy("grp")
+        .agg(F.countDistinct("key").cast("bigint").alias("exact_distinct"))
+        .unionByName(
+            keys.agg(
+                F.countDistinct("key").cast("bigint").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+        )
+    )
+    return (
+        est.join(ex, "grp")
+        .select(
+            "grp",
+            "n_registers_set",
+            "register_checksum",
+            "hll_estimate",
+            "exact_distinct",
+            F.expr(
+                "(1000000 * abs(hll_estimate - exact_distinct))"
+                " div exact_distinct"
+            ).alias("error_ppm"),
+        )
+        .orderBy("grp")
+    )

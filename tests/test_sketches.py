@@ -86,3 +86,25 @@ def test_hll_intersection_accuracy(spark, sf_dir):
         assert abs(r.est_retained - exact) <= band, (
             f"{r.week}: est={r.est_retained} exact={exact} band={band}"
         )
+
+
+def test_hll_custom_exact_error_band(spark, sf_dir):
+    """The custom exact-oracle HLL (m=64) must land inside ~2x its
+    theoretical stderr (1.04/sqrt(64) = 13%) on every group INCLUDING
+    the register-max-merged ALL rollup — and the merged estimate must
+    come from merged registers, not a re-scan (n_registers_set <= m)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+        HLL_M,
+        hll_custom_exact_distinct,
+    )
+
+    rows = hll_custom_exact_distinct(spark, sf_dir).collect()
+    grps = {r["grp"] for r in rows}
+    assert "ALL" in grps and len(grps) >= 3
+    for r in rows:
+        assert r["n_registers_set"] <= HLL_M
+        assert r["error_ppm"] <= 260_000, (
+            f"{r['grp']}: HLL error {r['error_ppm']} ppm exceeds the "
+            f"2x-stderr band (est {r['hll_estimate']} vs exact "
+            f"{r['exact_distinct']})"
+        )
