@@ -480,3 +480,141 @@ def hll_custom_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- Exact-oracle Count-Min Sketch ------------------------------------
+#
+# Same program as the custom HLL above, applied to the frequency
+# sketch: d=4 counter rows x w=512 counters, the hash family is the
+# MinHash module's md5-affine permutations (overflow-free mulmod32 on
+# both engines), counters are exact integer SUMs (mergeable by
+# addition), and the point estimate is the min over rows — so the whole
+# sketch AND its one-sided error are value-checked by the oracle. The
+# output reports the top-10 exact words alongside their CMS estimates;
+# overestimate_ppm >= 0 is the CMS never-underestimates invariant as a
+# value-checked column.
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_oracle() -> str:
+    from .dedup import _MD5_INT32, _perm_sql
+
+    h32 = _MD5_INT32.format(col="word")
+    rows = []
+    for j in range(CMS_D):
+        rows.append(
+            f"SELECT {j} AS j, ({_perm_sql(j, 'h', '//')}) % {CMS_W} AS idx,"
+            " cnt FROM wh"
+        )
+    probe_rows = []
+    for j in range(CMS_D):
+        probe_rows.append(
+            f"SELECT word, exact_count, {j} AS j,"
+            f" ({_perm_sql(j, 'h', '//')}) % {CMS_W} AS idx FROM topw"
+        )
+    return f"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+    wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM w WHERE word <> '' GROUP BY word),
+    wh AS (
+        SELECT word, cnt, {h32} AS h FROM wc),
+    cells AS ({" UNION ALL ".join(rows)}),
+    cms AS (
+        SELECT j, idx, CAST(SUM(cnt) AS BIGINT) AS counter
+        FROM cells GROUP BY j, idx),
+    topw AS (
+        SELECT word, cnt AS exact_count, {h32} AS h
+        FROM wc ORDER BY cnt DESC, word LIMIT 10),
+    probes AS ({" UNION ALL ".join(probe_rows)}),
+    est AS (
+        SELECT p.word, p.exact_count,
+               CAST(MIN(c.counter) AS BIGINT) AS cms_estimate
+        FROM probes p JOIN cms c ON c.j = p.j AND c.idx = p.idx
+        GROUP BY p.word, p.exact_count)
+    SELECT word, exact_count, cms_estimate,
+           (1000000 * (cms_estimate - exact_count)) // exact_count
+               AS overestimate_ppm
+    FROM est
+    ORDER BY exact_count DESC, word
+    """
+
+
+@register(
+    "cms_custom_exact_frequencies",
+    oracle=_cms_oracle(),
+    description=f"G6 custom Count-Min Sketch ({CMS_D}x{CMS_W}, md5-affine "
+    "hash family, exact integer counters) probing the top-10 corpus words "
+    "— sketch, estimates, and the one-sided error all value-checked by "
+    "the DuckDB oracle",
+)
+def cms_custom_exact_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CMS as declarative ops: the corpus reduces to the
+    word-frequency relation once, each word feeds d=4 (row, counter)
+    cells via the md5-affine permutations, and the sketch is a
+    groupBy(j, idx) SUM — at most d*w = 2048 rows whatever the corpus
+    size, built with map-side partial aggregation and mergeable by
+    plain addition (a per-day/per-shard rollup is one more SUM). The
+    top-10 probe joins the 10-row TakeOrdered slice against the sketch
+    on (j, idx) and takes the min counter per word. Everything is int64
+    (the affine hashes run through the overflow-free mulmod32 split),
+    so estimates AND the CMS one-sided-error invariant are oracle-exact
+    columns; the error band is pinned in tests/test_sketches.py."""
+    from ..functions.text import tokens
+    from ..sources.catalog import spread
+    from .dedup import _perm_sql
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("word"), "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    wh = wc.select("word", "cnt", h.alias("h"))
+
+    def perm_idx(j: int) -> F.Column:
+        # The same overflow-free mulmod32 split the oracle uses (the
+        # naive A_j*h product tops out near 2^64 and raises under ANSI).
+        return F.expr(f"({_perm_sql(j, 'h', 'div')}) % {CMS_W}")
+
+    cells = None
+    for j in range(CMS_D):
+        part = wh.select(
+            F.lit(j).alias("j"), perm_idx(j).alias("idx"), "cnt"
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    cms = cells.groupBy("j", "idx").agg(
+        F.sum("cnt").cast("bigint").alias("counter")
+    )
+    topw = (
+        wc.orderBy(F.col("cnt").desc(), "word")
+        .limit(10)
+        .select("word", F.col("cnt").alias("exact_count"), h.alias("h"))
+    )
+    probes = None
+    for j in range(CMS_D):
+        part = topw.select(
+            "word", "exact_count", F.lit(j).alias("j"), perm_idx(j).alias("idx")
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(cms, ["j", "idx"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+        .select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            F.expr(
+                "(1000000 * (cms_estimate - exact_count)) div exact_count"
+            ).alias("overestimate_ppm"),
+        )
+        .orderBy(F.col("exact_count").desc(), "word")
+    )

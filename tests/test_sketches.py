@@ -108,3 +108,36 @@ def test_hll_custom_exact_error_band(spark, sf_dir):
             f"2x-stderr band (est {r['hll_estimate']} vs exact "
             f"{r['exact_distinct']})"
         )
+
+
+def test_cms_custom_exact_error_band(spark, sf_dir):
+    """CMS one-sided error: never underestimates, and the top-10 words'
+    overestimate stays under the e/w * total-mass bound (with the
+    min-over-4-rows giving big slack in practice)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+        CMS_W,
+        cms_custom_exact_frequencies,
+    )
+
+    rows = cms_custom_exact_frequencies(spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = None
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["overestimate_ppm"] >= 0
+    # generous absolute bound: a single row's expected collision mass is
+    # total/w; the min over 4 rows should be well under 3x that
+    import math
+
+    from stream_ingestion_amazon_kinesis_spark.operators.text_analysis import (
+        bpe_word_seqs,
+    )
+
+    total = (
+        bpe_word_seqs(spark, sf_dir)
+        .agg({"cnt": "sum"})
+        .collect()[0][0]
+    )
+    bound = 3 * total / CMS_W
+    for r in rows:
+        assert r["cms_estimate"] - r["exact_count"] <= bound, (r, bound)
