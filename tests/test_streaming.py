@@ -525,3 +525,23 @@ def test_curation_pipeline_restart_resumes_exactly_once(spark, sf_dir, tmp_path)
         )
     }
     assert got == want
+
+
+def test_curation_entry_cleans_its_tmp_dirs(spark, sf_dir):
+    """ADVICE r9: the registry entry used to leak a uuid-named sink +
+    checkpoint dir (doubled-corpus parquet) per invocation — and it
+    rides the bench HEADLINE (repeats) and every multi-SF gate. The
+    census is collected and the dir removed before the entry returns."""
+    import glob
+    import tempfile
+
+    from stream_ingestion_amazon_kinesis_spark.operators.streaming_live import (
+        streaming_curation_pipeline_live,
+    )
+
+    pat = tempfile.gettempdir() + "/spark_graft_curation_*"
+    before = set(glob.glob(pat))
+    rows = streaming_curation_pipeline_live(spark, sf_dir).collect()
+    assert rows, "census must not be empty"
+    leaked = set(glob.glob(pat)) - before
+    assert not leaked, f"leaked sink dirs: {leaked}"
