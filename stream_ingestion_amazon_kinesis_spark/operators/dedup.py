@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import mulmod32_sql
@@ -578,9 +578,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     return labels
 
 
-@register(
-    "neardup_components",
-    oracle=f"""
+# Shared oracle prefix: the near-dup edge list + connected components
+# (recursive CTE), reused by neardup_components and the canonical-
+# selection census.
+_NEARDUP_COMP_SQL = f"""
     WITH RECURSIVE
     edges AS (
         WITH tok0 AS (
@@ -607,10 +608,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         SELECT node, node AS reach FROM nodes
         UNION
         SELECT w.node, CASE WHEN e.doc_a = w.reach THEN e.doc_b ELSE e.doc_a END AS reach
-        FROM walk w JOIN edges e ON w.reach IN (e.doc_a, e.doc_b))
-    SELECT node AS doc_id, MIN(reach) AS component_id
-    FROM walk GROUP BY node
-    """,
+        FROM walk w JOIN edges e ON w.reach IN (e.doc_a, e.doc_b)),
+    comp AS (
+        SELECT node AS doc_id, MIN(reach) AS component_id
+        FROM walk GROUP BY node)"""
+
+
+@register(
+    "neardup_components",
+    oracle=_NEARDUP_COMP_SQL + "\n    SELECT doc_id, component_id FROM comp",
     description="G17 dedup clustering: connected components of the near-dup graph (iterative label propagation vs recursive-CTE oracle)",
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +626,80 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+@register(
+    "canonical_dedup_selection",
+    oracle=_NEARDUP_COMP_SQL + """,
+    nt AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    rk AS (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY n.n_tokens DESC, c.doc_id) AS rn
+        FROM comp c JOIN nt n USING (doc_id)),
+    flags AS (
+        SELECT n.source, n.doc_id, COALESCE(r.rn = 1, TRUE) AS keep
+        FROM nt n LEFT JOIN rk r USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(doc_id) FILTER (keep), 0) AS BIGINT)
+               AS kept_id_checksum
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    description="G17 dedup canonical selection: per near-dup component "
+    "keep the best document (longest, lowest-id tiebreak), singletons "
+    "pass through — per-source kept/dropped census with kept-id checksum",
+)
+def canonical_dedup_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step production dedup actually ships: near-dup PAIRS ->
+    components -> ONE canonical survivor per component, everything else
+    dropped. The canonical key is (max token count, min doc_id) — the
+    keep-the-richest-duplicate policy — decided by a PARTITIONED window
+    over the component id (component populations are dup clusters, so
+    the rank input is bounded by the largest dup group, never the
+    corpus). Docs outside any component keep themselves via the left
+    join's COALESCE(TRUE). Output is the per-source census with a
+    kept-id checksum, so the oracle value-checks the exact survivor
+    SET, not just counts."""
+    comps = neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    rk = (
+        comps.join(docs.select("doc_id", "n_tokens"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") == 1).alias("keep"))
+    )
+    flags = docs.join(rk, "doc_id", "left").select(
+        "source", "doc_id", F.coalesce("keep", F.lit(True)).alias("keep")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("doc_id"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+        )
+        .orderBy("source")
     )
 
 

@@ -52,8 +52,12 @@ REPRESENTATIVES = [
     "ann_srp_topk",
     "ann_pq_adc_topk",
     # round-10: two-level IVF — the fine-centroid equi-join and the
-    # partitioned fine-init rank must not see partition boundaries
+    # partitioned fine-init rank must not see partition boundaries;
+    # the custom exact-oracle sketches (register max-merge / counter
+    # sums must be partial-agg-order blind)
     "ann_ivf2_topk",
+    "hll_custom_exact_distinct",
+    "cms_custom_exact_frequencies",
 ]
 
 
