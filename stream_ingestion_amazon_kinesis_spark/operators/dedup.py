@@ -456,7 +456,9 @@ def _minhash_oracle() -> str:
     twin_test="tests/test_dedup.py::test_minhash_lsh_recall",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    guard_oracle_env_override("minhash_lsh_neardup", "SPARK_GRAFT_LSH_BUCKET_CAP")
+    guard_oracle_env_override(
+        "minhash_lsh_neardup", "SPARK_GRAFT_LSH_BUCKET_CAP", _LSH_BUCKET_CAP_ENV
+    )
     docs = load_table(spark, sf_dir, "documents")
     cap = lsh_bucket_cap(docs.count())
     sig = minhash_signatures(docs)
@@ -1007,12 +1009,7 @@ def prefix_filtered_pairs(tok: DataFrame) -> DataFrame:
 
 @register(
     "dedup_canonical_selection",
-    oracle=_QUERIES["neardup_components"].oracle.replace(
-        """    SELECT node AS doc_id, MIN(reach) AS component_id
-    FROM walk GROUP BY node
-    """,
-        """    , comp AS (SELECT node AS doc_id, MIN(reach) AS component_id
-                 FROM walk GROUP BY node),
+    oracle=_NEARDUP_COMP_SQL + """,
     ranked AS (
         SELECT c.component_id, c.doc_id, d.n_chars,
                ROW_NUMBER() OVER (PARTITION BY c.component_id
@@ -1024,7 +1021,6 @@ def prefix_filtered_pairs(tok: DataFrame) -> DataFrame:
     FROM ranked WHERE rn = 1
     ORDER BY component_id
     """,
-    ),
     description="G17 dedup canonicalization: one survivor per near-dup "
     "cluster (longest doc, doc_id tiebreak) — the keep-best step that "
     "turns detected clusters into an actual deduplicated corpus",

@@ -1547,7 +1547,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings because qv rides the assignment, saving the candidate
     re-join the float variant pays.
     """
-    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
+    guard_oracle_env_override(
+        "ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS", _IVF_CELLS_ENV
+    )
     q = _km_quantized(spark, sf_dir)
     k = ivf_n_cells(table_rowcount(sf_dir, "embeddings"))
     c0 = q.filter(F.col("vec_id") < k).select(

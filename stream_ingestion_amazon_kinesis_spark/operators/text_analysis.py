@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
-from ..plans.registry import EXTRA_PLAN_BUILDERS, register
+from ..plans.registry import EXTRA_PLAN_BUILDERS, RELEASE_HOOKS, register
 from ..sources.catalog import load_table, spread
 
 STOPWORDS = ("the", "a")
@@ -1698,12 +1698,31 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_rank")
 
 
+# Memo for _bpe_train, keyed by (applicationId, sf_dir): the merge-
+# table and corpus-tokenization registry entries share the training
+# loop (the most expensive eager chain in a full-registry sweep —
+# ADVICE r10 asked for exactly this memo). The cached DataFrames are
+# localCheckpointed (lineage-truncated), so the memo MUST die whenever
+# their blocks do — registry.release_cached() unpersists every
+# persistent RDD between harness queries and runs RELEASE_HOOKS first,
+# which clears this dict; a fresh application id misses naturally.
+_BPE_TRAIN_CACHE: dict[
+    tuple[str, str], tuple[list[DataFrame], DataFrame]
+] = {}
+RELEASE_HOOKS.append(_BPE_TRAIN_CACHE.clear)
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run the BPE_MERGES training rounds; returns (per-round 1-row rule
     relations, the fully-merged vocabulary seqs relation). Shared by the
-    merge-table query and the corpus-tokenization query."""
+    merge-table query and the corpus-tokenization query; memoized per
+    (application, sf_dir) — see _BPE_TRAIN_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_TRAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
     seqs = bpe_word_seqs(spark, sf_dir).localCheckpoint(eager=True)
     rules: list[DataFrame] = []
     for i in range(BPE_MERGES):
@@ -1721,6 +1740,7 @@ def _bpe_train(
         # materializations (measured sf0.01: 5.8 s -> 3.4 s).
         if (i + 1) % 4 == 0 and i + 1 < BPE_MERGES:
             seqs = seqs.localCheckpoint(eager=True)
+    _BPE_TRAIN_CACHE[key] = (rules, seqs)
     return rules, seqs
 
 

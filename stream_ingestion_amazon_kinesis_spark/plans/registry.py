@@ -48,27 +48,41 @@ EXTRA_PLAN_BUILDERS: dict[
     str, Callable[[SparkSession, str], DataFrame]
 ] = {}
 
+# Invalidators release_cached() runs BEFORE unpersisting: operator
+# modules that memoize localCheckpointed relations across queries
+# (e.g. the BPE training loop shared by two registry entries) register
+# a clear-function here — the memoized DataFrames' blocks are about to
+# be dropped and their lineage is checkpoint-truncated, so a stale memo
+# entry would fail (not recompute) on next use.
+RELEASE_HOOKS: list[Callable[[], None]] = []
 
-def guard_oracle_env_override(query: str, var: str) -> None:
+
+def guard_oracle_env_override(
+    query: str, var: str, frozen: str | None
+) -> None:
     """Fail fast when an engine-side env override would silently desync
     an exact-oracle query from its STATIC DuckDB oracle (ADVICE r9: the
     overrides were guarded only by a docstring convention, so running
     the oracle gate with one set produced false value mismatches with
     no hint at the cause). Perf experiments that don't oracle-compare
-    opt out explicitly with SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1."""
+    opt out explicitly with SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1.
+
+    `frozen` is the value the OPERATOR captured at module import — the
+    one actually in effect (ADVICE r10: re-reading os.environ here let
+    a var set after import raise spuriously, and a var UNSET after
+    import let an active override pass unguarded). Callers pass their
+    import-time module constant."""
     import os
 
-    if (
-        os.environ.get(var)
-        and os.environ.get("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES") != "1"
-    ):
+    if frozen and os.environ.get("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES") != "1":
         raise RuntimeError(
-            f"{query}: env override {var}={os.environ[var]!r} is set, but "
-            "this query's DuckDB oracle derives the same parameter "
-            "adaptively and cannot see the override — an oracle comparison "
-            "would report a false value mismatch. Unset it, or set "
-            "SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1 to acknowledge (perf "
-            "experiments only, never while oracle-comparing)."
+            f"{query}: env override {var}={frozen!r} was captured at import "
+            "and is in effect, but this query's DuckDB oracle derives the "
+            "same parameter adaptively and cannot see the override — an "
+            "oracle comparison would report a false value mismatch. Unset "
+            "it and restart, or set SPARK_GRAFT_UNSAFE_ENV_OVERRIDES=1 to "
+            "acknowledge (perf experiments only, never while "
+            "oracle-comparing)."
         )
 
 
@@ -144,6 +158,14 @@ PRIORITY_ANCHORS: list[str] = [
 WINDOW_SIZE = 50
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
 def _latest_correctness_round() -> int:
     """Highest N among committed CORRECTNESS_r{N}.json artifacts at the
     repo root (0 if none — fresh checkout). The driver commits each
@@ -152,18 +174,62 @@ def _latest_correctness_round() -> int:
     import os
     import re
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     best = 0
     try:
-        for f in os.listdir(root):
+        for f in os.listdir(_repo_root()):
             m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
             if m:
                 best = max(best, int(m.group(1)))
     except OSError:
         pass
     return best
+
+
+def _round_floor() -> int:
+    """Round number in the committed ROUND file at the repo root (0 if
+    absent/unreadable). A FLOOR, not a pin: it protects checkouts that
+    lack the CORRECTNESS_r*.json artifacts (fresh clone of a shallow
+    export, an installed package) from silently running round 1's
+    window, while the artifact scan still self-advances past it on the
+    driver's own tree."""
+    import os
+
+    try:
+        with open(os.path.join(_repo_root(), "ROUND")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def resolve_round() -> int:
+    """The driver round whose 50-query window is in effect (ADVICE r10:
+    the pure filesystem scan let two checkouts of the same commit run
+    different windows). Resolution order:
+
+    1. SPARK_GRAFT_ROUND env var — explicit pin, wins outright;
+    2. max(artifact scan + 1, committed ROUND floor) otherwise.
+
+    The resolved round and its source are logged at import so a window
+    shift is visible in harness output.
+    """
+    import logging
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        rnd, src = int(env), "SPARK_GRAFT_ROUND env pin"
+    else:
+        scan = _latest_correctness_round() + 1
+        floor = _round_floor()
+        rnd = max(scan, floor)
+        src = (
+            f"artifact scan (CORRECTNESS_r* max + 1 = {scan}, "
+            f"ROUND floor = {floor})"
+        )
+    logging.getLogger(__name__).info(
+        "driver window round resolved: %d via %s", rnd, src
+    )
+    return rnd
 
 
 def rotation_pool() -> list[str]:
@@ -197,7 +263,7 @@ PRIORITY_HEAD: list[str] = []
 
 def _reorder_priority() -> None:
     """Reorder QUERIES so this round's priority_head leads (idempotent)."""
-    PRIORITY_HEAD[:] = priority_head(_latest_correctness_round() + 1)
+    PRIORITY_HEAD[:] = priority_head(resolve_round())
     head = [n for n in PRIORITY_HEAD if n in QUERIES]
     if list(QUERIES)[: len(head)] == head:
         return
@@ -273,6 +339,8 @@ def release_cached(spark: SparkSession) -> int:
     """
     import gc
 
+    for hook in RELEASE_HOOKS:
+        hook()  # drop cross-query memos of soon-to-be-dropped blocks
     gc.collect()  # drop py4j handles so nothing here is still referenced
     n = 0
     for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):

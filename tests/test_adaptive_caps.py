@@ -66,19 +66,29 @@ def test_oracle_env_override_guard(monkeypatch):
     """ADVICE r9: an engine-only env override (the static oracle derives
     the same parameter adaptively and cannot see it) must fail FAST with
     a clear message instead of surfacing as a confusing value mismatch
-    at gate time — unless the experimenter explicitly acknowledges."""
+    at gate time — unless the experimenter explicitly acknowledges.
+
+    ADVICE r10: the guard judges the IMPORT-TIME captured value the
+    operator actually uses (passed by the caller), not a live
+    os.environ read — a var set after import must not raise (the engine
+    still runs the oracle-synced default) and a var unset after import
+    must still raise (the override is active)."""
     from stream_ingestion_amazon_kinesis_spark.plans.registry import (
         guard_oracle_env_override,
     )
 
     monkeypatch.delenv("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES", raising=False)
-    monkeypatch.delenv("SPARK_GRAFT_IVF_CELLS", raising=False)
-    # unset -> no-op
-    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
-    # set -> loud failure naming the query, the var, and the opt-out
+    # no frozen override -> no-op, even if the var is set NOW (the
+    # operator module captured None at import and still runs defaults)
     monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", "128")
+    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS", None)
+    # frozen override -> loud failure naming the query, the var, and
+    # the opt-out — even if the var was unset after import
+    monkeypatch.delenv("SPARK_GRAFT_IVF_CELLS", raising=False)
     with pytest.raises(RuntimeError, match="SPARK_GRAFT_IVF_CELLS"):
-        guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
+        guard_oracle_env_override(
+            "ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS", "128"
+        )
     # explicit acknowledgment -> allowed (perf experiments)
     monkeypatch.setenv("SPARK_GRAFT_UNSAFE_ENV_OVERRIDES", "1")
-    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS")
+    guard_oracle_env_override("ann_ivf_topk", "SPARK_GRAFT_IVF_CELLS", "128")

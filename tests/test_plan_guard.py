@@ -125,6 +125,14 @@ BNLJ_OK = {
     "median_order_by_customer_decile",  # crossJoin of the single-row customer count
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
     "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
+    "bpe_encode_token_stats",  # K chained 1-row merge-RULE broadcasts:
+    # each un-checkpointed merge round crossJoins the vocabulary against
+    # its round's already-materialized 1-row rule relation (bounded by
+    # construction — see bpe_apply_merge), and this query's vocabulary
+    # chain keeps up to 3 of those rounds un-checkpointed, so they
+    # surface as BroadcastNestedLoopJoin here while bpe_merge_training's
+    # fully-checkpointed plan hides them (its round-0 shapes are pinned
+    # via EXTRA_PLAN_BUILDERS instead)
 }
 
 

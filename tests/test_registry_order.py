@@ -25,6 +25,7 @@ from stream_ingestion_amazon_kinesis_spark.plans.registry import (
     _latest_correctness_round,
     _load_all,
     priority_head,
+    resolve_round,
     rotation_pool,
 )
 
@@ -108,7 +109,36 @@ def test_current_round_derivation_matches_artifacts():
             except ValueError:
                 pass
     assert _latest_correctness_round() == best
-    assert PRIORITY_HEAD == priority_head(best + 1)
+    # Resolution (ADVICE r10): env pin > max(scan + 1, ROUND floor).
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        expected = int(env)
+    else:
+        floor = 0
+        round_path = os.path.join(_REPO, "ROUND")
+        if os.path.exists(round_path):
+            with open(round_path) as f:
+                floor = int(f.read().strip())
+        expected = max(best + 1, floor)
+    assert resolve_round() == expected
+    assert PRIORITY_HEAD == priority_head(expected)
+
+
+def test_round_floor_protects_artifactless_checkouts(monkeypatch):
+    from stream_ingestion_amazon_kinesis_spark.plans import registry
+
+    # env pin wins outright
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert registry.resolve_round() == 7
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    # without artifacts (fresh clone / installed package) the committed
+    # ROUND floor keeps the window from collapsing to round 1
+    monkeypatch.setattr(registry, "_latest_correctness_round", lambda: 0)
+    monkeypatch.setattr(registry, "_round_floor", lambda: 11)
+    assert registry.resolve_round() == 11
+    # and the scan still self-advances past a stale floor
+    monkeypatch.setattr(registry, "_latest_correctness_round", lambda: 14)
+    assert registry.resolve_round() == 15
 
 
 def test_rotation_accumulates_fresh_driver_coverage():

@@ -36,3 +36,29 @@ def test_release_cached_unpersists_localcheckpoint_blocks(spark, sf_dir):
     assert first.equals(again)
     release_cached(spark)
     assert _persistent_count(spark) == 0
+
+
+def test_bpe_train_memo_hits_and_is_invalidated(spark, sf_dir):
+    """ADVICE r10: bpe_encode_token_stats re-ran the full merge training
+    that bpe_merge_training had just executed in the same session. The
+    memo must (a) return the identical relations on a second call, and
+    (b) be CLEARED by release_cached — the memoized DataFrames are
+    localCheckpointed, so once their blocks are unpersisted they cannot
+    recompute, and a stale memo entry would fail instead of retrain."""
+    from stream_ingestion_amazon_kinesis_spark.operators.text_analysis import (
+        _BPE_TRAIN_CACHE,
+        _bpe_train,
+    )
+
+    release_cached(spark)  # start clean
+    rules1, seqs1 = _bpe_train(spark, sf_dir)
+    assert _BPE_TRAIN_CACHE  # populated
+    rules2, seqs2 = _bpe_train(spark, sf_dir)
+    assert seqs2 is seqs1 and rules2 is rules1  # memo hit, no retrain
+    n1 = seqs1.count()
+    release_cached(spark)
+    assert not _BPE_TRAIN_CACHE  # hook cleared the memo with the blocks
+    rules3, seqs3 = _bpe_train(spark, sf_dir)  # retrains from scratch
+    assert seqs3 is not seqs1
+    assert seqs3.count() == n1
+    release_cached(spark)
