@@ -243,16 +243,58 @@ def rotation_pool() -> list[str]:
     ]
 
 
-def priority_head(round_no: int) -> list[str]:
+def stamped_names() -> set[str]:
+    """Every query name that already carries a driver-stamped
+    correctness record — the union of keys across the committed
+    CORRECTNESS_r*.json artifacts at the repo root."""
+    import json
+    import os
+    import re
+
+    seen: set[str] = set()
+    root = _repo_root()
+    try:
+        files = os.listdir(root)
+    except OSError:
+        return seen
+    for f in files:
+        if re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f):
+            try:
+                with open(os.path.join(root, f)) as fh:
+                    seen.update(json.load(fh))
+            except (OSError, ValueError):
+                pass
+    return seen
+
+
+def priority_head(
+    round_no: int, stamped: set[str] | None = None
+) -> list[str]:
     """The 50-name driver window for a given round: pinned anchors +
-    a rotation slice. Slice offset advances by the slot count each
-    round ((round-1)*slots mod |pool|, wrapping), so consecutive
-    rounds sample disjoint slices until the pool cycles."""
+    a rotation slice, NEVER-STAMPED queries first.
+
+    Rotation slots draw from the pool names that have no driver-stamped
+    correctness record yet (sorted-name order — deterministic, derived
+    only from committed artifacts), so every round maximizes cumulative
+    driver-checked coverage and newly-registered operators front the
+    very next window. Freshness across rounds comes from stamping
+    itself: this round's window lands in CORRECTNESS_r{N}.json, which
+    removes it from the next round's unstamped set. Only when the
+    unstamped set no longer fills the slots does the walk fall back to
+    the classic offset ring over already-stamped names
+    ((round-1)*slots mod |ring|), re-cycling the whole surface."""
     pool = rotation_pool()
     slots = WINDOW_SIZE - len(PRIORITY_ANCHORS)
     assert 0 < slots <= len(pool), (len(PRIORITY_ANCHORS), len(pool))
-    off = ((round_no - 1) * slots) % len(pool)
-    rot = [pool[(off + i) % len(pool)] for i in range(slots)]
+    if stamped is None:
+        stamped = stamped_names()
+    unstamped = [n for n in pool if n not in stamped]
+    rot = unstamped[:slots]
+    if len(rot) < slots:
+        ring = [n for n in pool if n in stamped]
+        fill = slots - len(rot)
+        off = ((round_no - 1) * slots) % len(ring) if ring else 0
+        rot += [ring[(off + i) % len(ring)] for i in range(fill)]
     return PRIORITY_ANCHORS + rot
 
 
