@@ -1068,3 +1068,155 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "tier")
     )
+
+
+# --- Quality-ordered token-budget curation ---------------------------
+#
+# The selection step a training run actually executes: rank the corpus
+# by a quality score, then take documents best-first until a token
+# budget is exhausted. The score here is lexical diversity in exact
+# integer ppm ((1e6 * distinct_tokens) div n_tokens — the Gopher-funnel
+# ratio family), the ordering is total (score desc, doc_id), and the
+# cumulative token position comes from the two-pass distributed prefix
+# sum (`analytics._distributed_prefix`) — no single-partition window
+# anywhere, so the sweep scales to a 100 TB corpus the same way the
+# equi-depth decile op does. Budget = total_tokens div 4 (the "keep the
+# best quarter" run), computed from the same relation on both engines.
+
+_QUALITY_PREFIX_SQL = """
+    WITH q AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text),
+                    '\\s+'))) AS BIGINT) AS nd
+        FROM documents),
+    r AS (
+        SELECT doc_id, source, n_tokens,
+               CAST((1000000 * nd) // n_tokens AS BIGINT) AS quality_ppm
+        FROM q),
+    c AS (
+        SELECT r.*,
+               SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id)
+                   AS cum_tokens,
+               (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM r)
+                   AS total_tokens
+        FROM r)"""
+
+
+def _quality_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, quality_ppm, cum_tokens, total_tokens)
+    with cum_tokens = inclusive running token sum in (quality_ppm desc,
+    doc_id) order — the shared sweep for the budget-selection and
+    curriculum-phase queries. total_tokens rides every row via a
+    broadcast 1-row crossJoin (bounded; see BNLJ_OK)."""
+    from .analytics import _distributed_prefix
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("CAST((1000000 * nd) div n_tokens AS BIGINT)").alias(
+            "quality_ppm"
+        ),
+    )
+    ranked = _distributed_prefix(
+        r.withColumn("neg_q", (-F.col("quality_ppm")).cast("bigint")),
+        ["neg_q", "doc_id"],
+        {"cum_tokens": "n_tokens"},
+    ).drop("neg_q")
+    totals = r.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return ranked.crossJoin(F.broadcast(totals))
+
+
+@register(
+    "token_budget_selection",
+    oracle=_QUALITY_PREFIX_SQL + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(SUM(doc_id) AS BIGINT) AS selected_id_checksum,
+           CAST(MIN(quality_ppm) AS BIGINT) AS min_quality_ppm
+    FROM c WHERE cum_tokens <= total_tokens // 4
+    GROUP BY source ORDER BY source
+    """,
+    description="G17 curation: quality-ranked greedy selection under a "
+    "global token budget (best quarter of corpus tokens) via the "
+    "distributed prefix sum — per-source census with selected-id "
+    "checksum, fully value-checked",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budget curation: documents enter in (quality desc,
+    doc_id) order while the INCLUSIVE cumulative token count stays
+    within budget — the deterministic 'take the best N tokens' rule.
+    The global order is never materialized: `_distributed_prefix`
+    range-buckets on the leading score, ranks locally, and offsets by
+    the bounded per-bucket totals relation. The census checksums the
+    exact survivor id set per source, so the oracle value-checks the
+    selection itself, not just its size."""
+    c = _quality_token_prefix(spark, sf_dir)
+    sel = c.filter(
+        F.col("cum_tokens") <= F.expr("total_tokens div 4")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+            F.sum("doc_id").cast("bigint").alias("selected_id_checksum"),
+            F.min("quality_ppm").cast("bigint").alias("min_quality_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "curriculum_token_phases",
+    oracle=_QUALITY_PREFIX_SQL + """
+    SELECT CAST(((cum_tokens - 1) * 4) // total_tokens + 1 AS BIGINT)
+               AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           CAST(MIN(quality_ppm) AS BIGINT) AS min_quality_ppm,
+           CAST(MAX(quality_ppm) AS BIGINT) AS max_quality_ppm,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM c GROUP BY 1 ORDER BY phase
+    """,
+    description="G17 curation: curriculum phases — the quality-ordered "
+    "corpus split into 4 equal-token-mass training phases via the "
+    "distributed prefix sum; per-phase census with id checksum",
+)
+def curriculum_token_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: phase p of 4 contains the docs whose
+    inclusive cumulative token position falls in ((p-1)/4, p/4] of the
+    corpus token mass, best-quality-first — i.e. phase 1 is the
+    cleanest quarter a curriculum trains on first. The phase index is
+    closed-form integer arithmetic on (cum_tokens, total_tokens):
+    ((cum-1)*4) div total + 1, identical on both engines; the sweep is
+    the same distributed prefix as token_budget_selection."""
+    c = _quality_token_prefix(spark, sf_dir)
+    return (
+        c.select(
+            "*",
+            F.expr(
+                "CAST(((cum_tokens - 1) * 4) div total_tokens + 1"
+                " AS BIGINT)"
+            ).alias("phase"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+            F.min("quality_ppm").cast("bigint").alias("min_quality_ppm"),
+            F.max("quality_ppm").cast("bigint").alias("max_quality_ppm"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("phase")
+    )

@@ -284,3 +284,55 @@ def test_bpe_merge_training_matches_reference_bpe(spark, tmp_path):
         for r in bpe_merge_training(spark, str(tmp_path)).collect()
     ]
     assert got == want
+
+
+def test_token_budget_selection_respects_budget_and_greedy_order(
+    spark, sf_dir
+):
+    """The inclusive greedy rule: selected token mass never exceeds
+    total div 4, and the selection is a PREFIX of the (quality desc,
+    doc_id) order — the doc ranked right after the last selected one
+    would not have fit."""
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        _quality_token_prefix,
+        token_budget_selection,
+    )
+
+    c = _quality_token_prefix(spark, sf_dir).toPandas()
+    total = int(c["total_tokens"].iloc[0])
+    budget = total // 4
+    census = token_budget_selection(spark, sf_dir).toPandas()
+    assert int(census["tokens_selected"].sum()) <= budget
+    sel = c[c["cum_tokens"] <= budget]
+    assert int(census["n_selected"].sum()) == len(sel)
+    # prefix property: every selected cum position < every unselected
+    rest = c[c["cum_tokens"] > budget]
+    if len(sel) and len(rest):
+        assert sel["cum_tokens"].max() < rest["cum_tokens"].min()
+        # the first unselected doc genuinely overflows the budget
+        assert int(rest["cum_tokens"].min()) > budget
+
+
+def test_curriculum_phases_partition_the_corpus(spark, sf_dir):
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        _quality_token_prefix,
+        curriculum_token_phases,
+    )
+
+    phases = curriculum_token_phases(spark, sf_dir).toPandas()
+    assert sorted(phases["phase"]) == list(phases["phase"])
+    assert set(phases["phase"]).issubset({1, 2, 3, 4})
+    c = _quality_token_prefix(spark, sf_dir).toPandas()
+    # partition: every doc in exactly one phase, token mass conserved
+    assert int(phases["n_docs"].sum()) == len(c)
+    assert int(phases["phase_tokens"].sum()) == int(
+        c["total_tokens"].iloc[0]
+    )
+    # curriculum monotonicity: earlier phases carry no WORSE minimum
+    # quality than later phases' maxima allow (phase 1 max >= phase 4 min)
+    by_phase = phases.set_index("phase")
+    if 1 in by_phase.index and 4 in by_phase.index:
+        assert (
+            by_phase.loc[1, "min_quality_ppm"]
+            >= by_phase.loc[4, "max_quality_ppm"]
+        ) or len(by_phase) < 4

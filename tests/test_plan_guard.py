@@ -125,6 +125,8 @@ BNLJ_OK = {
     "median_order_by_customer_decile",  # crossJoin of the single-row customer count
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
     "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
+    "token_budget_selection",  # crossJoin of the single-row token total
+    "curriculum_token_phases",  # crossJoin of the single-row token total
     "bpe_encode_token_stats",  # K chained 1-row merge-RULE broadcasts:
     # each un-checkpointed merge round crossJoins the vocabulary against
     # its round's already-materialized 1-row rule relation (bounded by
