@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import as_double, dec
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..functions.text import tokens
+from ..sources.catalog import load_table, spread
 
 
 @register(
@@ -617,4 +618,238 @@ def cms_custom_exact_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overestimate_ppm"),
         )
         .orderBy(F.col("exact_count").desc(), "word")
+    )
+
+
+# --- Exact-oracle KMV (k-minimum-values / theta) distinct sketch ------
+#
+# Third member of the exact-oracle sketch family (HLL m=64, CMS 4x512):
+# the KMV sketch keeps the k smallest distinct 32-bit hashes of a set;
+# the (k-1)/theta estimator gives ~1/sqrt(k-2) stderr, and — unlike
+# HLL — KMV sketches support SET OPERATIONS: the union sketch is the k
+# smallest of the combined value lists, and intersections estimate via
+# the match fraction inside the union sketch (the DataSketches "theta
+# sketch" algebra). Hashes are the md5 32-bit bridge, the estimator is
+# exact integer arithmetic ((k-1) * 2^32 div theta), so sketch,
+# estimates, and errors are all value-checked by the DuckDB oracle.
+KMV_K = 64
+_KMV_2P32 = 2**32
+
+
+def _kmv_oracle() -> str:
+    from .dedup import _MD5_INT32
+
+    h32 = _MD5_INT32.format(col="word")
+    est_num = (KMV_K - 1) * _KMV_2P32
+    return f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+    wh AS (
+        SELECT DISTINCT source, {h32} AS h
+        FROM tok WHERE word <> ''),
+    allh AS (SELECT DISTINCT h FROM wh),
+    grps AS (
+        SELECT source AS grp, h FROM wh
+        UNION ALL SELECT 'ALL' AS grp, h FROM allh),
+    rk AS (
+        SELECT grp, h,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM grps),
+    sk AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+               CAST(MAX(h) AS BIGINT) AS theta_h,
+               CAST(SUM(h) AS BIGINT) AS sketch_checksum
+        FROM rk WHERE rn <= {KMV_K} GROUP BY grp),
+    ex AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM grps GROUP BY grp),
+    base AS (
+        SELECT s.grp, s.n_sketch, s.theta_h, s.sketch_checksum,
+               CAST(CASE WHEN s.n_sketch < {KMV_K} THEN e.exact_distinct
+                    ELSE {est_num} // s.theta_h END AS BIGINT)
+                   AS kmv_estimate,
+               e.exact_distinct
+        FROM sk s JOIN ex e USING (grp)),
+    ss AS (SELECT source FROM (SELECT DISTINCT source FROM documents)
+           ORDER BY source LIMIT 2),
+    sa AS (SELECT MIN(source) AS s FROM ss),
+    sb AS (SELECT MAX(source) AS s FROM ss),
+    abh AS (
+        SELECT DISTINCT h FROM wh
+        WHERE source IN ((SELECT s FROM sa), (SELECT s FROM sb))),
+    absk AS (SELECT h FROM abh ORDER BY h LIMIT {KMV_K}),
+    abst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ab,
+                    CAST(MAX(h) AS BIGINT) AS theta_ab FROM absk),
+    m AS (
+        SELECT k.h FROM absk k
+        WHERE EXISTS (SELECT 1 FROM wh
+                      WHERE wh.source = (SELECT s FROM sa) AND wh.h = k.h)
+          AND EXISTS (SELECT 1 FROM wh
+                      WHERE wh.source = (SELECT s FROM sb) AND wh.h = k.h)),
+    mst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+                   CAST(COALESCE(SUM(h), 0) AS BIGINT) AS match_checksum
+            FROM m),
+    xi AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_int FROM (
+            SELECT h FROM wh WHERE source = (SELECT s FROM sa)
+            INTERSECT
+            SELECT h FROM wh WHERE source = (SELECT s FROM sb))),
+    inter AS (
+        SELECT 'INTERSECT(' || (SELECT s FROM sa) || ','
+                   || (SELECT s FROM sb) || ')' AS grp,
+               mst.n_match AS n_sketch,
+               abst.theta_ab AS theta_h,
+               mst.match_checksum AS sketch_checksum,
+               CAST(CASE WHEN abst.n_ab < {KMV_K} THEN mst.n_match
+                    ELSE (mst.n_match * ({est_num} // abst.theta_ab))
+                         // {KMV_K} END AS BIGINT) AS kmv_estimate,
+               xi.exact_int AS exact_distinct
+        FROM abst, mst, xi),
+    outp AS (SELECT * FROM base UNION ALL SELECT * FROM inter)
+    SELECT grp, n_sketch, theta_h, sketch_checksum, kmv_estimate,
+           exact_distinct,
+           CAST(CASE WHEN exact_distinct = 0 THEN 0
+                ELSE (1000000 * abs(kmv_estimate - exact_distinct))
+                     // exact_distinct END AS BIGINT) AS error_ppm
+    FROM outp ORDER BY grp
+    """
+
+
+@register(
+    "kmv_distinct_setops",
+    oracle=_kmv_oracle(),
+    description=f"G6 custom KMV/theta sketch (k={KMV_K}, md5 32-bit "
+    "hashes, integer-rational (k-1)/theta estimator) over per-source "
+    "distinct tokens, with the union ('ALL') sketch and a theta-algebra "
+    "INTERSECTION estimate between the two first sources — sketch, "
+    "estimates, and errors all value-checked by the DuckDB oracle",
+)
+def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMV as declarative ops: the corpus reduces once to
+    the distinct (source, hash) relation, each group keeps its k
+    smallest hashes via a PARTITIONED rank (input bounded by per-source
+    vocabulary, never corpus size; at extreme scale the same k-smallest
+    is map-side combinable because any partition's candidates below the
+    global theta are a superset of the final sketch). Set algebra runs
+    on the sketches alone: the 'ALL' union re-ranks the merged value
+    lists, and the intersection estimate is (n_match * est_union) div k
+    where n_match counts union-sketch members present in both sides —
+    every relation past the first distinct is <= k rows. Estimator,
+    thresholds, and error_ppm are pure BIGINT arithmetic, identical on
+    both engines (est = (k-1)*2^32 div theta; lossless CASE when a
+    group holds fewer than k values)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = (
+        spread(docs)
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .select(
+            "source",
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("word"), "UTF-8")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    allh = wh.select("h").distinct()
+    grps = wh.select(F.col("source").alias("grp"), "h").unionByName(
+        allh.select(F.lit("ALL").alias("grp"), "h")
+    )
+    rk = grps.withColumn(
+        "rn", F.row_number().over(W.partitionBy("grp").orderBy("h"))
+    )
+    est_num = (KMV_K - 1) * _KMV_2P32
+    sk = (
+        rk.filter(F.col("rn") <= KMV_K)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sketch"),
+            F.max("h").cast("bigint").alias("theta_h"),
+            F.sum("h").cast("bigint").alias("sketch_checksum"),
+        )
+    )
+    ex = grps.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    base = sk.join(ex, "grp").select(
+        "grp",
+        "n_sketch",
+        "theta_h",
+        "sketch_checksum",
+        F.when(F.col("n_sketch") < KMV_K, F.col("exact_distinct"))
+        .otherwise(F.expr(f"{est_num} div theta_h"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )
+    # The two lexicographically-first sources — a bounded driver scalar
+    # (|sources| is a handful; same convention as _doc_tokens's count).
+    srcs = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )[:2]
+    sa, sb = srcs[0], srcs[-1]
+    da = wh.filter(F.col("source") == sa).select("h")
+    db = wh.filter(F.col("source") == sb).select("h")
+    absk = (
+        wh.filter(F.col("source").isin([sa, sb]))
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    abst = absk.agg(
+        F.count("*").cast("bigint").alias("n_ab"),
+        F.max("h").cast("bigint").alias("theta_ab"),
+    )
+    m = F.broadcast(absk).join(da, "h").join(db, "h")
+    mst = m.agg(
+        F.count("*").cast("bigint").alias("n_match"),
+        F.coalesce(F.sum("h"), F.lit(0)).cast("bigint").alias(
+            "match_checksum"
+        ),
+    )
+    xi = (
+        da.intersect(db)
+        .agg(F.count("*").cast("bigint").alias("exact_int"))
+    )
+    inter = (
+        abst.crossJoin(mst)
+        .crossJoin(xi)
+        .select(
+            F.lit(f"INTERSECT({sa},{sb})").alias("grp"),
+            F.col("n_match").alias("n_sketch"),
+            F.col("theta_ab").alias("theta_h"),
+            F.col("match_checksum").alias("sketch_checksum"),
+            F.when(F.col("n_ab") < KMV_K, F.col("n_match"))
+            .otherwise(
+                F.expr(f"(n_match * ({est_num} div theta_ab)) div {KMV_K}")
+            )
+            .cast("bigint")
+            .alias("kmv_estimate"),
+            F.col("exact_int").alias("exact_distinct"),
+        )
+    )
+    return (
+        base.unionByName(inter)
+        .select(
+            "*",
+            F.when(F.col("exact_distinct") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(1000000 * abs(kmv_estimate - exact_distinct))"
+                    " div exact_distinct"
+                )
+            )
+            .cast("bigint")
+            .alias("error_ppm"),
+        )
+        .orderBy("grp")
     )

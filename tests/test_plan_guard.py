@@ -126,6 +126,8 @@ BNLJ_OK = {
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
     "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
     "token_budget_selection",  # crossJoin of the single-row token total
+    "kmv_distinct_setops",  # crossJoins of single-row sketch stats
+    # (theta/match/exact-intersection scalars) + broadcast <=k-row sketch
     "curriculum_token_phases",  # crossJoin of the single-row token total
     "bpe_encode_token_stats",  # K chained 1-row merge-RULE broadcasts:
     # each un-checkpointed merge round crossJoins the vocabulary against

@@ -141,3 +141,35 @@ def test_cms_custom_exact_error_band(spark, sf_dir):
     bound = 3 * total / CMS_W
     for r in rows:
         assert r["cms_estimate"] - r["exact_count"] <= bound, (r, bound)
+
+
+def test_kmv_custom_exact_error_band(spark, sf_dir):
+    """The custom exact-oracle KMV sketch (k=64) must land inside ~2.5x
+    its theoretical stderr (1/sqrt(k-2) ~ 12.7%) on every DISTINCT
+    estimate, the union ('ALL') sketch included; the theta-algebra
+    intersection gets a looser band (its variance compounds the union
+    estimate's), plus structural invariants: sketches never exceed k
+    values and theta is the sketch maximum by construction."""
+    from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_setops,
+    )
+
+    rows = kmv_distinct_setops(spark, sf_dir).collect()
+    grps = {r["grp"] for r in rows}
+    assert "ALL" in grps and any(g.startswith("INTERSECT(") for g in grps)
+    for r in rows:
+        assert r["n_sketch"] <= KMV_K
+        if r["grp"].startswith("INTERSECT("):
+            # match-fraction estimator: k=64 band ~ 2.5/sqrt(n_match)
+            exact, est = r["exact_distinct"], r["kmv_estimate"]
+            band = max(5.0, 0.6 * exact)
+            assert abs(est - exact) <= band, (
+                f"{r['grp']}: est={est} exact={exact} band={band}"
+            )
+        else:
+            assert r["error_ppm"] <= 320_000, (
+                f"{r['grp']}: KMV error {r['error_ppm']} ppm exceeds the "
+                f"2.5x-stderr band (est {r['kmv_estimate']} vs exact "
+                f"{r['exact_distinct']})"
+            )
