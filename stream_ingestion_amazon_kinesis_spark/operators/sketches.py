@@ -853,3 +853,170 @@ def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- Exact-oracle Bloom filter membership audit -----------------------
+#
+# Fourth exact-oracle sketch: an m-bit / d-hash Bloom filter built over
+# the urgent-order customer keys, probed with EVERY customer — the
+# "does this key exist on the other side" pre-filter that saves a full
+# join at 100 TB (Spark's own runtime bloom pushdown is exercised by
+# the join-strategy queries; this one pins the DATA STRUCTURE with an
+# engine-portable hash family so the bits, probes, and false-positive
+# accounting are value-checked cell by cell). Bit positions come from
+# the MinHash module's md5-affine permutations mod m; the "bitmap" is
+# the <= m-row distinct-positions relation (broadcast to probes), so
+# build is one map-side distinct and probe is a broadcast equi-join.
+BLOOM_M = 65536
+BLOOM_D = 3
+
+
+def _bloom_oracle() -> str:
+    from .dedup import _MD5_INT32, _perm_sql
+
+    bh = _MD5_INT32.format(col="CAST(k AS VARCHAR)")
+    ph = _MD5_INT32.format(col="CAST(c_custkey AS VARCHAR)")
+    bit_rows = " UNION ALL ".join(
+        f"SELECT ({_perm_sql(j, 'h', '//')}) % {BLOOM_M} AS pos FROM bh"
+        for j in range(BLOOM_D)
+    )
+    probes = ", ".join(
+        f"({_perm_sql(j, 'h', '//')}) % {BLOOM_M} AS p{j}"
+        for j in range(BLOOM_D)
+    )
+    all_set = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE pos = pp.p{j})"
+        for j in range(BLOOM_D)
+    )
+    return f"""
+    WITH bk AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+    bh AS (SELECT k, {bh} AS h FROM bk),
+    bits AS (SELECT DISTINCT pos FROM ({bit_rows})),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+    pp AS (
+        SELECT c_custkey, c_mktsegment, {probes}
+        FROM (SELECT c_custkey, c_mktsegment, {ph} AS h FROM customer)),
+    fl AS (
+        SELECT c_mktsegment,
+               ({all_set}) AS bloom_pos,
+               EXISTS (SELECT 1 FROM bk WHERE bk.k = pp.c_custkey)
+                   AS member
+        FROM pp)
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(COUNT(*) FILTER (member) AS BIGINT) AS true_members,
+           CAST(COUNT(*) FILTER (bloom_pos) AS BIGINT) AS bloom_positives,
+           CAST(COUNT(*) FILTER (bloom_pos AND NOT member) AS BIGINT)
+               AS false_positives,
+           CAST(CASE WHEN COUNT(*) = COUNT(*) FILTER (member) THEN 0
+                ELSE (1000000 * COUNT(*) FILTER (bloom_pos AND NOT member))
+                     // (COUNT(*) - COUNT(*) FILTER (member)) END
+                AS BIGINT) AS fpr_ppm,
+           (SELECT n_bits_set FROM nb) AS n_bits_set
+    FROM fl GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "bloom_membership_audit",
+    oracle=_bloom_oracle(),
+    description=f"G6 custom Bloom filter ({BLOOM_M} bits, {BLOOM_D} "
+    "md5-affine hashes) over urgent-order customer keys, probed with "
+    "every customer — per-segment membership, false-positive counts, "
+    "and fpr_ppm all value-checked by the DuckDB oracle (zero false "
+    "negatives by construction)",
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom build+probe as declarative ops: the build side
+    reduces to distinct urgent customers, fans each key to d bit
+    positions, and distincts to the <= m-row bits relation — map-side
+    combinable, broadcast once. Probes explode to d (key, position)
+    rows and equi-join the broadcast bits; a key is bloom-positive iff
+    ALL its d rows matched (SUM(hit) = d works even when a key's
+    positions collide — colliding rows match identically). The exact
+    member flag rides a broadcast semi-ish left join against the same
+    build relation, making false_positives and fpr_ppm value-checked
+    columns; bloom_positives >= true_members (no false negatives) is
+    pinned in tests."""
+    from .dedup import _perm_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    h32 = lambda c: (  # noqa: E731 — md5 32-bit bridge, both engines
+        F.conv(
+            F.substring(F.md5(F.encode(c.cast("string"), "UTF-8")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    )
+    bh = bk.select("k", h32(F.col("k")).alias("h"))
+    pos = [
+        (F.expr(_perm_sql(j, "h", "div")) % BLOOM_M).cast("long")
+        for j in range(BLOOM_D)
+    ]
+    bits = (
+        bh.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+    nb = bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+    pp = cust.select(
+        "c_custkey", "c_mktsegment", h32(F.col("c_custkey")).alias("h")
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.posexplode(F.array(*pos)).alias("j", "pos"),
+    )
+    hits = (
+        pp.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_D).alias(
+                "bloom_pos"
+            )
+        )
+    )
+    fl = hits.join(
+        F.broadcast(bk.withColumn("is_m", F.lit(True))),
+        hits.c_custkey == F.col("k"),
+        "left",
+    ).select(
+        "c_mktsegment",
+        "bloom_pos",
+        F.coalesce(F.col("is_m"), F.lit(False)).alias("member"),
+    )
+    agg = fl.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.count_if(F.col("member")).cast("bigint").alias("true_members"),
+        F.count_if(F.col("bloom_pos"))
+        .cast("bigint")
+        .alias("bloom_positives"),
+        F.count_if(F.col("bloom_pos") & ~F.col("member"))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+    return (
+        agg.select(
+            "*",
+            F.when(
+                F.col("n_probed") == F.col("true_members"), F.lit(0)
+            )
+            .otherwise(
+                F.expr(
+                    "(1000000 * false_positives)"
+                    " div (n_probed - true_members)"
+                )
+            )
+            .cast("bigint")
+            .alias("fpr_ppm"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .orderBy("segment")
+    )

@@ -126,6 +126,7 @@ BNLJ_OK = {
     "pareto_cutpoint_customers",  # crossJoin of the single-row totals row
     "epoch_shuffle_audit",  # crossJoin of the single-row corpus count
     "token_budget_selection",  # crossJoin of the single-row token total
+    "bloom_membership_audit",  # crossJoin of the single-row n_bits_set
     "kmv_distinct_setops",  # crossJoins of single-row sketch stats
     # (theta/match/exact-intersection scalars) + broadcast <=k-row sketch
     "curriculum_token_phases",  # crossJoin of the single-row token total

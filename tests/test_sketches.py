@@ -173,3 +173,25 @@ def test_kmv_custom_exact_error_band(spark, sf_dir):
                 f"2.5x-stderr band (est {r['kmv_estimate']} vs exact "
                 f"{r['exact_distinct']})"
             )
+
+
+def test_bloom_membership_no_false_negatives_and_sane_fpr(spark, sf_dir):
+    """Bloom invariants: every true member is bloom-positive (zero
+    false negatives — the filter's defining guarantee), the bit count
+    never exceeds m, and at fixture scale the false-positive rate stays
+    far from saturation (n*d << m here)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.sketches import (
+        BLOOM_M,
+        bloom_membership_audit,
+    )
+
+    rows = bloom_membership_audit(spark, sf_dir).collect()
+    assert len(rows) >= 3  # market segments
+    for r in rows:
+        assert r["bloom_positives"] >= r["true_members"], r
+        assert (
+            r["false_positives"]
+            == r["bloom_positives"] - r["true_members"]
+        ), r
+        assert r["n_bits_set"] <= BLOOM_M
+        assert r["fpr_ppm"] <= 500_000, r
