@@ -1220,3 +1220,115 @@ def curriculum_token_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# --- Weighted priority sampling (Duffield–Lund–Thorup) ----------------
+#
+# The one-pass weighted sample-without-replacement a curation pipeline
+# uses to pull a fixed-size, long-document-biased audit set from an
+# unbounded corpus: each doc gets priority = weight * 2^32 div u for a
+# deterministic md5 uniform u in [1, 2^32], and the sample is the
+# top-k by priority — a single TakeOrderedAndProject pass, mergeable
+# across partitions/days by construction (keep each side's top-k,
+# re-rank). Priorities are pure BIGINT arithmetic (w * 2^32 < 2^63 for
+# any document under ~2^31 tokens), so the sampled SET is value-checked
+# exactly. (The DLT tau-threshold weight ESTIMATOR is intentionally not
+# emitted: tau * u overflows int64 in the general case, and a float
+# rendition would break the exact-oracle discipline.)
+PRIORITY_SAMPLE_K = 100
+
+
+@register(
+    "priority_sample_weighted",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS w
+        FROM documents),
+    p AS (
+        SELECT doc_id, source, w,
+               (w * 4294967296) //
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) AS pri
+        FROM d),
+    s AS (SELECT * FROM p ORDER BY pri DESC, doc_id
+          LIMIT {PRIORITY_SAMPLE_K}),
+    cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(w) AS BIGINT) AS total_weight
+           FROM d GROUP BY source),
+    sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                  CAST(SUM(w) AS BIGINT) AS weight_sampled,
+                  CAST(SUM(doc_id) AS BIGINT) AS sampled_id_checksum
+           FROM s GROUP BY source)
+    SELECT c.source, c.n_docs, c.total_weight,
+           CAST(COALESCE(sc.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(sc.weight_sampled, 0) AS BIGINT)
+               AS weight_sampled,
+           CAST(COALESCE(sc.sampled_id_checksum, 0) AS BIGINT)
+               AS sampled_id_checksum
+    FROM cs c LEFT JOIN sc ON sc.source = c.source
+    ORDER BY c.source
+    """,
+    description=f"G17 curation: Duffield-Lund-Thorup weighted priority "
+    f"sample (k={PRIORITY_SAMPLE_K}, token-count weights, md5 uniforms, "
+    "BIGINT priorities) — one TakeOrderedAndProject pass; per-source "
+    "census with sampled-id checksum, value-checked exactly",
+)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement in one distributed pass:
+    pri = w * 2^32 div (md5_32(doc_id) + 1) simulates the w/uniform
+    priority draw with a reproducible hash uniform, and top-k by
+    (pri desc, doc_id) is the sample — longer documents win
+    proportionally more slots, yet the plan is just the pinned
+    TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), the cheapest possible shape at 100 TB. The census joins the
+    sample back to per-source corpus totals so inclusion bias is
+    auditable; the checksum value-checks the exact sampled id set."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = spread(docs).select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    p = d.withColumn("u", u).withColumn(
+        "pri", F.expr("(w * 4294967296) div u")
+    )
+    s = p.orderBy(F.col("pri").desc(), "doc_id").limit(PRIORITY_SAMPLE_K)
+    cs = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+    )
+    sc = s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("w").cast("bigint").alias("weight_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sampled_id_checksum"),
+    )
+    return (
+        cs.join(F.broadcast(sc), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_weight",
+            F.coalesce("n_sampled", F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce("weight_sampled", F.lit(0))
+            .cast("bigint")
+            .alias("weight_sampled"),
+            F.coalesce("sampled_id_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("sampled_id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -336,3 +336,21 @@ def test_curriculum_phases_partition_the_corpus(spark, sf_dir):
             by_phase.loc[1, "min_quality_ppm"]
             >= by_phase.loc[4, "max_quality_ppm"]
         ) or len(by_phase) < 4
+
+
+def test_priority_sample_is_weighted_and_fixed_size(spark, sf_dir):
+    """DLT priority sampling: exactly k docs sampled overall, and the
+    token-weighted draw biases toward long documents — the sampled
+    mean weight must exceed the corpus mean (w/u priorities make a
+    doc's win probability proportional to its weight)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.curation import (
+        PRIORITY_SAMPLE_K,
+        priority_sample_weighted,
+    )
+
+    rows = priority_sample_weighted(spark, sf_dir).toPandas()
+    n_docs = int(rows["n_docs"].sum())
+    assert int(rows["n_sampled"].sum()) == min(PRIORITY_SAMPLE_K, n_docs)
+    mean_corpus = rows["total_weight"].sum() / n_docs
+    mean_sample = rows["weight_sampled"].sum() / rows["n_sampled"].sum()
+    assert mean_sample > mean_corpus
