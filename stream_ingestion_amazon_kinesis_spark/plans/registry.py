@@ -37,6 +37,31 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Names in @register() call order — stable per code version, unlike
+# QUERIES' dict order (which _reorder_priority mutates).
+REGISTRATION_ORDER: list[str] = []
+
+# Fast-track queue for the driver window: the newest operators, named
+# EXPLICITLY (registration order is module-import order, so it cannot
+# tell a brand-new op from an old one in a late-imported module). Each
+# round appends its new query names; entries fall out of the window
+# automatically once a committed CORRECTNESS record stamps them, so the
+# list only ever fronts still-unproven ops and stale entries are
+# harmless. Maintained at round close alongside the ROUND file.
+ROTATION_FRONT: list[str] = [
+    # round-10 post-gate operators (r10 verdict ask #6)
+    "canonical_dedup_selection",
+    "hll_custom_exact_distinct",
+    "cms_custom_exact_frequencies",
+    "bpe_encode_token_stats",
+    # round-11 additions
+    "token_budget_selection",
+    "curriculum_token_phases",
+    "kmv_distinct_setops",
+    "bloom_membership_audit",
+    "priority_sample_weighted",
+]
+
 # Pre-checkpoint intermediate plans for the pin/guard machinery
 # (verdict r9 #2): operators whose registry entry eagerly
 # localCheckpoints (lineage-truncating their real join/agg shapes out
@@ -96,6 +121,7 @@ def register(
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = QuerySpec(name, fn, oracle, description, twin_test)
+        REGISTRATION_ORDER.append(name)
         return fn
 
     return deco
@@ -274,21 +300,34 @@ def priority_head(
     a rotation slice, NEVER-STAMPED queries first.
 
     Rotation slots draw from the pool names that have no driver-stamped
-    correctness record yet (sorted-name order — deterministic, derived
-    only from committed artifacts), so every round maximizes cumulative
-    driver-checked coverage and newly-registered operators front the
-    very next window. Freshness across rounds comes from stamping
-    itself: this round's window lands in CORRECTNESS_r{N}.json, which
-    removes it from the next round's unstamped set. Only when the
-    unstamped set no longer fills the slots does the walk fall back to
-    the classic offset ring over already-stamped names
-    ((round-1)*slots mod |ring|), re-cycling the whole surface."""
+    correctness record yet (stamped = union of committed
+    CORRECTNESS_r*.json keys — deterministic), ROTATION_FRONT names
+    first (the explicitly fast-tracked newest operators), then
+    sorted-name order — so every round maximizes cumulative
+    driver-checked coverage and the least-proven, freshest operators
+    land in front of the driver the very next round. Freshness across
+    rounds comes from stamping itself: this round's window lands in
+    CORRECTNESS_r{N}.json, which removes it from the next round's
+    unstamped set. Only when the unstamped set no longer fills the
+    slots does the walk fall back to the classic offset ring over
+    already-stamped names ((round-1)*slots mod |ring|), re-cycling the
+    whole surface."""
     pool = rotation_pool()
     slots = WINDOW_SIZE - len(PRIORITY_ANCHORS)
     assert 0 < slots <= len(pool), (len(PRIORITY_ANCHORS), len(pool))
     if stamped is None:
         stamped = stamped_names()
-    unstamped = [n for n in pool if n not in stamped]
+    pool_set = set(pool)
+    front = [
+        n
+        for n in ROTATION_FRONT
+        if n in pool_set and n not in stamped
+    ]
+    unstamped = front + [
+        n
+        for n in pool
+        if n not in stamped and n not in set(front)
+    ]
     rot = unstamped[:slots]
     if len(rot) < slots:
         ring = [n for n in pool if n in stamped]

@@ -78,18 +78,28 @@ def test_window_is_fully_oracle_backed():
 
 
 def test_rotation_rule_is_deterministic_and_unstamped_first():
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        ROTATION_FRONT,
+    )
+
     pool = rotation_pool()
+    pool_set = set(pool)
     slots = WINDOW_SIZE - len(PRIORITY_ANCHORS)
     n_anchor = len(PRIORITY_ANCHORS)
     # deterministic: same (round, stamped set) -> same window
     assert priority_head(10) == priority_head(10)
-    # unstamped-first: with enough unstamped names the slots are exactly
-    # the first `slots` unstamped pool names in sorted order, regardless
-    # of round number
+    # unstamped-first, fast-track front: with enough unstamped names
+    # the slots are the unstamped ROTATION_FRONT entries then sorted
+    # unstamped pool names, regardless of round number
     stamped = set(pool[: len(pool) // 2])
     h = priority_head(10, stamped=stamped)
     assert h[:n_anchor] == PRIORITY_ANCHORS
-    unstamped = [n for n in pool if n not in stamped]
+    front = [
+        n for n in ROTATION_FRONT if n in pool_set and n not in stamped
+    ]
+    unstamped = front + [
+        n for n in pool if n not in stamped and n not in set(front)
+    ]
     assert h[n_anchor:] == unstamped[:slots]
     assert priority_head(3, stamped=stamped) == h  # round-independent
     # simulated driver progression: each round stamps its window; every
@@ -112,8 +122,29 @@ def test_rotation_rule_is_deterministic_and_unstamped_first():
     # the stamped ring, no duplicates
     few = [n for n in pool if n not in set(pool[:3])]
     hp = priority_head(5, stamped=set(few))
-    assert hp[n_anchor : n_anchor + 3] == pool[:3]
+    assert set(hp[n_anchor : n_anchor + 3]) == set(pool[:3])
     assert len(set(hp)) == 50
+
+
+def test_window_fronts_newest_post_gate_operators():
+    # The concrete r10-verdict ask: the round-11 window must carry at
+    # least 2 of the 4 round-10 post-gate operators. Newest-first makes
+    # all still-unstamped ones appear.
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        stamped_names,
+    )
+
+    post_gate = {
+        "hll_custom_exact_distinct",
+        "cms_custom_exact_frequencies",
+        "bpe_encode_token_stats",
+        "canonical_dedup_selection",
+    }
+    unstamped_post = post_gate - stamped_names()
+    in_window = post_gate & set(PRIORITY_HEAD)
+    assert unstamped_post <= in_window
+    if stamped_names():  # on the real artifact tree: >= 2 present
+        assert len(in_window) >= 2, in_window
 
 
 def test_current_round_derivation_matches_artifacts():
