@@ -106,6 +106,11 @@ HEADLINE = [
     # round-10 addition: two-level IVF — the ANN scale path past the
     # flat quantizer's broadcast ceiling (verdict r9 #3)
     "ann_ivf2_topk",
+    # round-11 additions: quality-ordered budget curation on the
+    # two-pass distributed prefix sum, and the KMV/theta sketch with
+    # set-operation estimates (<= k-row relations after one distinct)
+    "token_budget_selection",
+    "kmv_distinct_setops",
 ]
 
 # The lower scale factor used for the scaling slope, keyed by primary sf.

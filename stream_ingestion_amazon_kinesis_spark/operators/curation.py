@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import mulmod32_sql
 from ..functions.text import tokens
-from ..plans.registry import register
+from ..plans.registry import EXTRA_PLAN_BUILDERS, register
 from ..sources.catalog import load_table, spread
 from .dedup import TOKEN_DF_CAP_SQL
 from .corpus_quality import (
@@ -1104,17 +1104,17 @@ _QUALITY_PREFIX_SQL = """
         FROM r)"""
 
 
-def _quality_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_tokens, quality_ppm, cum_tokens, total_tokens)
-    with cum_tokens = inclusive running token sum in (quality_ppm desc,
-    doc_id) order — the shared sweep for the budget-selection and
-    curriculum-phase queries. total_tokens rides every row via a
-    broadcast 1-row crossJoin (bounded; see BNLJ_OK)."""
-    from .analytics import _distributed_prefix
-
+def _quality_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, quality_ppm) — one compute-bound
+    tokenizing pass over the corpus. Callers localCheckpoint it: the
+    result is doc-count-sized (tiny next to the text it summarizes) and
+    feeds 4+ downstream subtrees (quantile probe, local rank, bucket
+    sizes, corpus totals) that would each re-tokenize otherwise
+    (measured sf0.1: 3.2 s -> ~1.4 s warm). The raw plan stays guard/
+    pin-visible via EXTRA_PLAN_BUILDERS."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
-    r = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -1127,6 +1127,17 @@ def _quality_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_ppm"
         ),
     )
+
+
+def _quality_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, quality_ppm, cum_tokens, total_tokens)
+    with cum_tokens = inclusive running token sum in (quality_ppm desc,
+    doc_id) order — the shared sweep for the budget-selection and
+    curriculum-phase queries. total_tokens rides every row via a
+    broadcast 1-row crossJoin (bounded; see BNLJ_OK)."""
+    from .analytics import _distributed_prefix
+
+    r = _quality_relation(spark, sf_dir).localCheckpoint(eager=True)
     ranked = _distributed_prefix(
         r.withColumn("neg_q", (-F.col("quality_ppm")).cast("bigint")),
         ["neg_q", "doc_id"],
@@ -1332,3 +1343,11 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Pre-checkpoint plan of the shared quality relation (the
+# token_budget_selection / curriculum_token_phases input whose eager
+# localCheckpoint otherwise truncates it out of guard/pin sight).
+EXTRA_PLAN_BUILDERS["token_budget_selection::quality_relation"] = (
+    _quality_relation
+)
