@@ -2510,3 +2510,136 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- Matryoshka truncation recall audit -------------------------------
+#
+# Matryoshka-style embeddings are served truncated (the first D' of D
+# dims) to cut index cost; the audit a pipeline runs before flipping
+# that switch is exactly this query: re-rank the ANN ground truth under
+# the truncated metric and measure the overlap of the top-k sets. Both
+# rankings run in one corpus x broadcast-queries pass (two window ranks
+# over the same joined relation); cosines round to 6 dp before ranking
+# with the neighbor id tiebreak — the established cross-engine ANN
+# regime (ann_topk_cosine) — so the full ranking, truncated ranking,
+# and overlap census are all value-checked by the DuckDB oracle.
+MRL_TRUNC_DIM = 16
+
+
+@register(
+    "ann_matryoshka_truncation_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.e, c.e), 6) AS sim_full,
+               ROUND(list_cosine_similarity(
+                   q.e[1:{MRL_TRUNC_DIM}], c.e[1:{MRL_TRUNC_DIM}]), 6)
+                   AS sim_trunc
+        FROM q JOIN c ON q.vec_id <> c.vec_id),
+    rk AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim_full DESC, neighbor_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim_trunc DESC, neighbor_id) AS rt
+        FROM sims)
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (rf <= {TOP_K} AND rt <= {TOP_K})
+                AS BIGINT) AS n_overlap,
+           CAST((1000000 * COUNT(*) FILTER (rf <= {TOP_K} AND
+                                            rt <= {TOP_K})) // {TOP_K}
+                AS BIGINT) AS recall_ppm,
+           CAST(SUM(neighbor_id) FILTER (rf <= {TOP_K}) AS BIGINT)
+               AS full_ids_checksum,
+           CAST(SUM(neighbor_id) FILTER (rt <= {TOP_K}) AS BIGINT)
+               AS trunc_ids_checksum
+    FROM rk GROUP BY query_id ORDER BY query_id
+    """,
+    description=f"G17 matryoshka audit: top-{TOP_K} overlap between the "
+    f"full-dimension cosine ranking and the first-{MRL_TRUNC_DIM}-dims "
+    "truncated ranking per query — the recall check before serving "
+    "truncated embeddings; rankings and checksums value-checked",
+)
+def ann_matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One corpus scan answers both rankings: the broadcast query set
+    carries full and truncated (slice) vectors with precomputed norms,
+    each corpus row emits sim_full and sim_trunc, and two PARTITIONED
+    window ranks (per query — bounded fan-in) produce the top-k flags
+    the census aggregates. Per-query recall_ppm quantifies the
+    truncation loss; the id checksums value-check the exact top-k SETS
+    on both engines. Scale: identical shape to ann_topk_cosine (the
+    documented O(N*Q) baseline — the IVF entries are the indexed
+    path), just two ranks instead of one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = lambda c: F.slice(c, 1, MRL_TRUNC_DIM)  # noqa: E731
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+        tr(F.col("embedding")).alias("q_emb_t"),
+        norm(tr(F.col("embedding"))).alias("q_norm_t"),
+    )
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+        tr(F.col("embedding")).alias("c_emb_t"),
+        norm(tr(F.col("embedding"))).alias("c_norm_t"),
+    )
+    sims = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_pre(
+                F.col("q_emb"), F.col("c_emb"),
+                F.col("q_norm"), F.col("c_norm"),
+            ),
+            6,
+        ).alias("sim_full"),
+        F.round(
+            cosine_pre(
+                F.col("q_emb_t"), F.col("c_emb_t"),
+                F.col("q_norm_t"), F.col("c_norm_t"),
+            ),
+            6,
+        ).alias("sim_trunc"),
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), "neighbor_id"
+    )
+    wt = W.partitionBy("query_id").orderBy(
+        F.col("sim_trunc").desc(), "neighbor_id"
+    )
+    rk = sims.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    in_f = F.col("rf") <= TOP_K
+    in_t = F.col("rt") <= TOP_K
+    return (
+        rk.groupBy("query_id")
+        .agg(
+            F.count_if(in_f & in_t).cast("bigint").alias("n_overlap"),
+            F.expr(
+                f"CAST((1000000 * count_if(rf <= {TOP_K} AND"
+                f" rt <= {TOP_K})) div {TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.sum(F.when(in_f, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("full_ids_checksum"),
+            F.sum(F.when(in_t, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("trunc_ids_checksum"),
+        )
+        .orderBy("query_id")
+    )

@@ -76,6 +76,9 @@ BNLJ_OK = {
     "ann_topk_cosine",  # corpus x broadcast 8-query set (by design O(N*Q))
     "ann_hard_negatives",  # corpus x broadcast 8-query set, label non-equi
     "ann_range_search_cosine",  # corpus x broadcast 8-query set (radius)
+    "ann_matryoshka_truncation_recall",  # corpus x broadcast 8-query set
+    # (two rankings in one pass; O(N*Q) baseline by design, like
+    # ann_topk_cosine — the IVF entries are the indexed path)
     "knn_label_accuracy",  # all-pairs eval harness by design; production
     # path is the IVF cell join (see docstring)
     "ann_ivf_topk",  # corpus x broadcast centroid/probe sets

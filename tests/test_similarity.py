@@ -151,3 +151,23 @@ def test_ivf_kmeans_honors_large_cell_request(spark):
     # more cells than vectors: clamped to the corpus (cannot exceed n)
     got2 = ivf_centroids_kmeans(emb, n_cells=100).count()
     assert got2 == 64
+
+
+def test_matryoshka_truncation_recall_bounds(spark, sf_dir):
+    """Structural invariants: overlap in [0, k], recall_ppm consistent
+    with n_overlap, and checksums positive for every query; truncation
+    keeps SOME signal (mean recall above a random-baseline floor)."""
+    from stream_ingestion_amazon_kinesis_spark.operators.similarity import (
+        TOP_K,
+        ann_matryoshka_truncation_recall,
+    )
+
+    rows = ann_matryoshka_truncation_recall(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert r["recall_ppm"] == (1_000_000 * r["n_overlap"]) // TOP_K
+        assert r["full_ids_checksum"] > 0
+        assert r["trunc_ids_checksum"] > 0
+    mean_recall = sum(r["n_overlap"] for r in rows) / (len(rows) * TOP_K)
+    assert mean_recall > 0.05  # far above the ~k/N random floor
