@@ -344,11 +344,15 @@ _HLL_2W = 1 << HLL_W  # bucket divisor
 _HLL_2RMAX = 1 << HLL_RMAX  # absent-register harmonic term
 
 
-def _hll_oracle() -> str:
+def _hll_oracle(
+    table: str = "lineitem",
+    grp_sql: str = "l_returnflag",
+    key_sql: str = "CAST(l_orderkey AS VARCHAR)",
+) -> str:
     return f"""
     WITH k AS (
-        SELECT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS key
-        FROM lineitem),
+        SELECT {grp_sql} AS grp, {key_sql} AS key
+        FROM {table}),
     h AS (
         SELECT grp, key,
                CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS h
@@ -416,6 +420,25 @@ def hll_custom_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_orderkey").cast("string").alias("key"),
     )
+    regs = hll_registers(keys)
+    ex = (
+        keys.groupBy("grp")
+        .agg(F.countDistinct("key").cast("bigint").alias("exact_distinct"))
+        .unionByName(
+            keys.agg(
+                F.countDistinct("key").cast("bigint").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+        )
+    )
+    return hll_report(regs.unionByName(hll_merge_all(regs)), ex)
+
+
+def hll_registers(keys: DataFrame) -> DataFrame:
+    """(grp, key) -> the (grp, bucket, m_j) register relation: md5
+    32-bit hash split into bucket/rank, registers via groupBy MAX —
+    the map-side-combinable sketch build. Shared by the batch query and
+    the streaming twin (whose MAX the micro-batch engine maintains
+    incrementally)."""
     h = F.conv(
         F.substring(F.md5(F.encode(F.col("key"), "UTF-8")), 1, 8), 16, 10
     ).cast("long")
@@ -428,13 +451,23 @@ def hll_custom_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h / F.lit(_HLL_2W)).cast("long").alias("bucket"),
         rank.cast("long").alias("rank"),
     )
-    regs = rk.groupBy("grp", "bucket").agg(F.max("rank").alias("m_j"))
-    allregs = (
+    return rk.groupBy("grp", "bucket").agg(F.max("rank").alias("m_j"))
+
+
+def hll_merge_all(regs: DataFrame) -> DataFrame:
+    """Register-level max-merge of every group's sketch into one 'ALL'
+    sketch — bytes, not data, are re-aggregated."""
+    return (
         regs.groupBy("bucket")
         .agg(F.max("m_j").alias("m_j"))
         .select(F.lit("ALL").alias("grp"), "bucket", "m_j")
     )
-    both = regs.unionByName(allregs)
+
+
+def hll_report(both: DataFrame, ex: DataFrame) -> DataFrame:
+    """(grp, bucket, m_j) registers + (grp, exact_distinct) audit ->
+    the estimator output (integer-rational alpha_64 arithmetic,
+    identical on both engines)."""
     st = both.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_set"),
         F.sum((F.col("bucket") + 1) * F.col("m_j"))
@@ -456,15 +489,6 @@ def hll_custom_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_HLL_EST_NUM} div ({HLL_ALPHA_DEN} *"
             f" (s_present + ({HLL_M} - n_set) * {_HLL_2RMAX}))"
         ).alias("hll_estimate"),
-    )
-    ex = (
-        keys.groupBy("grp")
-        .agg(F.countDistinct("key").cast("bigint").alias("exact_distinct"))
-        .unionByName(
-            keys.agg(
-                F.countDistinct("key").cast("bigint").alias("exact_distinct")
-            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
-        )
     )
     return (
         est.join(ex, "grp")

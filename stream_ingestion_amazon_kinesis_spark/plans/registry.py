@@ -60,6 +60,8 @@ ROTATION_FRONT: list[str] = [
     "kmv_distinct_setops",
     "bloom_membership_audit",
     "priority_sample_weighted",
+    "ann_matryoshka_truncation_recall",
+    "streaming_hll_distinct_live",
 ]
 
 # Pre-checkpoint intermediate plans for the pin/guard machinery

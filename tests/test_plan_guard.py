@@ -55,6 +55,7 @@ SIDE_EFFECT = {
     "streaming_scd2_pointintime_live",
     "streaming_observe_quality_live",
     "streaming_quality_funnel_live",
+    "streaming_hll_distinct_live",
     "sql_ddl_ctas_insert_roundtrip",
     "binaryfile_scan_media",
     "csv_corrupt_quarantine_scan",
