@@ -38,3 +38,25 @@ def test_no_oracle_string_patching():
         "shared prefix constant + explicit tail instead:\n"
         + "\n".join(offenders)
     )
+
+
+def test_readme_surface_counts_match_registry():
+    import re
+
+    from stream_ingestion_amazon_kinesis_spark.plans.registry import (
+        QUERIES,
+        _load_all,
+    )
+
+    _load_all()
+    readme = os.path.join(os.path.dirname(_PKG), "README.md")
+    with open(readme, encoding="utf-8") as f:
+        m = re.search(
+            r"(\d+) registered queries \((\d+) with exact", f.read()
+        )
+    assert m, "README surface-count sentence missing"
+    n_oracle = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), n_oracle), (
+        f"README says {m.groups()}, registry has "
+        f"({len(QUERIES)}, {n_oracle}) — update README.md"
+    )
