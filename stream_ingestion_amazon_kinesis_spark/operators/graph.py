@@ -931,3 +931,124 @@ def two_hop_reach_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- Bounded BFS layers (frontier joins) -------------------------------
+#
+# The distributed BFS shape every graph engine reduces to: per round,
+# the FRONTIER (not the graph, not the visited set) drives one equi-join
+# against the edge relation, an anti-join against visited prunes
+# re-discoveries, and only the frontier/visited node relations carry
+# state between rounds. Depth is bounded (3), so the plan is 3 bounded
+# join rounds over a localCheckpointed edge relation — the same
+# fixpoint discipline as pagerank/connected_components. Seeds are the
+# 4 lowest part keys; distances are min-hop by construction (a node
+# enters at its FIRST discovery round and is pruned forever after).
+BFS_MAX_DEPTH = 3
+BFS_SEEDS = 8  # parts with partkey < BFS_SEEDS
+BFS_MIN_W = 2  # repeat-co-occurrence edges only (sparse backbone)
+
+
+def _bfs_oracle() -> str:
+    layers = ["""
+    l0 AS (SELECT DISTINCT l_partkey AS n FROM lineitem
+           WHERE l_partkey < {seeds})""".format(seeds=BFS_SEEDS)]
+    seen = "SELECT n FROM l0"
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        layers.append(f"""
+    l{d} AS (
+        SELECT DISTINCT e.dst AS n
+        FROM l{d - 1} f JOIN edges e ON e.src = f.n
+        WHERE e.dst NOT IN ({seen}))""")
+        seen += f" UNION SELECT n FROM l{d}"
+    union_layers = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dist, n FROM l{d}"
+        for d in range(BFS_MAX_DEPTH + 1)
+    )
+    return f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    {",".join(layers)},
+    lay AS ({union_layers}),
+    unreached AS (
+        SELECT CAST(-1 AS BIGINT) AS dist, l_partkey AS n
+        FROM (SELECT DISTINCT l_partkey FROM lineitem)
+        WHERE l_partkey NOT IN (SELECT n FROM lay)),
+    allrows AS (SELECT * FROM lay UNION ALL SELECT * FROM unreached)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n) AS BIGINT) AS node_checksum
+    FROM allrows GROUP BY dist ORDER BY dist
+    """
+
+
+@register(
+    "bfs_reach_layers_parts",
+    oracle=_bfs_oracle(),
+    description=f"iterative graph analytics: bounded BFS (depth "
+    f"{BFS_MAX_DEPTH}) from the {BFS_SEEDS} lowest part keys over "
+    "the co-occurrence graph via frontier equi-joins + visited "
+    "anti-joins — per-distance census with node checksum, exact "
+    "unrolled-layer DuckDB oracle (incl. the unreached remainder)",
+)
+def bfs_reach_layers_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frontier-driven BFS: each round shuffles only the frontier
+    against the edge key (never the visited set, never the full graph),
+    the visited relation grows monotonically and is anti-joined to
+    prune re-discoveries, and both carry across rounds as
+    localCheckpointed bounded relations. At 100 TB this is the plan a
+    Pregel superstep compiles to — per-round cost proportional to the
+    frontier's edge fan-out. Census output (per-distance node count +
+    checksum) value-checks the exact layer SETS, min-hop semantics
+    included, against the unrolled oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= BFS_MIN_W)
+        .select("src", "dst")
+        .localCheckpoint()  # 3 frontier rounds reuse edges
+    )
+    nodes = os_.select(F.col("l_partkey").alias("n")).distinct()
+    frontier = nodes.filter(F.col("n") < BFS_SEEDS).localCheckpoint()
+    visited = frontier.withColumn("dist", F.lit(0).cast("bigint"))
+    layers = [visited]
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.n == edges.src)
+            .select(F.col("dst").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .localCheckpoint()
+        )
+        layer = nxt.withColumn("dist", F.lit(d).cast("bigint"))
+        layers.append(layer)
+        visited = visited.unionByName(layer).localCheckpoint()
+        frontier = nxt
+    unreached = nodes.join(visited.select("n"), "n", "left_anti").withColumn(
+        "dist", F.lit(-1).cast("bigint")
+    )
+    allrows = visited.unionByName(unreached)
+    return (
+        allrows.groupBy("dist")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("n").cast("bigint").alias("node_checksum"),
+        )
+        .orderBy("dist")
+    )

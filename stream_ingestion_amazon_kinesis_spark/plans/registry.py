@@ -62,6 +62,7 @@ ROTATION_FRONT: list[str] = [
     "priority_sample_weighted",
     "ann_matryoshka_truncation_recall",
     "streaming_hll_distinct_live",
+    "bfs_reach_layers_parts",
 ]
 
 # Pre-checkpoint intermediate plans for the pin/guard machinery

@@ -166,3 +166,30 @@ def test_distributed_twins_agree_with_audit_forms(spark, sf_dir):
         a = sorted(map(tuple, QUERIES[exact].fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, QUERIES[dist].fn(spark, sf_dir).collect()))
         assert a == b, f"{dist} diverged from {exact}"
+
+
+def test_bfs_layers_are_disjoint_min_hop_and_complete(spark, sf_dir):
+    """BFS invariants: layer 0 is exactly the seed set, distances are
+    min-hop (a node appears in exactly one layer), every node is
+    accounted for (layers + unreached = node universe), and layer d>0
+    is non-empty only if layer d-1 was."""
+    from stream_ingestion_amazon_kinesis_spark.operators.graph import (
+        BFS_SEEDS,
+        bfs_reach_layers_parts,
+    )
+    from stream_ingestion_amazon_kinesis_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r["dist"]: (r["n_nodes"], r["node_checksum"])
+        for r in bfs_reach_layers_parts(spark, sf_dir).collect()
+    }
+    n_seeds = rows[0][0]
+    assert n_seeds <= BFS_SEEDS
+    assert rows[0][1] == sum(range(BFS_SEEDS))  # seed ids 0..7 checksum
+    li = load_table(spark, sf_dir, "lineitem")
+    universe = li.select("l_partkey").distinct().count()
+    assert sum(n for n, _ in rows.values()) == universe
+    dists = sorted(d for d in rows if d >= 0)
+    assert dists == list(range(len(dists)))  # contiguous layers from 0
