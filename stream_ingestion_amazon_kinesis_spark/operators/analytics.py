@@ -2571,7 +2571,16 @@ def _distributed_rank(
     bkt = F.lit(0)
     for b in sorted(set(bounds)):
         bkt = bkt + F.when(key > F.lit(b), 1).otherwise(0)
-    part = df.withColumn("_bkt", bkt.cast("int"))
+    # `part` feeds BOTH the local-rank window and the bucket-size
+    # aggregate below; without materialization each consumer re-executes
+    # the full upstream lineage — and chained callers (rfm, spearman)
+    # nest that x2 per pass, so k chained ranks re-ran the base 2^k
+    # times (measured: rfm_segmentation_counts 14.6 s -> 3.3 s at sf0.1
+    # from this checkpoint alone). LAZY so the materialization happens
+    # inside the first consuming job — nothing moves out of a bench's
+    # timed region; blocks are executor-local and released by
+    # release_cached() between queries.
+    part = df.withColumn("_bkt", bkt.cast("int")).localCheckpoint(eager=False)
     wl = Window.partitionBy("_bkt").orderBy(*sort_cols)
     local = part.withColumn("_lr", F.row_number().over(wl).cast("bigint"))
     # sizes come from `part`, NOT `local`: offsets need bucket counts
@@ -2620,7 +2629,10 @@ def _distributed_prefix(
     bkt = F.lit(0)
     for b in sorted(set(bounds)):
         bkt = bkt + F.when(key > F.lit(b), 1).otherwise(0)
-    part = df.withColumn("_bkt", bkt.cast("int"))
+    # Same x2-consumer shape as _distributed_rank (local sweep + bucket
+    # totals both read `part`): lazy-checkpoint so the upstream lineage
+    # executes once per pass instead of once per consumer.
+    part = df.withColumn("_bkt", bkt.cast("int")).localCheckpoint(eager=False)
     wl = (
         Window.partitionBy("_bkt")
         .orderBy(*sort_cols)

@@ -76,31 +76,34 @@ def _disc_price() -> F.Column:
     "multi-channel report TPC-H never asks for",
 )
 def tpcds_channel_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Channel here is a derived column of one scan family: both UNION
-    branches read the same lineitem⋈orders⋈customer⋈nation tree with
-    complementary returnflag filters, so Catalyst pushes each filter to
-    its scan and the rollup is a single shuffle over (channel, n_name)
-    with map-side partials. At 100 TB the channels would be separate
-    fact tables; the plan shape (union -> one grouping shuffle) is
-    identical."""
+    """Channel is a DERIVED column of one scan: the two UNION branches
+    carry complementary returnflag filters over the SAME
+    lineitem⋈orders⋈customer⋈nation tree, so together they partition
+    its rows — the union is equivalent to a single pass with
+    channel = CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'sold'
+    (plus an IS NOT NULL guard mirroring that a NULL flag fails BOTH
+    branch predicates). The UNION-of-branches form executed the
+    three-join tree TWICE (Catalyst does not merge complementary-filter
+    subtree copies; measured 1.15 s vs 0.6 s at sf0.1, and the join
+    work doubles at any scale); the derived-channel form joins once and
+    feeds the same single ROLLUP shuffle with map-side partials. At
+    100 TB the channels would be separate fact tables and the UNION
+    would be real; over one table it is pure recompute."""
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
     joined = (
         t["lineitem"]
+        .filter(F.col("l_returnflag").isNotNull())
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
-    sold = joined.filter(F.col("l_returnflag") != "R").select(
-        F.lit("sold").alias("channel"),
+    chan = joined.select(
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .otherwise(F.lit("sold"))
+        .alias("channel"),
         "n_name",
         _disc_price().alias("rev"),
     )
-    ret = joined.filter(F.col("l_returnflag") == "R").select(
-        F.lit("returned").alias("channel"),
-        "n_name",
-        _disc_price().alias("rev"),
-    )
-    chan = sold.unionAll(ret)
     return chan.rollup("channel", "n_name").agg(
         F.grouping("channel").cast("bigint").alias("g_channel"),
         F.grouping("n_name").cast("bigint").alias("g_nation"),
