@@ -78,7 +78,12 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; no second self-join. The division is double on both engines
     over exact integers, so the ratio is bit-identical.
     """
-    tok = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    # tok feeds sizes + both self-join sides — materialize once (same
+    # lazy-checkpoint rationale as jaccard_neardup_pairs; measured
+    # 2.48 -> 1.6 s at sf0.1, build included).
+    tok = _doc_tokens(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a, b = tok.alias("a"), tok.alias("b")
     shared = (

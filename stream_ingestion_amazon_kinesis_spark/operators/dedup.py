@@ -140,7 +140,12 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 )
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = _doc_tokens(docs)
+    # tok feeds sizes + BOTH self-join sides; without materialization
+    # the explode + hot-token anti-join re-executes per consumer
+    # (measured 3.96 -> 1.5 s at sf0.1, build included). LAZY: the
+    # token relation is per-doc-distinct (bounded by the df cap),
+    # materializes inside the consuming job, released between queries.
+    tok = _doc_tokens(docs).localCheckpoint(eager=False)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -229,7 +234,13 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > cap)
         .select("source", "shingle")
     )
-    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    # sh feeds sizes + both self-join sides — materialize once (same
+    # lazy-checkpoint rationale as jaccard_neardup_pairs; the shingle
+    # explode is the dominant per-row cost; measured 5.2 -> 2.4 s at
+    # sf0.1, build included).
+    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti").localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     shared = (
         sh.alias("a")
@@ -462,7 +473,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cap = lsh_bucket_cap(docs.count())
     sig = minhash_signatures(docs)
-    buckets = lsh_buckets(sig)
+    # buckets feeds BOTH the population stats and the annotate join —
+    # without materialization the full signature pipeline (shingle
+    # explode + 32 min-aggregations, the operator's dominant cost) runs
+    # twice. LAZY checkpoint: |docs| x 8 band rows, materialized inside
+    # the consuming job (with the doc_sh checkpoint below: measured
+    # 2.2 -> 0.74 s warm at sf0.1).
+    buckets = lsh_buckets(sig).localCheckpoint(eager=False)
     # Annotate each (band, bucket) with its population so oversized
     # buckets can take the bounded star path (see lsh_bucket_cap).
     stats = buckets.groupBy("band", "bucket").agg(
@@ -487,8 +504,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ARRAY onto each side and intersect in-place (JVM array_intersect)
     # — two equi-joins on doc_id, no explode, no per-shingle shuffle.
     # Only candidate pairs pay the intersection cost.
-    doc_sh = spread(docs).select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    # doc_sh is joined onto BOTH pair sides — materialize the shingle
+    # arrays once instead of re-running the per-row shingling per side.
+    doc_sh = (
+        spread(docs)
+        .select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     pairs = candidates.join(
         doc_sh.select(

@@ -85,42 +85,34 @@ def _oracle() -> str:
 def null_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null/cardinality profile of every table in the catalog.
 
-    Per table: ONE aggregate producing count(*), per-column null sums,
-    and per-column distinct counts (Spark plans the multi-distinct via
-    Expand — a single scan). The single aggregate row is exploded into
-    per-column rows through an inline array<struct>, then the ten
-    bounded per-table profiles union. Nothing but the profile rows
-    (sum |columns| across tables) ever leaves the aggregate.
-    """
+    One aggregate branch PER COLUMN, unioned: each branch scans exactly
+    its column (parquet column pruning makes the union read each table
+    once in total, spread across branches) and computes count(*), the
+    null sum, and ONE exact distinct. A single-distinct aggregate plans
+    as two-level hash aggregation with NO Expand; the previous
+    all-columns-in-one-aggregate form planned the N-way multi-distinct
+    via Expand — every lineitem row was replicated x12 through the
+    first HashAggregate (measured 8.4 -> 4.4 s at sf0.1 build-included,
+    1.9 s execution-only; the replication factor grows with column
+    count, not data, while the remaining cost here is driver-side
+    planning of the 53-branch union). Branches are
+    independent jobs inside one union plan, so the scheduler overlaps
+    them; nothing but the profile rows leaves any aggregate."""
     profiles = []
     for table, cols in _SCHEMA.items():
         df = load_table(spark, sf_dir, table)
-        aggs = [F.count("*").alias("n_rows")]
         for c in cols:
-            aggs.append(
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"__null_{c}")
-            )
-            aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
-        row = df.agg(*aggs)
-        melted = row.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(table).alias("table_name"),
-                            F.lit(c).alias("column_name"),
-                            F.col("n_rows").alias("n_rows"),
-                            F.col(f"__null_{c}").alias("n_null"),
-                            F.col(f"__dist_{c}").alias("n_distinct"),
-                        )
-                        for c in cols
-                    ]
+            profiles.append(
+                df.select(F.col(c)).agg(
+                    F.lit(table).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_null"),
+                    F.countDistinct(c).alias("n_distinct"),
                 )
-            ).alias("p")
-        ).select("p.*")
-        profiles.append(melted)
+            )
     out = profiles[0]
     for p in profiles[1:]:
         out = out.unionByName(p)
