@@ -359,6 +359,11 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        # und feeds both nbr arms AND the closing anti-join — three
+        # subtree copies of the order self-join without materialization
+        # (lazy: runs inside the consuming job; measured 3.1 -> 1.9 s
+        # at sf0.1, build included).
+        .localCheckpoint(eager=False)
     )
     nbr = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
@@ -563,6 +568,10 @@ def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        # und feeds both deg arms AND the edge join — four subtree
+        # copies of the order self-join without materialization (lazy;
+        # measured 2.9 -> 1.7 s at sf0.1, build included).
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("k"))

