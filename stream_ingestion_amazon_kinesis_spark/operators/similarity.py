@@ -481,6 +481,9 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-cosine neighbors) is the selectivity knob: production corpora
     with tighter near-neighbor cosines use wider bands to keep bucket
     populations at corpus/2^width."""
+    # (A lazy checkpoint of q was measured and REJECTED: neutral at
+    # sf0.1 — the band-bucket explode and rerank dominate, not the
+    # quantize transform — and it would cost O(N) executor storage.)
     q = _km_quantized(spark, sf_dir)
     nrm2 = F.aggregate(
         F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x

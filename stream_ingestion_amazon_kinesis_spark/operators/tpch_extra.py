@@ -1158,8 +1158,17 @@ def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     The fact join is the only |data|-sized step (orderkey equi-join,
     AQE decides broadcast vs shuffle); latency is whole days via
     datediff (both engines count calendar-day boundaries on pure
-    dates). Discrete p50/p90 come from the row_number selection used
-    across the median family — no interpolation, no float.
+    dates). Discrete p50/p90 come from a DAY-COUNT HISTOGRAM instead of
+    a per-priority row_number sort: the quantile at rank r in sorted
+    order is the smallest day value whose cumulative count reaches r,
+    which is exactly the value the oracle's rn = r row carries (the
+    cumulative count over days ascending IS the rank of each day
+    value's last occurrence). The former window sorted every joined row
+    inside 5 priority partitions — parallelism pinned to the priority
+    cardinality at ANY data size (measured ~2x at sf0.1, 2.1 -> ~1.1 s
+    calibration-adjusted); the histogram is one map-side-combined groupBy, and the
+    only window runs over the (priority x distinct-day) relation,
+    bounded by the day domain, not the fact table.
     """
     from pyspark.sql import Window
 
@@ -1169,25 +1178,35 @@ def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy("days")
-    wc = Window.partitionBy("o_orderpriority")
-    ranked = lat.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "cnt", F.count("*").over(wc)
+    hist = lat.groupBy("o_orderpriority", "days").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("o_orderpriority")
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "cnt", F.sum("c").over(wtot)
     )
     return (
-        ranked.groupBy("o_orderpriority")
+        cum.groupBy("o_orderpriority")
         .agg(
             F.first("cnt").cast("bigint").alias("n_lines"),
             F.min("days").cast("bigint").alias("min_days"),
             F.max("days").cast("bigint").alias("max_days"),
-            F.max(
-                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("days"))
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(cnt + 1) div 2"), F.col("days")
+                )
             )
             .cast("bigint")
             .alias("p50_days"),
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.expr("(9 * cnt + 9) div 10"), F.col("days")
+                    F.col("cum") >= F.expr("(9 * cnt + 9) div 10"),
+                    F.col("days"),
                 )
             )
             .cast("bigint")
