@@ -127,9 +127,12 @@ def test_rotation_rule_is_deterministic_and_unstamped_first():
 
 
 def test_window_fronts_newest_post_gate_operators():
-    # The concrete r10-verdict ask: the round-11 window must carry at
-    # least 2 of the 4 round-10 post-gate operators. Newest-first makes
-    # all still-unstamped ones appear.
+    # The concrete r10-verdict ask: the round-10 post-gate operators
+    # must reach the driver window until stamped. Newest-first makes
+    # all still-unstamped ones appear; once a committed CORRECTNESS
+    # record stamps one, it legitimately rotates out (the r11 window
+    # carried and stamped all four), so the durable invariant is
+    # "stamped OR fronted", not "in this round's window".
     from stream_ingestion_amazon_kinesis_spark.plans.registry import (
         stamped_names,
     )
@@ -140,11 +143,13 @@ def test_window_fronts_newest_post_gate_operators():
         "bpe_encode_token_stats",
         "canonical_dedup_selection",
     }
-    unstamped_post = post_gate - stamped_names()
+    stamped = stamped_names()
+    unstamped_post = post_gate - stamped
     in_window = post_gate & set(PRIORITY_HEAD)
     assert unstamped_post <= in_window
-    if stamped_names():  # on the real artifact tree: >= 2 present
-        assert len(in_window) >= 2, in_window
+    if stamped:  # on the real artifact tree: none may be unaccounted
+        missing = post_gate - stamped - in_window
+        assert not missing, missing
 
 
 def test_current_round_derivation_matches_artifacts():
