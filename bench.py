@@ -2,17 +2,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "plan_stats": {name: {"shuffles": n, "broadcasts": n, "jobs": n, "stages": n}, ...},
-   "scaling": {"sf": lower_sf, "queries": {name: sec, ...}}}
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": ...,
+   "scaling": {"sf": lower_sf, "queries": {name: sec, ...}},
+   "queries": {name: sec, ...}, "headline": {...recap...}}
 
 Each query executes its full plan into the `noop` sink (no driver-side
 collect, no disk write) — measuring scan + compute + shuffle, which is
-what scales. `plan_stats` records each query's static shuffle/broadcast exchange counts
-(from the physical plan) and the jobs/stages Spark
-actually ran, so round-over-round regressions show up as structure, not
-just seconds. `calibration_sec` times a fixed synthetic probe (64M-row
+what scales. Each query's static shuffle/broadcast exchange counts
+(from the physical plan) and the jobs/stages Spark actually ran go to
+the sidecar file `plans/plan_stats_last_bench.json` (verdict r11 #3/#4:
+they were the largest block on the stdout line and pushed the
+per-query timings outside the driver's tail-capture window), so
+round-over-round regressions still show up as structure, not just
+seconds. `calibration_sec` times a fixed synthetic probe (64M-row
 codegen arithmetic + hash-agg shuffle, fixture-independent) so box-speed
 swings are a recorded measurement, and `value_normalized` = value /
 calibration_sec is the cross-round comparable headline.
@@ -185,59 +187,67 @@ def _run_set(spark, sf_dir: str, collect_stats: bool, repeats: int = 1):
     (prefix_filter_jaccard_pairs spanned 1.1-4.5 s across equally-valid
     solo runs in round 3) made round-over-round comparison unreliable;
     the median of 3 warm runs is stable to <20% jitter. plan_stats come
-    from the first run only (the plan is deterministic)."""
+    from the first run only (the plan is deterministic).
+
+    Repeat accounting (measurement-bug fix, verdict r11 #2, recorded in
+    OPTIMIZATION_r12.md with before/after numbers): repeats used to
+    re-execute the SAME DataFrame, so for queries with lazy
+    localCheckpoints run 1 materialized the blocks and runs 2-4 read
+    them back — the upstream explode/aggregate cost appeared in NO
+    timed run. Every repeat now REBUILDS the DataFrame and releases the
+    previous repeat's checkpointed blocks first (the same convention
+    scripts/time_query.py always used), so each timed run pays its own
+    materialization. Plan build itself (fn()) stays untimed, as ever."""
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        df = fn(spark, sf_dir)
-        sc.setJobGroup(name, name)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        samples = [time.perf_counter() - t0]
-        sc.setJobGroup("", "")
-        if collect_stats:
-            # Static shuffle boundaries in the physical plan (pre-AQE —
-            # AQE can only merge/skip these at runtime, never add).
-            # Captured after run 1 so jobs/stages count ONE execution.
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            job_ids = tracker.getJobIdsForGroup(name)
-            n_stages = 0
-            for jid in job_ids:
-                info = tracker.getJobInfo(jid)
-                if info is not None:
-                    n_stages += len(info.stageIds)
-            n_broadcast = plan.count("BroadcastExchange")
-            stats[name] = {
-                # shuffle exchanges move data between executors (the
-                # scale cost); broadcasts replicate a bounded dim
-                "shuffles": plan.count("Exchange") - n_broadcast,
-                "broadcasts": n_broadcast,
-                "jobs": len(job_ids),
-                "stages": n_stages,
-            }
-        sc.setJobGroup(name, name)
-        for _ in range(repeats - 1):
+        samples = []
+        for i in range(repeats):
+            df = fn(spark, sf_dir)
+            sc.setJobGroup(name, name)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        sc.setJobGroup("", "")
-        # With repeats, run 1 is the per-query warm-up (page cache,
-        # codegen) — it feeds plan_stats but not the median; measured
-        # jitter on ~1 s queries drops from ~30% to <20% without it.
+            sc.setJobGroup("", "")
+            if i == 0 and collect_stats:
+                # Static shuffle boundaries in the physical plan
+                # (pre-AQE — AQE can only merge/skip these at runtime,
+                # never add). Captured after run 1 so jobs/stages count
+                # ONE execution.
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                job_ids = tracker.getJobIdsForGroup(name)
+                n_stages = 0
+                for jid in job_ids:
+                    info = tracker.getJobInfo(jid)
+                    if info is not None:
+                        n_stages += len(info.stageIds)
+                n_broadcast = plan.count("BroadcastExchange")
+                stats[name] = {
+                    # shuffle exchanges move data between executors (the
+                    # scale cost); broadcasts replicate a bounded dim
+                    "shuffles": plan.count("Exchange") - n_broadcast,
+                    "broadcasts": n_broadcast,
+                    "jobs": len(job_ids),
+                    "stages": n_stages,
+                }
+            # Between repeats AND between queries, drop checkpointed
+            # RDD blocks: each rebuilt repeat must re-materialize its
+            # own checkpoints (honest medians), and a 44-query x 4-set
+            # bench otherwise accumulates block-manager residue whose
+            # GC pressure bleeds into later queries (measured: autocorr
+            # sf1 read 5.2 s inside the full bench vs 1.3 s solo — same
+            # code, same box). The oracle gate calls the same hook
+            # between queries.
+            del df
+            release_cached(spark)
+        # Run 1 stays the per-query warm-up (page cache, codegen) — it
+        # feeds plan_stats but not the median; measured jitter on ~1 s
+        # queries drops from ~30% to <20% without it.
         timed = samples[1:] if len(samples) > 1 else samples
         timings[name] = round(statistics.median(timed), 3)
-        # Between queries (never mid-repeats — the live df still needs
-        # its own localCheckpoint blocks), drop the finished query's
-        # checkpointed RDDs: a 42-query x 4-set bench otherwise
-        # accumulates block-manager residue whose GC pressure bleeds
-        # into later queries (measured: autocorr sf1 read 5.2 s inside
-        # the full bench vs 1.3 s solo — same code, same box). The
-        # oracle gate calls the same hook between queries.
-        del df
-        release_cached(spark)
     return timings, stats
 
 
@@ -277,12 +287,16 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # Field order matters: the driver's capture keeps the TAIL of long
-    # output (BENCH_r02 lost the leading headline fields this way), so
-    # the bulky nested fields go FIRST and the headline scalars LAST.
+    # output (BENCH_r02 lost the leading headline fields this way;
+    # BENCH_r10's `queries` dict sat early enough to fall outside the
+    # captured window — verdict r11 #4), so bulky nested fields go
+    # FIRST, the primary per-query timings go LAST before the headline
+    # recap, and plan_stats moves OUT of stdout entirely into a sidecar
+    # file (plans/plan_stats_last_bench.json) — it was the single
+    # largest block on the line and is a repo artifact, not a driver
+    # contract field.
     total = round(sum(timings.values()), 3)
     out = {
-        "plan_stats": stats,
-        "queries": timings,
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": float(sf) if sf else sf_dir,
@@ -295,6 +309,18 @@ def main() -> None:
         if calibration_sec
         else None,
     }
+    try:
+        stats_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "plans",
+            "plan_stats_last_bench.json",
+        )
+        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+        with open(stats_path, "w") as f:
+            json.dump({"sf": out["sf"], "plan_stats": stats}, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # read-only checkout: stdout contract still holds
+        print(f"plan_stats sidecar write failed: {e}", file=sys.stderr)
 
     # Two lower scaling points (sf0.1 -> 0.01 -> 0.001): a two-segment
     # slope per round instead of a single ratio. `slope_flags` lists
@@ -402,14 +428,17 @@ def main() -> None:
             flag_detail: dict[str, dict] = {}
             cal_warm = _calibration_probe(spark) if rerun_set else None
             for name in rerun_set:
-                df = QUERIES[name].fn(spark, sf1_dir)
                 warm = []
+                # Rebuild per run (same honest-repeat accounting as
+                # _run_set): each warm run re-materializes its own lazy
+                # checkpoints instead of reading run 1's blocks.
                 for _ in range(2):
+                    df = QUERIES[name].fn(spark, sf1_dir)
                     t0 = time.perf_counter()
                     df.write.format("noop").mode("overwrite").save()
                     warm.append(time.perf_counter() - t0)
-                del df
-                release_cached(spark)
+                    del df
+                    release_cached(spark)
                 t_warm = round(statistics.median(warm), 3)
                 warm_reruns[name] = t_warm
                 r_warm = _norm_ratio(
@@ -462,12 +491,13 @@ def main() -> None:
             > _up_line(name)
         )
 
-    # Repeat the headline scalars at the very end of the line so even a
+    # The primary per-query timings ride LAST before the headline recap
+    # (verdict r11 #4: BENCH_r10's tail capture truncated them away and
+    # the round lost all per-query round-over-round comparison), and the
+    # headline scalars repeat at the very end of the line so even a
     # heavily tail-truncated capture retains them. Calibration fields
-    # live HERE too (verdict r8 #4): the driver keeps only the tail of
-    # stdout, and in r8 calibration_sec sat early in the object and fell
-    # outside the captured window, making the cross-round normalized
-    # comparison impossible from artifacts alone.
+    # live in the recap too (verdict r8 #4).
+    out["queries"] = timings
     out["headline"] = {
         "metric": "headline_queries_total_runtime",
         "value": out["value"],
