@@ -219,30 +219,40 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     """Weighted median without any per-row sort of the full fact table:
     weights are pre-aggregated per DISTINCT price (the grouped
     relation is bounded by price cardinality, far below row count),
-    the cumulative window runs over that grouped relation, and the
-    median is the first price where 2*cumw >= total — integer
+    and the median is the first price where 2*cumw >= total — integer
     comparisons only, so engines agree exactly. Ties in price are
-    impossible after grouping, making the selection deterministic."""
-    from pyspark.sql.window import Window as _W
+    impossible after grouping, making the selection deterministic.
+
+    The cumulative weight runs on the GROUPED distributed sweep
+    (verdict r11 #6, guide §2.5): a plain window partitioned by the
+    3-value returnflag pins the whole distinct-price relation to 3
+    sort tasks at any scale; `_distributed_prefix(part_cols=...)`
+    range-buckets prices across the cluster and restarts the prefix
+    per flag, so parallelism tracks core count instead of flag
+    cardinality. The per-flag total comes from one 3-row aggregate
+    broadcast back — replacing the second full-partition window pass."""
+    from .analytics import _distributed_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("wt")
+    # w feeds the sweep's quantile probe + bucketing AND the total
+    # aggregate — materialize the (flag, price)-grouped relation once
+    # (bounded by value cardinality, never fact-row count) so lineitem
+    # is scanned and pre-aggregated exactly once.
+    w = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+        .localCheckpoint(eager=False)
     )
-    c = w.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("wt")
-        .over(
-            _W.partitionBy("l_returnflag")
-            .orderBy("l_extendedprice")
-            .rowsBetween(_W.unboundedPreceding, 0)
-        )
-        .alias("cumw"),
-        F.sum("wt").over(_W.partitionBy("l_returnflag")).alias("total"),
+    c = _distributed_prefix(
+        w,
+        ["l_extendedprice"],
+        {"cumw": "wt"},
+        part_cols=["l_returnflag"],
     )
+    total = w.groupBy("l_returnflag").agg(F.sum("wt").alias("total"))
     return (
-        c.filter(2 * F.col("cumw") >= F.col("total"))
+        c.join(F.broadcast(total), "l_returnflag")
+        .filter(2 * F.col("cumw") >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))
         .orderBy("l_returnflag")

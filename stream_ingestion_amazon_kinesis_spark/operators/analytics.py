@@ -2617,6 +2617,7 @@ def _distributed_prefix(
     sort_cols: list[str],
     sum_cols: dict[str, str],
     rank_name: str | None = None,
+    part_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact global row_number AND running sums, no single-partition
     window — the two-pass distributed sweep primitive.
@@ -2633,8 +2634,29 @@ def _distributed_prefix(
     order ever materialized is over the bounded bucket-totals
     relation. `sum_cols` maps output name -> input column; pass
     `rank_name` to also get the global row_number.
+
+    `part_cols` (r12) makes the sweep per-GROUP: ranks/prefixes restart
+    per distinct `part_cols` value, i.e. the distributed form of
+    ``OVER (PARTITION BY part_cols ORDER BY sort_cols)`` for groups too
+    few or too skewed to parallelize a plain partitioned window (a
+    3-value flag pins the whole relation to 3 tasks at any scale — the
+    §2.5 parallelism-killer). Buckets still come from range-splitting
+    the leading sort column GLOBALLY, so every (group, bucket) cell is
+    one window partition and the offsets relation stays bounded by
+    (#groups x #buckets) rows.
+
+    Storage note (ADVICE r11): the lazy checkpoint below holds the full
+    input relation in executor block storage for the duration of the
+    consuming job, and lineage is truncated (an executor loss mid-job
+    fails the job rather than recomputing). Every current caller feeds
+    a pre-aggregated, entity- or value-cardinality-bounded relation
+    (customer/session/distinct-price rows, not fact rows); a caller
+    passing a fact-scaled relation at cluster scale should swap the
+    checkpoint for persist(DISK_ONLY)-class storage with lineage
+    intact and re-measure.
     """
     spark = df.sparkSession
+    part_cols = list(part_cols or [])
     k = max(spark.sparkContext.defaultParallelism, 2)
     first = sort_cols[0]
     bounds = df.select(F.col(first).cast("double").alias("_k")).approxQuantile(
@@ -2649,23 +2671,30 @@ def _distributed_prefix(
     # executes once per pass instead of once per consumer.
     part = df.withColumn("_bkt", bkt.cast("int")).localCheckpoint(eager=False)
     wl = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*part_cols, "_bkt")
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = part
     if rank_name is not None:
-        wr = Window.partitionBy("_bkt").orderBy(*sort_cols)
+        wr = Window.partitionBy(*part_cols, "_bkt").orderBy(*sort_cols)
         local = local.withColumn("_lr", F.row_number().over(wr).cast("bigint"))
     for out, src in sum_cols.items():
         local = local.withColumn(f"_ls_{out}", F.sum(src).over(wl))
     aggs = [F.count("*").alias("_c")] + [
         F.sum(src).alias(f"_t_{out}") for out, src in sum_cols.items()
     ]
-    sizes = part.groupBy("_bkt").agg(*aggs)
-    # Bounded offset window: one row per bucket (~#cores rows).
-    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    sel = ["_bkt", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off")]
+    sizes = part.groupBy(*part_cols, "_bkt").agg(*aggs)
+    # Bounded offset window: one row per (group, bucket) cell.
+    wo = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = part_cols + [
+        "_bkt",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
+    ]
     for out in sum_cols:
         sel.append(
             F.coalesce(F.sum(f"_t_{out}").over(wo), F.lit(0)).alias(
@@ -2673,7 +2702,7 @@ def _distributed_prefix(
             )
         )
     offs = sizes.select(*sel)
-    res = local.join(F.broadcast(offs), "_bkt")
+    res = local.join(F.broadcast(offs), part_cols + ["_bkt"])
     if rank_name is not None:
         res = res.withColumn(
             rank_name, (F.col("_off") + F.col("_lr")).cast("bigint")

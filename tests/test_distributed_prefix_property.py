@@ -59,6 +59,37 @@ def test_distributed_prefix_without_rank(spark):
     assert got == {1: -5, 3: 2, 0: 12, 2: 15}
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_distributed_prefix_grouped_matches_per_group_cumsum(spark, rows):
+    # part_cols (r12, weighted_median_price_by_flag): ranks and prefixes
+    # restart per group while buckets still come from the GLOBAL range
+    # split of the leading column — groups share buckets, so the
+    # per-(group, bucket) offset math is what this pins.
+    data = [(v, i % 3, i, d) for i, (v, d) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v long, g long, id long, d long")
+    got = {
+        r.id: (r.rnk, r.cum)
+        for r in _distributed_prefix(
+            df, ["v", "id"], {"cum": "d"}, rank_name="rnk", part_cols=["g"]
+        ).collect()
+    }
+    want = {}
+    for g in {row[1] for row in data}:
+        run, rank = 0, 0
+        for v, _, row_id, d in sorted(
+            (row for row in data if row[1] == g), key=lambda r: (r[0], r[2])
+        ):
+            rank += 1
+            run += d
+            want[row_id] = (rank, run)
+    assert got == want
+
+
 def test_distributed_prefix_multiple_sums(spark):
     data = [(1, 0, 2, 100), (0, 1, 3, 10), (1, 2, 5, 1)]
     df = spark.createDataFrame(data, "v long, id long, a long, b long")
