@@ -123,6 +123,7 @@ BNLJ_OK = {
     "weekly_mix_drift",  # weeks x broadcast 5-type histogram grid
     "equi_depth_deciles_distributed",  # crossJoin of the single-row total count
     "q15_top_supplier",  # crossJoin of the single-row max-revenue scalar
+    "order_backlog_aging",  # crossJoin of the single-row as-of max(date)
     "early_value_retention_curve",  # crossJoin of the single-row cohort count
     "rfm_segmentation_counts",  # crossJoin of the single-row customer count
     "decile_lift_purchases",  # crossJoins of single-row totals (n_tot, total_conv)
