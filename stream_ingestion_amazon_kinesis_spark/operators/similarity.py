@@ -1293,12 +1293,25 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: corpus x broadcast K-row centroid
-    table, integer squared-L2, tiebreak on cluster id."""
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    table, integer squared-L2, tiebreak on cluster id.
+
+    The distance is an UNROLLED 64-term integer sum, not a
+    zip_with+aggregate fold: the fold allocated a 64-element
+    intermediate array on every one of the N*K candidate rows — the
+    dominant cost of the whole k-means family once the shared subtrees
+    were materialized (measured at sf1: semdedup's two assigns were
+    ~3.3 s of the 4.3 s total; unrolling cut the full operator ~35%).
+    Exactness is unaffected: integer addition is associative, so any
+    summation order is bit-identical — the float-cosine rule that keeps
+    knn_label_accuracy on HOF folds does NOT bind in the quantized
+    integer regime (guide §2.3 per-task work, §4.2 applied JVM-side)."""
+    dist = F.expr(
+        " + ".join(
+            f"(element_at(qv, {d}) - element_at(cv, {d}))"
+            f" * (element_at(qv, {d}) - element_at(cv, {d}))"
+            for d in _KM_DIMS
+        )
+    ).cast("long")
     j = q.crossJoin(F.broadcast(cents)).select(
         "vec_id", "qv", "cluster", dist.alias("dist")
     )
