@@ -1291,12 +1291,14 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", qv.alias("qv"))
 
 
-def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+def _km_assign(
+    q: DataFrame, cents: DataFrame, dims: list[int] | None = None
+) -> DataFrame:
     """Nearest-centroid assignment: corpus x broadcast K-row centroid
     table, integer squared-L2, tiebreak on cluster id.
 
-    The distance is an UNROLLED 64-term integer sum, not a
-    zip_with+aggregate fold: the fold allocated a 64-element
+    The distance is an UNROLLED per-dimension integer sum, not a
+    zip_with+aggregate fold: the fold allocated a dim-length
     intermediate array on every one of the N*K candidate rows — the
     dominant cost of the whole k-means family once the shared subtrees
     were materialized (measured at sf1: semdedup's two assigns were
@@ -1304,12 +1306,25 @@ def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     Exactness is unaffected: integer addition is associative, so any
     summation order is bit-identical — the float-cosine rule that keeps
     knn_label_accuracy on HOF folds does NOT bind in the quantized
-    integer regime (guide §2.3 per-task work, §4.2 applied JVM-side)."""
+    integer regime (guide §2.3 per-task work, §4.2 applied JVM-side).
+    `dims` follows _km_update's convention (1-based element indexes,
+    default the full EMB_DIM embedding).
+
+    Scope note (r12, measured): unrolling the OTHER integer folds of
+    this family (SRP nrm2/rerank dot, IVF probe/rerank, IVF2
+    coarse/fine distances, PQ subvector distance) was tried and
+    REJECTED — ann_ivf2_topk regressed ~4x at sf0.1 (1.2 -> 5.5
+    calibration-units): those expressions land in much larger codegen
+    stages where the 64-term/256-node sum plausibly trips the
+    hugeMethodLimit fallback to interpreted evaluation, while this
+    function's narrow crossJoin-select stage stays compiled. Keep the
+    unroll local to _km_assign unless a new A/B says otherwise."""
+    dims = dims if dims is not None else _KM_DIMS
     dist = F.expr(
         " + ".join(
             f"(element_at(qv, {d}) - element_at(cv, {d}))"
             f" * (element_at(qv, {d}) - element_at(cv, {d}))"
-            for d in _KM_DIMS
+            for d in dims
         )
     ).cast("long")
     j = q.crossJoin(F.broadcast(cents)).select(

@@ -81,12 +81,12 @@ def test_lloyd_step_matches_python_reference(spark, raw):
     )
     got_assign = {
         r["vec_id"]: (r["dist"], r["cluster"])
-        for r in _km_assign(q, c0).collect()
+        for r in _km_assign(q, c0, dims=list(range(1, DIM + 1))).collect()
     }
     want_assign = _ref_assign(vecs, cents)
     assert got_assign == want_assign
 
-    a1 = _km_assign(q, c0)
+    a1 = _km_assign(q, c0, dims=list(range(1, DIM + 1)))
     got_cents = {
         r["cluster"]: list(r["cv"])
         for r in _km_update(a1, c0, dims=list(range(1, DIM + 1))).collect()
