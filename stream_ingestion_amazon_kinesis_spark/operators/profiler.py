@@ -97,7 +97,15 @@ def null_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, not data, while the remaining cost here is driver-side
     planning of the 53-branch union). Branches are
     independent jobs inside one union plan, so the scheduler overlaps
-    them; nothing but the profile rows leaves any aggregate."""
+    them; nothing but the profile rows leaves any aggregate.
+
+    (r12 A/B, measured and REJECTED: a per-table stack() melt +
+    two-level group-by — 10 branches instead of 53, cutting planning —
+    produced value-identical output but ran ~2x slower at sf0.1
+    (5-7 s vs 2.6-3.2 s per run, same session): the melt replicates
+    every row x n_cols through the first exchange, the exact Expand
+    cost the r11 rewrite removed, and it costs more than the planning
+    it saves.)"""
     profiles = []
     for table, cols in _SCHEMA.items():
         df = load_table(spark, sf_dir, table)
