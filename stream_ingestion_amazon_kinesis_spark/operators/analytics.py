@@ -2575,6 +2575,15 @@ def _distributed_rank(
     make both subtrees bit-identical by construction; quantile
     accuracy only affects bucket balance, never correctness. The
     leading sort column must be numeric, non-null.
+
+    Storage note (ADVICE r11): the lazy checkpoint below holds the
+    full input relation in executor block storage for the consuming
+    job, and lineage truncation means an executor loss mid-job fails
+    the job instead of recomputing. Every current caller ranks a
+    pre-aggregated, entity-bounded relation (customers, sessions,
+    docs — never raw fact rows); a caller feeding a fact-scaled
+    relation at cluster scale should swap to persist(DISK_ONLY)-class
+    storage with lineage intact and re-measure (guide §5).
     """
     spark = df.sparkSession
     k = max(spark.sparkContext.defaultParallelism, 2)

@@ -943,6 +943,42 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_pairs(_doc_tokens(docs).localCheckpoint(eager=False))
 
 
+def _prefix_relation(tok: DataFrame) -> DataFrame:
+    """The rarity-ordered prefix of every doc, computed on the ARRAY
+    form: collect each doc's (df, token) pairs, sort the array (struct
+    order = (df asc, token asc), unique within a doc since tokens are
+    per-doc distinct), posexplode ONLY the prefix slice. Prefix length
+    for t=0.8 in exact integers: |d| - ceil(0.8|d|) + 1 =
+    n - (4n+4) div 5 + 1; rn = 1-based position in the rarity order.
+    Factored out so the pre-checkpoint plan stays pin/guard-visible
+    via EXTRA_PLAN_BUILDERS (the caller lazily checkpoints it)."""
+    dfreq = tok.groupBy("source", "token").agg(F.count("*").alias("df"))
+    arrs = (
+        tok.join(dfreq, ["source", "token"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sort_array(F.collect_list(F.struct("df", "token"))).alias(
+                "arr"
+            ),
+        )
+    )
+    return arrs.select(
+        "doc_id",
+        "source",
+        F.size("arr").alias("n_tok"),
+        F.posexplode(
+            F.expr("slice(arr, 1, size(arr) - (4*size(arr) + 4) div 5 + 1)")
+        ).alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.token").alias("token"),
+        "n_tok",
+        (F.col("pos") + 1).alias("rn"),
+    )
+
+
 def prefix_filtered_pairs(tok: DataFrame) -> DataFrame:
     """The All-Pairs/PPJoin core over a (doc_id, source, token)
     relation with per-doc-distinct tokens: prefix filter + length
@@ -966,37 +1002,7 @@ def prefix_filtered_pairs(tok: DataFrame) -> DataFrame:
     it is the cheapest materialization point in the operator (the r11
     tok checkpoint stays for the dfreq/verify consumers)."""
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    dfreq = tok.groupBy("source", "token").agg(F.count("*").alias("df"))
-    arrs = (
-        tok.join(dfreq, ["source", "token"])
-        .groupBy("doc_id")
-        .agg(
-            F.first("source").alias("source"),
-            F.sort_array(F.collect_list(F.struct("df", "token"))).alias(
-                "arr"
-            ),
-        )
-    )
-    # Prefix length for t=0.8 in exact integers: |d| - ceil(0.8|d|) + 1
-    # = n - (4n+4) div 5 + 1; rn = 1-based position in the rarity order.
-    prefix = (
-        arrs.select(
-            "doc_id",
-            "source",
-            F.size("arr").alias("n_tok"),
-            F.posexplode(
-                F.expr("slice(arr, 1, size(arr) - (4*size(arr) + 4) div 5 + 1)")
-            ).alias("pos", "s"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.col("s.token").alias("token"),
-            "n_tok",
-            (F.col("pos") + 1).alias("rn"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    prefix = _prefix_relation(tok).localCheckpoint(eager=False)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # Length filter (lossless, standard All-Pairs companion to the
     # prefix filter): J(a,b) >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
@@ -1386,3 +1392,24 @@ def dedup_source_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("k").alias("n_clusters"))
         .orderBy(F.desc("n_clusters"), "src_a", "src_b")
     )
+
+
+# --- Pre-checkpoint plan exposure (ADVICE r11 / verdict r9 #2) --------
+#
+# The lazy localCheckpoints above truncate the dominant upstream
+# subtrees out of the registry-wide plan pins (a checkpointed relation
+# dumps as a Scan ExistingRDD leaf), so the real explode/aggregate/
+# signature shapes would otherwise be guard-invisible. These builders
+# re-compose the UN-checkpointed subtrees for gen_plan_pins.py and
+# tests/test_plan_guard.py.
+from ..plans.registry import EXTRA_PLAN_BUILDERS as _EXTRA  # noqa: E402
+
+_EXTRA["prefix_filter_jaccard_pairs::prefix"] = lambda spark, sf_dir: (
+    _prefix_relation(_doc_tokens(load_table(spark, sf_dir, "documents")))
+)
+_EXTRA["minhash_lsh_neardup::buckets"] = lambda spark, sf_dir: (
+    lsh_buckets(minhash_signatures(load_table(spark, sf_dir, "documents")))
+)
+_EXTRA["containment_neardup_pairs::doc_tokens"] = lambda spark, sf_dir: (
+    _doc_tokens(load_table(spark, sf_dir, "documents"))
+)

@@ -87,6 +87,26 @@ def _oracle() -> str:
     return "\n".join(parts)
 
 
+def _supplier_cooccurrence_edges(os_: DataFrame) -> DataFrame:
+    """Directed co-occurrence edges (src, dst, w) from the distinct
+    (order, supplier) relation — per-order self-join, bounded by
+    suppliers-per-order. Factored so the pre-checkpoint plan stays
+    pin/guard-visible via EXTRA_PLAN_BUILDERS (the caller eagerly
+    checkpoints it for the power-iteration loop)."""
+    a, b = os_.alias("a"), os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
 @register(
     "pagerank_supplier_cooccurrence",
     oracle=_oracle(),
@@ -105,19 +125,8 @@ def pagerank_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFram
     the edge key, no driver-side data movement."""
     li = load_table(spark, sf_dir, "lineitem")
     os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint()  # iterations reuse edges; never re-join per round
-    )
+    # iterations reuse edges; never re-join per round
+    edges = _supplier_cooccurrence_edges(os_).localCheckpoint()
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # srcw feeds every iteration's join and nodes feeds the init rank
     # plus every iteration's left join — without materialization each
@@ -1072,3 +1081,23 @@ def bfs_reach_layers_parts(
         )
         .orderBy("dist")
     )
+
+
+# --- Pre-checkpoint plan exposure (ADVICE r11 / verdict r9 #2) --------
+# pagerank's srcw is lazily checkpointed (and edges eagerly), hiding
+# the per-order self-join + out-weight join from the plan pins; this
+# builder re-composes the un-checkpointed subtree.
+from ..plans.registry import EXTRA_PLAN_BUILDERS as _EXTRA  # noqa: E402
+
+
+def _pagerank_srcw_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    os_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = _supplier_cooccurrence_edges(os_)
+    return edges.join(edges.groupBy("src").agg(F.sum("w").alias("ow")), "src")
+
+
+_EXTRA["pagerank_supplier_cooccurrence::srcw"] = _pagerank_srcw_plan

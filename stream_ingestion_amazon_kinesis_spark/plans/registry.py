@@ -63,7 +63,25 @@ ROTATION_FRONT: list[str] = [
     "ann_matryoshka_truncation_recall",
     "streaming_hll_distinct_live",
     "bfs_reach_layers_parts",
+    # r11/r12 semantics-rewritten queries still unstamped (ADVICE r11:
+    # rewrites must reach an independent driver correctness sample in
+    # the round that ships them — these front the window until stamped)
+    "fulfillment_latency_histogram",
+    "null_profile_all_tables",
+    "tpcds_channel_union_rollup",
+    "weighted_median_price_by_flag",
+    "interval_overlap_session_pairs",
+    "order_backlog_aging",
 ]
+
+# Already-STAMPED queries whose result-producing logic was rewritten in
+# a given round: pinned into that ONE round's rotation slots regardless
+# of their stamp (ADVICE r11 — a stamp from an older implementation
+# does not cover a rewrite; unstamped rewrites ride ROTATION_FRONT
+# instead). Keyed by round so the pin expires by itself.
+REVALIDATE: dict[int, list[str]] = {
+    12: ["prefix_filter_jaccard_pairs", "q18_large_volume_customers"],
+}
 
 # Pre-checkpoint intermediate plans for the pin/guard machinery
 # (verdict r9 #2): operators whose registry entry eagerly
@@ -321,19 +339,22 @@ def priority_head(
     if stamped is None:
         stamped = stamped_names()
     pool_set = set(pool)
+    # This round's revalidation pins lead the slots (stamped rewrites
+    # whose old stamp predates the rewrite — see REVALIDATE).
+    reval = [n for n in REVALIDATE.get(round_no, []) if n in pool_set]
     front = [
         n
         for n in ROTATION_FRONT
-        if n in pool_set and n not in stamped
+        if n in pool_set and n not in stamped and n not in set(reval)
     ]
-    unstamped = front + [
+    unstamped = reval + front + [
         n
         for n in pool
-        if n not in stamped and n not in set(front)
+        if n not in stamped and n not in set(front) and n not in set(reval)
     ]
     rot = unstamped[:slots]
     if len(rot) < slots:
-        ring = [n for n in pool if n in stamped]
+        ring = [n for n in pool if n in stamped and n not in set(rot)]
         fill = slots - len(rot)
         off = ((round_no - 1) * slots) % len(ring) if ring else 0
         rot += [ring[(off + i) % len(ring)] for i in range(fill)]
