@@ -311,6 +311,9 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join sides — four subtree copies of the lineitem distinct
     # without materialization (lazy; measured ~1.6x at sf0.1,
     # calibration-normalized — the box was contended during the A/B).
+    # Storage bound (r12 audit): FACT-DISTINCT-SCALED — one row per
+    # distinct (order, part), 2 bigints wide; lineage truncated. At
+    # cluster scale swap to persist(DISK_ONLY) with lineage intact.
     os_ = (
         li.select("l_orderkey", "l_partkey")
         .distinct()

@@ -80,7 +80,9 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # tok feeds sizes + both self-join sides — materialize once (same
     # lazy-checkpoint rationale as jaccard_neardup_pairs; measured
-    # 2.48 -> 1.6 s at sf0.1, build included).
+    # 2.48 -> 1.6 s at sf0.1, build included). Storage bound (r12
+    # audit): CORPUS-SCALED token relation, lineage truncated — same
+    # persist(DISK_ONLY) trade as the jaccard site at cluster scale.
     tok = _doc_tokens(load_table(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )

@@ -145,6 +145,11 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3.96 -> 1.5 s at sf0.1, build included). LAZY: the
     # token relation is per-doc-distinct (bounded by the df cap),
     # materializes inside the consuming job, released between queries.
+    # Storage bound (r12 audit): CORPUS-SCALED — O(sum of per-doc
+    # distinct tokens) rows in executor block storage for the duration
+    # of the job, lineage truncated (executor loss => job retry, not
+    # recompute). The self-join REQUIRES this relation twice either
+    # way; at cluster scale trade via persist(DISK_ONLY) + lineage.
     tok = _doc_tokens(docs).localCheckpoint(eager=False)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = tok.alias("a")
@@ -237,7 +242,10 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh feeds sizes + both self-join sides — materialize once (same
     # lazy-checkpoint rationale as jaccard_neardup_pairs; the shingle
     # explode is the dominant per-row cost; measured 5.2 -> 2.4 s at
-    # sf0.1, build included).
+    # sf0.1, build included). Storage bound (r12 audit): CORPUS-SCALED
+    # — O(per-doc distinct 3-shingles) rows, lineage truncated; the
+    # same persist(DISK_ONLY) trade as the jaccard tok site applies at
+    # cluster scale.
     sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti").localCheckpoint(
         eager=False
     )
@@ -506,6 +514,9 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only candidate pairs pay the intersection cost.
     # doc_sh is joined onto BOTH pair sides — materialize the shingle
     # arrays once instead of re-running the per-row shingling per side.
+    # Storage bound (r12 audit): one row per DOC but the array payload
+    # is corpus-scaled bytes (every distinct shingle); same
+    # persist(DISK_ONLY) trade at cluster scale.
     doc_sh = (
         spread(docs)
         .select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
